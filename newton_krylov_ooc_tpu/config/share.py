@@ -1,0 +1,200 @@
+"""layered configuration system: INI cfg files + CLI overrides + logging setup.
+
+Capability parity with nk_ooc/share.py: configparser cfg files with
+interpolation (sections DEFAULT/solverinfo/modelinfo, multi-file override
+chains), a declarative table of CLI flags that override cfg entries (including
+model-conditional flags like --persist), {model_name}/{suff} substitution in
+string args, cfg echo for provenance, and reproducible-logging support.
+The on-disk cfg format and keys match the reference so user configurations
+carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import logging
+import os
+import sys
+
+from ..utils.helpers import strtobool
+from ..utils.ncio import mkdir_exist_okay
+
+
+def repo_root():
+    """root of this repository (two levels above this file's package)"""
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
+    )
+
+
+# declarative table of CLI flags that override cfg entries
+cfg_override_args = {
+    "workdir": {"section": "DEFAULT"},
+    "logging_fname": {"section": "solverinfo"},
+    "logging_reproducible": {
+        "section": "DEFAULT",
+        "action": "store_true",
+        "override_val": "True",
+    },
+    "logging_level": {"section": "solverinfo"},
+    "newton_max_iter": {"section": "solverinfo"},
+    "newton_rel_tol": {"section": "solverinfo"},
+    "init_iterate_fname": {"section": "solverinfo"},
+    "tracer_module_names": {"section": "modelinfo"},
+    "persist": {
+        "model_names": ["test_problem", "py_driver_2d"],
+        "override_var": "reinvoke",
+        "action": "store_true",
+        "override_val": "False",
+        "section": "modelinfo",
+    },
+}
+
+
+def common_args(description, model_name, args_list):
+    """argument parser with the framework's common options
+
+    returns (parser, args_remaining); --model_name is pre-parsed so it can
+    rebind the default cfg-file chain and conditional flags
+    """
+    parent_parser = argparse.ArgumentParser(add_help=False)
+    parent_parser.add_argument(
+        "--model_name",
+        help="name of the model that solver is being applied to; "
+        "using a non-default value alters subsequent options",
+        default=model_name,
+    )
+    args, args_remaining = parent_parser.parse_known_args(args_list)
+
+    parser = argparse.ArgumentParser(
+        description=description,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        parents=[parent_parser],
+    )
+    input_dir = os.path.join(repo_root(), "input", args.model_name)
+    defaults = [os.path.join(input_dir, "newton_krylov.cfg")]
+    params_fname = os.path.join(input_dir, "model_params.cfg")
+    if os.path.exists(params_fname):
+        defaults.append(params_fname)
+    parser.add_argument(
+        "--cfg_fnames",
+        help="names of configuration files",
+        default=",".join(defaults),
+    )
+
+    for argname, metadata in cfg_override_args.items():
+        if args.model_name not in metadata.get("model_names", [args.model_name]):
+            continue
+        override_var = metadata.get("override_var", argname)
+        action = metadata.get("action")
+        if action is None:
+            parser.add_argument(
+                f"--{argname}",
+                help=f"override {override_var} from cfg file",
+                default=None,
+            )
+        elif action == "store_true":
+            parser.add_argument(
+                f"--{argname}",
+                help=f"override {override_var} from cfg file",
+                action="store_true",
+            )
+        else:
+            raise NotImplementedError(f"action={action} not implemented")
+
+    return parser, args_remaining
+
+
+def args_replace(args):
+    """apply {model_name} substitution to string args ({suff} passes through)"""
+    str_subs = {"model_name": args.model_name, "suff": "{suff}"}
+    for arg, value in vars(args).items():
+        if isinstance(value, str):
+            setattr(args, arg, value.format(**str_subs))
+    return args
+
+
+def read_cfg_files(args):
+    """read the cfg-file chain, apply CLI overrides, echo cfg for provenance"""
+    cfg_fnames = args.cfg_fnames
+
+    defaults = {key: os.environ[key] for key in ["HOME", "USER"] if key in os.environ}
+    defaults.setdefault("USER", os.environ.get("LOGNAME", "user"))
+    defaults.setdefault("HOME", os.path.expanduser("~"))
+    defaults["repo_root"] = repo_root()
+    config = configparser.ConfigParser(defaults, allow_no_value=True)
+    files_read = config.read(cfg_fnames.split(","))
+    if len(files_read) == 0:
+        raise RuntimeError(f"cfg_fnames not read: {cfg_fnames}")
+
+    _check_config_no_values(cfg_fnames, config)
+    _apply_cfg_override_args(args, config)
+
+    cfg_out_fname = config["solverinfo"]["cfg_out_fname"]
+    if cfg_out_fname is not None:
+        mkdir_exist_okay(os.path.dirname(cfg_out_fname))
+        with open(cfg_out_fname, "w") as fptr:
+            config.write(fptr)
+
+    return config
+
+
+def _check_config_no_values(cfg_fnames, config):
+    """only names listed in no_value_allowed may be valueless"""
+    no_value_allowed = config["DEFAULT"].get("no_value_allowed", None)
+    nva_list = [] if no_value_allowed is None else no_value_allowed.split(",")
+    nva_list.append("no_value_allowed")
+    for section in config.sections():
+        for name in config[section]:
+            if config[section][name] is None and name not in nva_list:
+                raise ValueError(
+                    f"{name} not allowed to be empty in cfg file {cfg_fnames}"
+                )
+
+
+def _apply_cfg_override_args(args, config):
+    """apply the cfg_override_args table to the parsed config"""
+    for argname, metadata in cfg_override_args.items():
+        if argname not in args:
+            continue
+        override_var = metadata.get("override_var", argname)
+        if override_var not in config[metadata["section"]]:
+            raise ValueError(
+                f'{override_var} not in cfg section {metadata["section"]}'
+            )
+        if "action" not in metadata:
+            if getattr(args, argname) is not None:
+                config[metadata["section"]][override_var] = getattr(args, argname)
+        elif metadata["action"] == "store_true":
+            if getattr(args, argname):
+                config[metadata["section"]][override_var] = metadata["override_val"]
+
+
+def logging_config(solverinfo, filemode):
+    """configure logging to stdout + logfile; reproducible mode strips
+    timestamps/PIDs so logs are diffable"""
+    logging_format_list = []
+    if not strtobool(solverinfo["logging_reproducible"]):
+        logging_format_list.extend(["%(asctime)s", "%(process)s"])
+    logging_format_list.extend(["%(filename)s", "%(funcName)s", "%(message)s"])
+    logging_format = ":".join(logging_format_list)
+    mkdir_exist_okay(os.path.dirname(solverinfo["logging_fname"]))
+    logging.basicConfig(
+        format=logging_format,
+        level=solverinfo["logging_level"],
+        handlers=[
+            logging.StreamHandler(stream=sys.stdout),
+            logging.FileHandler(filename=solverinfo["logging_fname"], mode=filemode),
+        ],
+        force=True,
+    )
+
+
+def repro_fname(cfg_section, fname):
+    """fname with user-specific path components masked, for reproducible logs"""
+    ret = fname
+    if strtobool(cfg_section["logging_reproducible"]):
+        ret = ret.replace(cfg_section["workdir"], "$workdir")
+        ret = ret.replace(cfg_section["repo_root"], "$repo_root")
+    return ret

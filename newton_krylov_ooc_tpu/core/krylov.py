@@ -1,0 +1,183 @@
+"""left-preconditioned GMRES for the Newton correction equation.
+
+Solves A x = -fcn, where A is the Jacobian of comp_fcn at the current iterate
+(applied via Jacobian-vector products) and M^-1 is the model's preconditioner.
+Saad's algorithm 9.4 ("Iterative Methods for Sparse Linear Systems", 2nd ed.):
+Arnoldi with modified Gram-Schmidt, the Hessenberg least-squares problem solved
+independently per (tracer module, region) -- the framework's block parallelism.
+
+Out-of-core contract (capability parity with nk_ooc/krylov_solver.py): basis
+vectors are file-stored, the Hessenberg matrix and beta persist in the step-log
+JSON, and every step is resumable.  The purely in-core jitted GMRES (on-device
+basis, fixed max dimension, masked convergence) used by the flagship TPU path
+lives in newton_krylov_ooc_tpu.core.incore.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..utils.helpers import class_name
+from . import state as state_mod
+from .solver_base import SolverBase
+from .solver_state import action_step_log_wrap
+
+
+class KrylovSolver(SolverBase):
+    """left-preconditioned GMRES with file-stored basis (x0 = 0)"""
+
+    def __init__(self, iterate, solverinfo, resume, rewind, hist_fname):
+        logger = logging.getLogger(__name__)
+
+        super().__init__(
+            "Krylov", solverinfo, iterate.model_config_obj.region_cnt, resume, rewind
+        )
+        logger.debug('hist_fname="%s"', hist_fname)
+
+        self._iterate = iterate
+
+        self._def_solver_stats_vars(
+            self.gen_stats_vars_metadata(), self._iterate.tracer_modules
+        )
+
+        iterate.gen_precond_jacobian(
+            hist_fname,
+            precond_fname=self._fname("precond", iteration=0),
+            solver_state=self._solver_state,
+        )
+
+    @staticmethod
+    def gen_stats_vars_metadata():
+        """metadata for Krylov solver stats vars"""
+        return {
+            "precond_rhs_norm": {
+                "category": "per_tracer_module",
+                "dimensions": ("region",),
+                "attrs": {
+                    "long_name": "norm of {tracer_module_name} preconditioned rhs",
+                    "units": "{tracer_module_units}",
+                },
+            },
+            "precond_resid_norm": {
+                "category": "per_tracer_module",
+                "dimensions": ("iteration", "region"),
+                "attrs": {
+                    "long_name": (
+                        "norm of {tracer_module_name} preconditioned residual"
+                    ),
+                    "units": "{tracer_module_units}",
+                },
+            },
+        }
+
+    def converged(self, beta, precond_resid_norm):
+        """(module_cnt, region_cnt) convergence flags:
+        ||precond resid|| < rel_tol * beta, after min_iter iterations"""
+        rel_tol = self._get_rel_tol()
+        return (self.get_iteration() >= self._get_min_iter()) & (
+            precond_resid_norm < rel_tol * beta
+        )
+
+    @action_step_log_wrap(step="KrylovSolver._solve0", per_iteration=False)
+    def _solve0(self, fcn, solver_state):
+        """iteration-0 work: r0 = -M^-1 fcn, beta = ||r0||, basis_0 = r0/beta"""
+        precond_fcn = fcn.apply_precond_jacobian(
+            self._fname("precond", 0), self._fname("precond_fcn"), self._solver_state
+        )
+        beta = precond_fcn.norm()
+        fcn.log_vals("beta", beta)
+        self._put_solver_stats_vars_iteration_independent(precond_rhs_norm=beta)
+        caller = f"{class_name(self)}._solve0"
+        (-precond_fcn / beta).dump(self._fname("basis"), caller)
+        self._solver_state.set_value_saved_state("beta", beta)
+
+    def solve(self, res_fname, fcn):
+        """run GMRES until the per-(module, region) residuals converge"""
+        logger = logging.getLogger(__name__)
+        logger.debug('res_fname="%s"', res_fname)
+
+        self._solve0(fcn, solver_state=self._solver_state)
+        caller = f"{class_name(self)}.solve"
+
+        while True:
+            j_val = self.get_iteration()
+
+            # grow the per-(module, region) Hessenberg system by one column
+            h_mat = np.zeros(
+                (
+                    len(fcn.tracer_modules),
+                    j_val + 2,
+                    j_val + 1,
+                    fcn.model_config_obj.region_cnt,
+                )
+            )
+            if j_val > 0:
+                h_mat[:, :-1, :-1, :] = self._solver_state.get_value_saved_state(
+                    "h_mat"
+                )
+
+            basis_j = type(self._iterate)(self._fname("basis"))
+            w_raw = self._iterate.comp_jacobian_fcn_state_prod(
+                fcn, basis_j, self._fname("w_raw"), self._solver_state
+            )
+            w_j = w_raw.apply_precond_jacobian(
+                self._fname("precond", 0), self._fname("w"), self._solver_state
+            )
+            h_mat[:, :-1, -1, :] = w_j.mod_gram_schmidt(
+                j_val + 1, self._fname, "basis"
+            )
+            h_mat[:, -1, -1, :] = w_j.norm()
+            w_j /= h_mat[:, -1, -1, :]
+            self._solver_state.set_value_saved_state("h_mat", h_mat)
+
+            # least-squares for the Krylov coefficients, per (module, region)
+            beta = self._solver_state.get_value_saved_state("beta")
+            coeff = comp_krylov_basis_coeffs(beta, h_mat)
+            self._iterate.log_vals("KrylovCoeff", coeff)
+
+            # approximate solution and preconditioned residual
+            res = state_mod.lin_comb(
+                type(self._iterate), coeff, self._fname, "basis"
+            )
+            res.dump(self._fname("krylov_res", j_val), caller)
+
+            precond_resid = state_mod.lin_comb(
+                type(self._iterate), coeff, self._fname, "w"
+            )
+            precond_resid += type(self._iterate)(self._fname("precond_fcn", 0))
+            precond_resid_norm = precond_resid.norm()
+            self._iterate.log_vals("precond_resid", precond_resid_norm)
+            self._put_solver_stats_vars(precond_resid_norm=precond_resid_norm)
+
+            self._solver_state.inc_iteration()
+
+            if self.converged(beta, precond_resid_norm).all():
+                logger.info("Krylov convergence criterion satisfied")
+                break
+
+            w_j.dump(self._fname("basis"), caller)
+
+        return res.dump(res_fname, caller)
+
+
+def comp_krylov_basis_coeffs(beta, h_mat):
+    """
+    solve the (j+2) x (j+1) Hessenberg least-squares problem
+    min ||beta e1 - H y|| independently per (tracer module, region)
+
+    h_mat: (module_cnt, j+2, j+1, region_cnt); beta: (module_cnt, region_cnt)
+    returns coeff: (module_cnt, j+1, region_cnt)
+    """
+    module_cnt, rows, cols, region_cnt = h_mat.shape
+    # batch the small dense systems: (module*region, rows, cols)
+    h_batched = np.transpose(h_mat, (0, 3, 1, 2)).reshape(-1, rows, cols)
+    rhs = np.zeros((h_batched.shape[0], rows))
+    rhs[:, 0] = beta.reshape(-1)
+    coeff = np.empty((h_batched.shape[0], cols))
+    for ind in range(h_batched.shape[0]):
+        coeff[ind] = np.linalg.lstsq(h_batched[ind], rhs[ind], rcond=None)[0]
+    return np.transpose(
+        coeff.reshape(module_cnt, region_cnt, cols), (0, 2, 1)
+    )

@@ -152,6 +152,7 @@ class SolverState:
     def _write(self):
         with open(self._state_fname, mode="w") as fptr:
             json.dump(self._saved_state, fptr, indent=2, cls=NumpyEncoder)
+            fptr.write("\n")
 
     def _read(self):
         with open(self._state_fname, mode="r") as fptr:

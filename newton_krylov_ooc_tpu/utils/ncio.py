@@ -82,6 +82,7 @@ class NCVariable:
         return {
             key: _decode(val)
             for key, val in self._var._attributes.items()  # noqa: SLF001
+            if key != "data"
         }
 
     def getncattr(self, name):
@@ -101,12 +102,47 @@ class NCVariable:
         except KeyError as exc:
             raise AttributeError(name) from exc
 
+    @property
+    def _is_record(self):
+        shape = self._var._shape  # noqa: SLF001
+        return bool(shape) and not shape[0]
+
     def __getitem__(self, key):
-        vals = self._var[key]
+        vals = self._var.data[key]
         return np.asarray(vals)
 
     def __setitem__(self, key, vals):
-        self._var[key] = vals
+        # record-variable growth is handled here (scipy's own __setitem__
+        # mishandles assignments into empty/short record arrays)
+        var = self._var
+        if self._is_record:
+            vals_arr = np.asarray(vals)
+            first = key[0] if isinstance(key, tuple) else key
+            data = var.data
+            cur = 0 if data is None else data.shape[0]
+            tail = tuple(var._shape[1:])  # noqa: SLF001
+            if isinstance(first, (int, np.integer)):
+                need = int(first) + 1
+            elif isinstance(first, slice):
+                start = first.start or 0
+                if first.stop is not None:
+                    need = max(cur, first.stop)
+                elif vals_arr.ndim == len(var.dimensions):
+                    need = max(cur, start + vals_arr.shape[0])
+                else:
+                    need = cur
+            else:
+                need = cur
+            if need > cur:
+                dtype = (
+                    data.dtype if data is not None
+                    else vals_arr.dtype.newbyteorder(">")
+                )
+                grown = np.zeros((need,) + tail, dtype)
+                if cur:
+                    grown[:cur] = data
+                var.__dict__["data"] = grown
+        var.data[key] = vals
 
     def __len__(self):
         return self._var.shape[0]
@@ -135,8 +171,14 @@ class NCFile:
         """current length of a dimension (record dim returns current record count)"""
         dimlen = self._fptr.dimensions[dimname]
         if dimlen is None or dimlen == 0:
-            # record dimension; scipy tracks the record count on the file object
-            return int(self._fptr._recs)  # noqa: SLF001
+            # record dimension: report the widest record variable (the facade
+            # grows record arrays directly, bypassing scipy's _recs counter)
+            n_recs = int(self._fptr._recs)  # noqa: SLF001
+            for var in self._fptr.variables.values():
+                shape = var._shape  # noqa: SLF001
+                if shape and not shape[0] and var.data is not None:
+                    n_recs = max(n_recs, var.data.shape[0])
+            return n_recs
         return dimlen
 
     def create_dimension(self, dimname, dimlen):
@@ -184,9 +226,17 @@ class NCFile:
         if isinstance(dimensions, str):
             dimensions = (dimensions,)
         var = self._fptr.createVariable(varname, dtype, tuple(dimensions))
-        # scipy leaves variable data uninitialized; zero-fill fixed-shape vars so
-        # files are deterministic
-        if var.data is not None and var.data.size and not var.isrec:
+        if var.data is None:
+            # record variable, never written: scipy leaves data as None, which
+            # breaks its own flush path -- seed an empty 0-record array.
+            # NOTE: must bypass scipy's attribute magic (netcdf_variable
+            # __setattr__ records every assignment as a netCDF attribute!)
+            # scipy stores variable data big-endian and writes raw bytes
+            var.__dict__["data"] = np.empty((0,) + tuple(
+                self._fptr.dimensions[dim] for dim in var.dimensions[1:]
+            ), dtype=dtype.newbyteorder(">"))
+        elif var.data.size and not var.isrec:
+            # zero-fill fixed-shape vars so files are deterministic
             var.data[...] = np.zeros((), dtype=dtype)
         ncvar = NCVariable(varname, var)
         if attrs:
@@ -242,10 +292,51 @@ class NCFile:
 
     # -- lifecycle ---------------------------------------------------------
 
+    def _pad_record_vars(self):
+        """
+        equalize record counts across record variables before flushing:
+        scipy's netCDF3 writer interleaves per-record data and silently writes
+        a corrupt file when record variables disagree on record count (e.g. a
+        variable defined after records were written).  pad short variables
+        with their fill value (or zero).
+        """
+        if self.mode == "r":
+            return
+        rec_vars = [
+            var
+            for var in self._fptr.variables.values()
+            if var._shape and not var._shape[0]  # noqa: SLF001
+        ]
+        if not rec_vars:
+            return
+        n_recs = max(
+            (0 if var.data is None else var.data.shape[0]) for var in rec_vars
+        )
+        for var in rec_vars:
+            cur = 0 if var.data is None else var.data.shape[0]
+            if cur < n_recs:
+                tail = var.data.shape[1:] if var.data is not None else ()
+                dtype = var.data.dtype if var.data is not None else np.float64
+                fill = var._attributes.get(  # noqa: SLF001
+                    "_FillValue", DEFAULT_FILLVALS.get(datatype_sname(dtype), 0)
+                )
+                # build explicitly (np.concatenate would strip the big-endian
+                # byte order scipy's raw-byte writer relies on)
+                grown = np.empty((n_recs,) + tuple(tail), dtype=dtype)
+                if cur:
+                    grown[:cur] = var.data
+                grown[cur:] = fill
+                # bypass scipy's attribute magic (see create_variable)
+                var.__dict__["data"] = grown
+        # bypass netcdf_file.__setattr__ (it records assignments as global attrs)
+        self._fptr.__dict__["_recs"] = n_recs
+
     def sync(self):
+        self._pad_record_vars()
         self._fptr.sync()
 
     def close(self):
+        self._pad_record_vars()
         self._fptr.close()
 
     def __enter__(self):

@@ -1,0 +1,126 @@
+"""end-to-end Newton-Krylov solves on test_problem iage, including the
+out-of-core exit-and-reinvoke contract (the framework's defining behavior)"""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from newton_krylov_ooc_tpu.config.model_config import ModelConfig
+from newton_krylov_ooc_tpu.config.share import common_args, read_cfg_files
+from newton_krylov_ooc_tpu.core.newton import NewtonSolver
+from newton_krylov_ooc_tpu.core.spatial_axis import (
+    spatial_axis_defn_dict,
+    spatial_axis_from_defn_dict,
+)
+from newton_krylov_ooc_tpu.models.test_problem.model_state import ModelState
+from newton_krylov_ooc_tpu.utils.ncio import NCFile
+
+
+def _setup(workdir, reinvoke=False):
+    args_list = ["--workdir", workdir, "--tracer_module_names", "iage"]
+    if not reinvoke:
+        args_list.append("--persist")
+    parser, args_remaining = common_args("e2e", "test_problem", args_list)
+    args = parser.parse_args(args_remaining)
+    config = read_cfg_files(args)
+    modelinfo = config["modelinfo"]
+
+    depth = spatial_axis_from_defn_dict(defn_dict=spatial_axis_defn_dict(nlevs=20))
+    depth.dump(modelinfo["grid_vars_fname"], caller="tests.e2e")
+    with NCFile(modelinfo["grid_vars_fname"], mode="a") as fptr:
+        var = fptr.create_variable(
+            "region_mask",
+            "i4",
+            ("depth",),
+            attrs={
+                "long_name": "Region Mask",
+                "cell_measures": "thickness: depth_delta",
+            },
+        )
+        var[:] = np.ones(20, dtype=np.int32)
+
+    ModelState.model_config_obj = ModelConfig(modelinfo)
+    ModelState.depth = None
+
+    # initial iterate where the solver expects it
+    init = ModelState("gen_init_iterate")
+    import os
+
+    os.makedirs(os.path.dirname(config["solverinfo"]["init_iterate_fname"]), exist_ok=True)
+    init.dump(config["solverinfo"]["init_iterate_fname"], caller="tests.e2e")
+    return config
+
+
+def _drive_to_convergence(config, resume=False):
+    solverinfo = config["solverinfo"]
+    solver = NewtonSolver(
+        ModelState, solverinfo=solverinfo, resume=resume, rewind=False
+    )
+    while not solver.converged().all():
+        solver.step()
+    return solver
+
+
+@pytest.mark.slow
+def test_full_solve_persist(tmp_workdir):
+    """persistent (single-process) solve converges at the reference's iteration"""
+    config = _setup(tmp_workdir)
+    solver = _drive_to_convergence(config)
+    # the committed reference trajectory converges at Newton iteration 3
+    assert solver.get_iteration() == 3
+    rel = solver._fcn.norm() / solver._iterate.norm()
+    assert (rel < 1.0e-8).all()
+
+
+@pytest.mark.slow
+def test_full_solve_reinvoke(tmp_workdir, monkeypatch):
+    """
+    out-of-core mode: every comp_fcn ends the 'process' (SystemExit); the
+    solve is re-entered with --resume and fast-forwards through the step log.
+    This exercises crash-recovery at every function-evaluation boundary.
+    """
+    config = _setup(tmp_workdir, reinvoke=True)
+    # swallow the self-reinvocation (the test loop plays the invoker's role)
+    monkeypatch.setattr(subprocess, "Popen", lambda *a, **k: None)
+
+    solverinfo = config["solverinfo"]
+    restarts = 0
+    resume = False
+    while True:
+        try:
+            solver = NewtonSolver(
+                ModelState, solverinfo=solverinfo, resume=resume, rewind=False
+            )
+            while not solver.converged().all():
+                solver.step()
+            break
+        except SystemExit:
+            restarts += 1
+            resume = True
+            if restarts > 100:
+                raise AssertionError("solve did not converge within 100 restarts")
+    assert solver.get_iteration() == 3
+    assert restarts >= solver.get_iteration()  # at least one restart per fcn eval
+
+    # a fresh resume on the converged workdir fast-forwards without stepping
+    solver2 = NewtonSolver(
+        ModelState, solverinfo=solverinfo, resume=True, rewind=False
+    )
+    assert solver2.converged().all()
+    assert solver2.get_iteration() == 3
+
+
+@pytest.mark.slow
+def test_rewind(tmp_workdir, monkeypatch):
+    """--rewind pops the last logged step so a failed action is retried"""
+    config = _setup(tmp_workdir)
+    solver = _drive_to_convergence(config)
+    assert solver.converged().all()
+    # rewinding the last step and resuming re-does it and converges again
+    solver3 = NewtonSolver(
+        ModelState, solverinfo=config["solverinfo"], resume=True, rewind=True
+    )
+    while not solver3.converged().all():
+        solver3.step()
+    assert solver3.get_iteration() == 3

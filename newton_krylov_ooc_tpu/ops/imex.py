@@ -1,0 +1,109 @@
+"""fixed-step IMEX (semi-implicit) year integrator for transport models.
+
+The accelerator fast path: vertical mixing (the stiff direction: boundary-layer
+diffusivities up to ~10 m^2/s over meter-scale layers) and stiff local linear
+terms (surface restoring) are treated implicitly with Crank-Nicolson
+tridiagonal solves along depth -- batched Thomas scans that are embarrassingly
+parallel across (module, tracer, ypos) and therefore shard cleanly over the
+device mesh (vertical solves never cross ypos shards).  Advection, lateral
+mixing, and remaining source terms advance explicitly (Heun); Strang splitting
+keeps the scheme second order.  The whole year is one lax.scan -- one fused
+XLA program, no per-step dispatch.
+
+float32 accuracy: every substep is computed in *increment form* (the CN solve
+returns dv with (I - dt/2 M) dv = dt M v rather than the updated state), and
+the state accumulates through Kahan compensation carried in the scan.  This
+keeps tens of thousands of tiny updates from drowning in the state's own
+rounding grid: year-end float32 error drops from ~1e-3 to the discretization
+level (~1e-5 at hourly steps).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .tridiag import thomas_solve
+
+
+def cn_vertical_increment(kv, diag, dz_r, v, dt):
+    """
+    Crank-Nicolson increment for dv/dt = (Lz + D) v over dt:
+    solve (I - dt/2 (Lz + D)) dv = dt (Lz + D) v; the update is v + dv
+
+    kv: (nz-1, ny) diffusivity / delta_mid at interior edges
+    diag: (nz, ny) local linear rates (e.g. surface restoring)
+    v: (nz, ny)
+    """
+    nz, ny = v.shape
+    dtype = v.dtype
+    half = 0.5 * dt
+
+    up = kv * dz_r[:-1, None]   # coupling to the layer below: a[k, k+1]
+    lo = kv * dz_r[1:, None]    # coupling to the layer above: a[k, k-1]
+    du = jnp.concatenate([up, jnp.zeros((1, ny), dtype)], axis=0)
+    dl = jnp.concatenate([jnp.zeros((1, ny), dtype), lo], axis=0)
+    dmain = -(du + dl) + diag
+
+    # rhs = dt * (Lz + D) v via the flux-form stencil
+    flux = kv * (v[1:, :] - v[:-1, :])
+    zero = jnp.zeros((1, ny), dtype)
+    m_v = dz_r[:, None] * (
+        jnp.concatenate([flux, zero], axis=0) - jnp.concatenate([zero, flux], axis=0)
+    ) + diag * v
+    rhs = dt * m_v
+
+    return jax.vmap(thomas_solve, in_axes=(1, 1, 1, 1), out_axes=1)(
+        -half * dl, 1.0 - half * dmain, -half * du, rhs
+    )
+
+
+def imex_year(explicit_tend, vert_coeff, vert_diag, dz_r, y0, t_span, n_steps):
+    """
+    integrate a (..., nz, ny) state one period with Strang-split IMEX and
+    Kahan-compensated accumulation
+
+    explicit_tend(t, y) -> dy/dt from advection/lateral mixing/non-stiff sources
+    vert_coeff(t) -> (nz-1, ny) vertical diffusivity / delta_mid
+    vert_diag: stiff local linear rates folded into the implicit solve
+        (zeros if none); broadcastable to y0's shape
+    y0: (..., nz, ny); leading axes (modules, tracers) are batched
+    """
+    dtype = y0.dtype
+    t0 = jnp.asarray(t_span[0], dtype)
+    dt = jnp.asarray((t_span[1] - t_span[0]) / n_steps, dtype)
+    nz, ny = y0.shape[-2:]
+    diag_full = jnp.broadcast_to(
+        jnp.asarray(vert_diag, dtype), y0.shape
+    ).reshape((-1, nz, ny))
+
+    def cn_incr_all(kv, y, dt_):
+        flat = y.reshape((-1, nz, ny))
+        out = jax.vmap(
+            lambda v, d: cn_vertical_increment(kv, d, dz_r, v, dt_)
+        )(flat, diag_full)
+        return out.reshape(y.shape)
+
+    def kahan_add(y, comp, delta):
+        adj = delta + comp
+        y_new = y + adj
+        comp_new = adj - (y_new - y)
+        return y_new, comp_new
+
+    def step(carry, ind):
+        y, comp = carry
+        t = t0 + ind.astype(dtype) * dt
+        y, comp = kahan_add(y, comp, cn_incr_all(vert_coeff(t), y, 0.5 * dt))
+        # Heun (explicit trapezoid) for the non-stiff terms
+        f1 = explicit_tend(t, y)
+        f2 = explicit_tend(t + dt, y + dt * f1)
+        y, comp = kahan_add(y, comp, 0.5 * dt * (f1 + f2))
+        y, comp = kahan_add(
+            y, comp, cn_incr_all(vert_coeff(t + dt), y, 0.5 * dt)
+        )
+        return (y, comp), None
+
+    (y_end, _comp), _ = jax.lax.scan(
+        step, (y0, jnp.zeros_like(y0)), jnp.arange(n_steps)
+    )
+    return y_end

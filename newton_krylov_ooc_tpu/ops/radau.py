@@ -150,6 +150,12 @@ def radau5_integrate(
         def jac(t, y):
             return jax.jacfwd(lambda yy: fun(t, yy))(y)
 
+    # static flag: is a finite max_step in effect?
+    try:
+        has_max_step = bool(np.isfinite(float(max_step)))
+    except TypeError:
+        has_max_step = True  # traced value: assume finite
+
     cplx_dtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     eye = jnp.eye(n, dtype=dtype)
     eye_c = jnp.eye(n, dtype=cplx_dtype)
@@ -388,6 +394,12 @@ def radau5_integrate(
                         h_abs_cur, s.h_abs_old, error_norm, s.error_norm_old
                     )
                     factor = jnp.minimum(MAX_FACTOR, safety * pf)
+                    # cap growth at max_step so a step pinned at the ceiling
+                    # reports factor 1 and keeps its LU factors (otherwise the
+                    # ceiling forces a refactorization every step); skipped for
+                    # unbounded max_step (inf/h would poison jvp tangents)
+                    if has_max_step:
+                        factor = jnp.minimum(factor, max_step / h_abs_cur)
                     keep_lu = ~recompute_jac & (factor < 1.2)
                     factor = jnp.where(keep_lu, 1.0, factor)
 

@@ -1,0 +1,132 @@
+"""tests for the IMEX fast-path kernel and the in-core Newton-Krylov solver"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+from newton_krylov_ooc_tpu.core.spatial_axis import (
+    spatial_axis_defn_dict,
+    spatial_axis_from_defn_dict,
+)
+from newton_krylov_ooc_tpu.models.py_driver_2d import physics
+from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
+    SURF_SLOW_FACTOR,
+    iage,
+    surf_restore_rate,
+)
+from newton_krylov_ooc_tpu.models.py_driver_2d.incore import IageKernel
+from newton_krylov_ooc_tpu.ops.imex import imex_year
+from newton_krylov_ooc_tpu.ops.radau import radau5_integrate
+
+MODELINFO = {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"}
+
+
+def _axes(nz, ny):
+    depth = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            nlevs=nz, edge_end=4000.0, delta_ratio_max=19.0
+        )
+    )
+    ypos = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            axisname="ypos",
+            nlevs=ny,
+            edge_start=0.0,
+            edge_end=50.0e5,
+            delta_ratio_max=1.0,
+            units="m",
+        )
+    )
+    return depth, ypos
+
+
+def test_analytic_jacobians_match_jacfwd():
+    """analytic module Jacobians equal jacfwd of the tendencies"""
+    depth, ypos = _axes(8, 6)
+    grid = physics.make_grid(depth, ypos, MODELINFO)
+    t = 0.43 * physics.SEC_PER_YEAR
+    params = jnp.zeros(0)
+
+    sa = (surf_restore_rate(depth),)
+    fun = iage.build_tend(grid, sa, params)
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.normal(size=2 * 48))
+    jac_a = np.asarray(iage.build_jac(grid, sa, params)(t, y))
+    jac_n = np.asarray(jax.jacfwd(lambda yy: fun(t, yy))(y))
+    assert np.abs(jac_a - jac_n).max() < 1e-15
+
+
+@pytest.mark.slow
+def test_imex_converges_to_radau():
+    """the IMEX fast path converges O(dt^2) to the Radau reference"""
+    depth, ypos = _axes(12, 8)
+    grid = physics.make_grid(depth, ypos, MODELINFO)
+    year = physics.SEC_PER_YEAR
+    rate = surf_restore_rate(depth)
+    nz, ny = 12, 8
+
+    rng = np.random.default_rng(1)
+    y0 = jnp.asarray(np.maximum(rng.normal(1.0, 0.3, (2, nz, ny)), 0.0))
+
+    sa = (rate,)
+    fun = iage.build_tend(grid, sa, jnp.zeros(0))
+    jac = iage.build_jac(grid, sa, jnp.zeros(0))
+    ys, info = jax.jit(
+        lambda y: radau5_integrate(
+            fun, (0.0, year), y, jnp.array([0.0, year]), jac=jac,
+            rtol=1e-9, atol=1e-9, max_step=0.01 * year,
+        )
+    )(y0.reshape(-1))
+    assert bool(info["success"])
+    y_rad = np.asarray(ys[-1]).reshape(2, nz, ny)
+
+    diag = np.zeros((2, nz, ny))
+    diag[0, 0, :] = -rate
+    diag[1, 0, :] = -SURF_SLOW_FACTOR * rate
+    diag = jnp.asarray(diag)
+
+    def explicit_tend(t, y):
+        def one(v):
+            return physics.advection_tend(grid, v) + physics.horiz_mix_tend(grid, v)
+
+        return jax.vmap(one)(y) + 1.0 / year
+
+    errs = []
+    for n_steps in [2190, 4380]:
+        y_imex = np.asarray(
+            jax.jit(
+                lambda y, n=n_steps: imex_year(
+                    explicit_tend,
+                    lambda t: physics.vert_mixing_coeff(grid, t),
+                    diag,
+                    grid.dz_r,
+                    y,
+                    (0.0, year),
+                    n,
+                )
+            )(y0)
+        )
+        errs.append(np.abs(y_imex - y_rad).max() / np.abs(y_rad).max())
+    assert errs[0] < 1e-4
+    # second order: halving dt cuts the error ~4x (allow slack)
+    assert errs[1] < 0.4 * errs[0]
+
+
+@pytest.mark.slow
+def test_incore_newton_krylov_converges():
+    """device-resident Newton-Krylov reaches the cyclo-stationary state"""
+    depth, ypos = _axes(16, 12)
+    kernel = IageKernel(
+        depth, ypos, MODELINFO, dtype=jnp.float64, n_steps=2920
+    )
+    solver = NewtonKrylovInCore(
+        kernel, newton_rel_tol=1e-5, krylov_rel_tol=1e-2, newton_max_iter=6
+    )
+    x, fcn, info = solver.solve(kernel.init_iterate())
+    assert info["iterations"] <= 3  # exact JVPs: at least as fast as the reference
+    rel = info["fcn_norm"] / info["x_norm"]
+    assert (rel < 1e-5).all()
+    # F(x) at the solution really is small in the max norm too
+    assert float(jnp.abs(fcn).max()) < 1e-3 * float(jnp.abs(x).max())

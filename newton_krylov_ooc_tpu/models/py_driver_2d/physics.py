@@ -51,8 +51,9 @@ def gen_vel_field(depth, ypos, max_abs_vvel):
 
     stream = np.outer(depth_fcn, ypos_fcn)
 
+    # normalize so max |vvel| equals max_abs_vvel (zero disables advection)
     vvel = (stream[1:, :] - stream[:-1, :]) * depth.delta_r[:, np.newaxis]
-    if max_abs_vvel > 0.0 and np.abs(vvel).max() > 0.0:
+    if np.abs(vvel).max() > 0.0:
         stream = stream * max_abs_vvel / np.abs(vvel).max()
 
     vvel = (stream[1:, :] - stream[:-1, :]) * depth.delta_r[:, np.newaxis]

@@ -1,0 +1,106 @@
+"""native multi-file time averaging (replaces the reference's NCO `ncra`
+subprocess calls, nk_ooc/utils.py:417-485).
+
+Averages record (time-dimensioned) variables across a sequence of netCDF
+files, optionally with per-file weights (noleap month lengths); non-record
+variables are copied from the first file.  Output carries provenance history.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from datetime import datetime
+
+import numpy as np
+
+from .ncio import NCFile
+
+
+def files_to_mean_file(dir_in, fnames, weights, fname_out, caller):
+    """weighted mean of record variables across files; mean written to
+    dir_in/fname_out"""
+    logger = logging.getLogger(__name__)
+    logger.debug("averaging %d files to %s", len(fnames), fname_out)
+
+    weights = np.asarray(weights, dtype=np.float64)
+    weights = weights / weights.sum()
+
+    paths = [os.path.join(dir_in, fname) for fname in fnames]
+    out_path = os.path.join(dir_in, fname_out)
+
+    with NCFile(paths[0]) as f0:
+        dims0 = {name: f0.dim_len(name) for name in f0.dimensions}
+        rec_dim = next(
+            (name for name, length in f0.dimensions.items() if not length), None
+        )
+        vars0 = f0.variables
+        var_meta = {
+            name: (var.datatype, var.dimensions, var.attrs)
+            for name, var in vars0.items()
+        }
+        base_vals = {name: var[:] for name, var in vars0.items()}
+        history0 = f0.history
+
+    accum = {}
+    for name, (datatype, dimensions, _attrs) in var_meta.items():
+        if rec_dim is not None and dimensions and dimensions[0] == rec_dim and (
+            np.issubdtype(np.dtype(datatype), np.floating)
+        ):
+            accum[name] = weights[0] * np.asarray(base_vals[name], np.float64)
+
+    for weight, path in zip(weights[1:], paths[1:]):
+        with NCFile(path) as fptr:
+            for name in accum:
+                accum[name] += weight * np.asarray(fptr.var(name)[:], np.float64)
+
+    with NCFile(out_path, mode="w") as fout:
+        datestamp = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        msg = (
+            f"{datestamp}: mean of {len(fnames)} files computed by "
+            f"newton_krylov_ooc_tpu.utils.ncmean called from {caller}"
+        )
+        fout.history = msg if history0 is None else "\n".join([msg, history0])
+        for name, length in dims0.items():
+            if rec_dim is not None and name == rec_dim:
+                fout.create_dimension(name, None)
+            else:
+                fout.create_dimension(name, length)
+        for name, (datatype, dimensions, attrs) in var_meta.items():
+            var = fout.create_variable(name, datatype, dimensions, attrs)
+            if name in accum:
+                vals = accum[name]
+                if rec_dim is not None and dimensions[0] == rec_dim:
+                    # reduce the record dim to a single mean record
+                    if vals.shape[0] > 1:
+                        vals = vals.mean(axis=0, keepdims=True)
+                    var[0:1, ...] = vals
+                else:
+                    var[:] = vals
+            else:
+                vals = base_vals[name]
+                if rec_dim is not None and dimensions and dimensions[0] == rec_dim:
+                    var[0 : vals.shape[0], ...] = vals
+                else:
+                    var[:] = vals
+    return out_path
+
+
+def ann_files_to_mean_file(dir_in, fname_fmt, year0, cnt, fname_out, caller):
+    """average cnt annual-mean files (fname_fmt has a {year} field)"""
+    fnames = [fname_fmt.format(year=year0 + inc) for inc in range(cnt)]
+    return files_to_mean_file(dir_in, fnames, np.ones(cnt), fname_out, caller)
+
+
+def mon_files_to_mean_file(dir_in, fname_fmt, year0, month0, cnt, fname_out, caller):
+    """average cnt monthly-mean files with noleap month-length weights
+    (fname_fmt has {year} and {month} fields; month0 need not be 1)"""
+    days_in_month = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+    weights = [days_in_month[(month0 - 1 + inc) % 12] for inc in range(cnt)]
+    yr_vals = [year0 + (month0 - 1 + inc) // 12 for inc in range(cnt)]
+    month_vals = [(month0 - 1 + inc) % 12 + 1 for inc in range(cnt)]
+    fnames = [
+        fname_fmt.format(year=yr_vals[inc], month=month_vals[inc])
+        for inc in range(cnt)
+    ]
+    return files_to_mean_file(dir_in, fnames, weights, fname_out, caller)

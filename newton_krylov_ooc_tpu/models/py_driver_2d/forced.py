@@ -265,6 +265,43 @@ class forced(TracerModuleState):  # noqa: N801
 
         return jac
 
+    @staticmethod
+    def build_jac_bands(grid, static_args, params):
+        """banded stage Jacobian: (1 tracer block, ncell, 2*ny+1)"""
+        (
+            surf_restore_opt,
+            surf_restore_rate,
+            _surf_restore_const,
+            sms_opt,
+            _sms_const,
+            sms_decay_rate,
+            sink_thres,
+            tables,
+        ) = static_args
+        nz = grid.depth_mid.shape[0]
+        ny = grid.ypos_mid.shape[0]
+        surf = np.arange(ny)
+
+        def jac_bands(time, vals_flat):
+            bt = physics.transport_bands(grid, time)
+            if surf_restore_opt != "none":
+                bt = bt.at[surf, ny].add(-surf_restore_rate)
+            if sms_opt == "decay":
+                bt = bt.at[:, ny].add(-sms_decay_rate)
+            if sms_opt == "file" and sink_thres is not None:
+                times, table = tables["sms"]
+                sms = interp_time_jnp(time, times, table).reshape(-1)
+                tmp = vals_flat / sink_thres
+                d_sms = jnp.where(
+                    (sms < 0.0) & (tmp > 0.0) & (tmp < 1.0), sms / sink_thres, 0.0
+                )
+                bt = bt.at[:, ny].add(d_sms)
+            return bt[None, :, :]
+
+        return jac_bands
+
+    jac_bandwidth = "ny"
+
     def apply_precond_jacobian(self, time_range, res_tms, jac_builder, fptr_precond):
         """implicit-Euler-product preconditioner linearized at tracer
         snapshots read from the precond file"""

@@ -61,6 +61,23 @@ class iage(TracerModuleState):  # noqa: N801
 
         return jac
 
+    @staticmethod
+    def build_jac_bands(grid, static_args, params):
+        """banded stage Jacobian: (2 tracer blocks, ncell, 2*ny+1)"""
+        (restore_rate,) = static_args
+        ny = grid.ypos_mid.shape[0]
+        surf = np.arange(ny)
+
+        def jac_bands(time, vals_flat):
+            bt = physics.transport_bands(grid, time)
+            b0 = bt.at[surf, ny].add(-restore_rate)
+            b1 = bt.at[surf, ny].add(-SURF_SLOW_FACTOR * restore_rate)
+            return jnp.stack([b0, b1])
+
+        return jac_bands
+
+    jac_bandwidth = "ny"
+
     def tend_static_args(self):
         return (surf_restore_rate(self.depth),)
 

@@ -90,24 +90,38 @@ class ModelState(ModelStateBase):
         if key not in ModelState._integrate_cache:
             t0, t1 = self.time_range
             t_eval = jnp.linspace(t0, t1, n_time, dtype=dtype)
-            tol = 1.0e-6
+            # the reference integrates at atol=rtol=1e-6; running somewhat
+            # tighter keeps the combined our-error + reference-error within
+            # the committed baselines' 1e-6/1e-3 comparison tolerances
+            tol = 2.0e-7
             max_step = (t1 - t0) * 0.01
             # precompute the time-invariant lateral Jacobian before tracing
             physics.lateral_jac_const(grid)
 
+            use_bands = hasattr(type(tracer_module), "build_jac_bands")
+            if use_bands:
+                physics.lateral_bands_const(grid)
+
             def integrate(y0, params):
                 cls = type(tracer_module)
                 fun = cls.build_tend(grid, static_args, params)
-                jac = cls.build_jac(grid, static_args, params)
+                kwargs = {}
+                if use_bands:
+                    kwargs["jac_bands"] = cls.build_jac_bands(
+                        grid, static_args, params
+                    )
+                    kwargs["bandwidth"] = grid.ypos_mid.shape[0]
+                else:
+                    kwargs["jac"] = cls.build_jac(grid, static_args, params)
                 ys, info = radau5_integrate(
                     fun,
                     (t0, t1),
                     y0,
                     t_eval,
-                    jac=jac,
                     rtol=tol,
                     atol=tol,
                     max_step=max_step,
+                    **kwargs,
                 )
                 return ys, info["success"]
 

@@ -316,6 +316,42 @@ def transport_jac(grid: Grid2D, time):
     return lat + vertical_jac(grid, vert_mixing_coeff(grid, time))
 
 
+_LATERAL_BANDS_CACHE = {}
+
+
+def lateral_bands_const(grid: Grid2D):
+    """row-band storage (ncell, 2*ny+1) of the lateral Jacobian (bw = ny)"""
+    key = id(grid)
+    if key not in _LATERAL_BANDS_CACHE or _LATERAL_BANDS_CACHE[key][0] is not grid:
+        from ...ops.banded import dense_to_bands
+
+        ny = grid.ypos_mid.shape[0]
+        bands = dense_to_bands(lateral_jac_const(grid), ny)
+        _LATERAL_BANDS_CACHE[key] = (grid, bands)
+    return _LATERAL_BANDS_CACHE[key][1]
+
+
+def transport_bands(grid: Grid2D, time):
+    """row-band (ncell, 2*ny+1) Jacobian of the full transport tendency
+
+    stencil offsets: +-1 (ypos neighbors, lateral), +-ny (depth neighbors,
+    vertical mixing), 0 (diagonal)
+    """
+    nz = grid.depth_mid.shape[0]
+    ny = grid.ypos_mid.shape[0]
+    dtype = grid.depth_mid.dtype
+    bands = jnp.asarray(lateral_bands_const(grid), dtype)
+
+    kv = vert_mixing_coeff(grid, time)  # (nz-1, ny)
+    up = (grid.dz_r[:-1, None] * kv).reshape(-1)  # rows z = 0..nz-2
+    lo = (grid.dz_r[1:, None] * kv).reshape(-1)   # rows z = 1..nz-1
+    bands = bands.at[:-ny, 2 * ny].add(up)
+    bands = bands.at[ny:, 0].add(lo)
+    bands = bands.at[:-ny, ny].add(-up)
+    bands = bands.at[ny:, ny].add(-lo)
+    return bands
+
+
 def block_diag_tracers(blocks):
     """dense block-diagonal assembly of per-tracer (n, n) Jacobians"""
     t_cnt = len(blocks)

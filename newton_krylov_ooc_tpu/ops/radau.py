@@ -127,12 +127,18 @@ def radau5_integrate(
     atol=1e-6,
     max_step=np.inf,
     max_attempts=1_000_000,
+    jac_bands=None,
+    bandwidth=None,
 ):
     """
     integrate dy/dt = fun(t, y) over t_span, reporting y at t_eval points
 
     fun: (t, y) -> (n,) tendency (traced; must be jittable)
     jac: (t, y) -> (n, n) dense Jacobian; defaults to jax.jacfwd of fun
+    jac_bands: alternative structured Jacobian, (t, y) -> (n_blocks, m, 2bw+1)
+        row-band blocks (block-diagonal over e.g. tracers, banded within);
+        stage systems then use banded LU -- O(m bw^2) instead of O(m^3), and
+        float64-capable on TPU.  bandwidth must be given with it.
     t_eval: increasing times, t_eval[0] == t_span[0], last == t_span[1]
     returns (ys, info): ys has shape (len(t_eval), n); info carries
     success/nfev/nlu as traced values
@@ -146,7 +152,12 @@ def radau5_integrate(
     t0 = jnp.asarray(t_span[0], dtype=dtype)
     t_end = jnp.asarray(t_span[1], dtype=dtype)
 
-    if jac is None:
+    banded_mode = jac_bands is not None
+    if banded_mode:
+        if bandwidth is None:
+            raise ValueError("bandwidth is required with jac_bands")
+        jac = jac_bands
+    elif jac is None:
         def jac(t, y):
             return jax.jacfwd(lambda yy: fun(t, yy))(y)
 
@@ -156,19 +167,66 @@ def radau5_integrate(
     except TypeError:
         has_max_step = True  # traced value: assume finite
 
-    cplx_dtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-    eye = jnp.eye(n, dtype=dtype)
-    eye_c = jnp.eye(n, dtype=cplx_dtype)
-    mu_c = jnp.asarray(MU_COMPLEX, dtype=cplx_dtype)
+    mu_a = float(MU_COMPLEX.real)
+    mu_b = float(MU_COMPLEX.imag)
 
-    def factor_lu(h, jac_mat):
-        lu_r = jax.scipy.linalg.lu_factor(MU_REAL / h * eye - jac_mat)
-        lu_c = jax.scipy.linalg.lu_factor(
-            mu_c / h.astype(cplx_dtype) * eye_c - jac_mat.astype(cplx_dtype)
+    if banded_mode:
+        # all-real path (complex128 is unsupported on TPU): the complex stage
+        # system solves as an interleaved real banded system
+        from .banded import (
+            banded_lu_factor_blocks,
+            banded_lu_solve_blocks,
+            bands_add_diag,
+            complex_banded_solve,
+            complex_shift_bands,
         )
-        return lu_r, lu_c
 
-    solve = jax.scipy.linalg.lu_solve
+        complex_shift_blocks = jax.vmap(complex_shift_bands, in_axes=(0, None, None))
+        complex_solve_blocks = jax.vmap(complex_banded_solve)
+
+        def factor_lu(h, jac_mat):
+            # jac_mat: (n_blocks, m, 2bw+1) row-band blocks of J
+            lu_r = banded_lu_factor_blocks(
+                bands_add_diag(-jac_mat, MU_REAL / h)
+            )
+            lu_c = banded_lu_factor_blocks(
+                complex_shift_blocks(-jac_mat, mu_a / h, mu_b / h)
+            )
+            return lu_r, lu_c
+
+        def solve_real(lu, rhs):
+            n_blocks = lu.shape[0]
+            sol = banded_lu_solve_blocks(lu, rhs.reshape(n_blocks, -1))
+            return sol.reshape(-1)
+
+        def solve_cplx(lu, rhs_re, rhs_im):
+            n_blocks = lu.shape[0]
+            x_re, x_im = complex_solve_blocks(
+                lu, rhs_re.reshape(n_blocks, -1), rhs_im.reshape(n_blocks, -1)
+            )
+            return x_re.reshape(-1), x_im.reshape(-1)
+
+    else:
+        cplx_dtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        mu_c = jnp.asarray(MU_COMPLEX, dtype=cplx_dtype)
+        eye = jnp.eye(n, dtype=dtype)
+        eye_c = jnp.eye(n, dtype=cplx_dtype)
+
+        def factor_lu(h, jac_mat):
+            lu_r = jax.scipy.linalg.lu_factor(MU_REAL / h * eye - jac_mat)
+            lu_c = jax.scipy.linalg.lu_factor(
+                mu_c / h.astype(cplx_dtype) * eye_c - jac_mat.astype(cplx_dtype)
+            )
+            return lu_r, lu_c
+
+        def solve_real(lu, rhs):
+            return jax.scipy.linalg.lu_solve(lu, rhs)
+
+        def solve_cplx(lu, rhs_re, rhs_im):
+            sol = jax.scipy.linalg.lu_solve(
+                lu, (rhs_re + 1j * rhs_im).astype(cplx_dtype)
+            )
+            return sol.real.astype(dtype), sol.imag.astype(dtype)
 
     c_arr = jnp.asarray(_C, dtype=dtype)
     e_arr = jnp.asarray(_E, dtype=dtype)
@@ -233,14 +291,12 @@ def radau5_integrate(
 
             tif = ti_mat @ f_stages  # (3, n)
             rhs_real = tif[0] - MU_REAL / h * w[0]
-            rhs_cplx = (tif[1] + 1j * tif[2]).astype(cplx_dtype) - (
-                mu_c / h.astype(cplx_dtype)
-            ) * (w[1] + 1j * w[2]).astype(cplx_dtype)
-            dw_real = solve(st.lu_real, rhs_real)
-            dw_cplx = solve(st.lu_cplx, rhs_cplx)
-            dw = jnp.stack(
-                [dw_real, dw_cplx.real.astype(dtype), dw_cplx.imag.astype(dtype)]
-            )
+            # complex rhs (tif1 + i tif2) - (mu/h)(w1 + i w2), as real parts
+            rhs_re = tif[1] - (mu_a * w[1] - mu_b * w[2]) / h
+            rhs_im = tif[2] - (mu_b * w[1] + mu_a * w[2]) / h
+            dw_real = solve_real(st.lu_real, rhs_real)
+            dw_re, dw_im = solve_cplx(st.lu_cplx, rhs_re, rhs_im)
+            dw = jnp.stack([dw_real, dw_re, dw_im])
 
             scale = atol + jnp.abs(st.y) * rtol
             dw_norm = _rms_norm(dw / scale)
@@ -359,7 +415,7 @@ def radau5_integrate(
             def converged_branch(st):
                 y_new = st.y + z[-1]
                 ze = (z.T @ e_arr) / h
-                error = solve(st.lu_real, st.f + ze)
+                error = solve_real(st.lu_real, st.f + ze)
                 scale = atol + jnp.maximum(jnp.abs(st.y), jnp.abs(y_new)) * rtol
                 error_norm = _rms_norm(error / scale)
                 safety = (
@@ -368,7 +424,7 @@ def radau5_integrate(
 
                 def stabilized(en):
                     err, _ = en
-                    err2 = solve(st.lu_real, fun(st.t, st.y + err) + ze)
+                    err2 = solve_real(st.lu_real, fun(st.t, st.y + err) + ze)
                     return (err2, _rms_norm(err2 / scale))
 
                 error, error_norm = jax.lax.cond(

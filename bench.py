@@ -171,6 +171,12 @@ def main():
     y0_dev = jnp.asarray(y0, jnp.float32)
     out = kernel._year_fn(y0_dev)
     out.block_until_ready()  # compile
+
+    profile_dir = os.environ.get("NK_TPU_PROFILE_DIR")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            kernel._year_fn(y0_dev).block_until_ready()
+
     times = []
     for _ in range(REPS):
         start = time.time()

@@ -67,14 +67,24 @@ class NewtonKrylovInCore:
         self.armijo_max_ind = armijo_max_ind
         self.stats = []
 
-    def solve(self, x0):
-        """run Newton to convergence; returns (x, fcn, info)"""
+    def solve(self, x0, checkpoint_dir=None):
+        """run Newton to convergence; returns (x, fcn, info)
+
+        checkpoint_dir: snapshot the solver state (iterate + iteration) after
+        every Newton step and resume from the latest snapshot on restart --
+        the preemptible-TPU-VM analog of the file-backed solver's step log
+        """
         logger = logging.getLogger(__name__)
         kernel = self.kernel
 
         x = x0
-        fcn = kernel.comp_fcn(x)
         iteration = 0
+        if checkpoint_dir is not None:
+            loaded = self._load_checkpoint(checkpoint_dir)
+            if loaded is not None:
+                x, iteration = loaded
+                logger.info("resumed from checkpoint at iteration %d", iteration)
+        fcn = kernel.comp_fcn(x)
         while True:
             fcn_norm = np.asarray(kernel.norm(fcn))
             x_norm = np.asarray(kernel.norm(x))
@@ -108,6 +118,8 @@ class NewtonKrylovInCore:
                 x = kernel.add(x, fcn)
                 fcn = kernel.comp_fcn(x)
             iteration += 1
+            if checkpoint_dir is not None:
+                self._save_checkpoint(checkpoint_dir, x, iteration)
 
         info = {
             "iterations": iteration,
@@ -116,6 +128,27 @@ class NewtonKrylovInCore:
             "stats": self.stats,
         }
         return x, fcn, info
+
+    @staticmethod
+    def _save_checkpoint(checkpoint_dir, x, iteration):
+        """atomic snapshot of the solver state"""
+        import os
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        path = os.path.join(checkpoint_dir, "incore_state.npz")
+        tmp = path + ".tmp.npz"  # .npz suffix keeps np.savez from renaming
+        np.savez(tmp, x=np.asarray(x), iteration=iteration)
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _load_checkpoint(checkpoint_dir):
+        import os
+
+        path = os.path.join(checkpoint_dir, "incore_state.npz")
+        if not os.path.exists(path):
+            return None
+        with np.load(path) as data:
+            return jnp.asarray(data["x"]), int(data["iteration"])
 
     def _armijo(self, x, fcn, increment, converged):
         """Armijo backtracking per (module, region)"""

@@ -108,8 +108,11 @@ class NCVariable:
         return bool(shape) and not shape[0]
 
     def __getitem__(self, key):
-        vals = self._var.data[key]
-        return np.asarray(vals)
+        vals = np.asarray(self._var.data[key])
+        # scipy stores data big-endian; return native order (JAX rejects '>f8')
+        if vals.dtype.byteorder == ">":
+            vals = vals.astype(vals.dtype.newbyteorder("="))
+        return vals
 
     def __setitem__(self, key, vals):
         # record-variable growth is handled here (scipy's own __setitem__

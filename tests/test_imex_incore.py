@@ -130,3 +130,22 @@ def test_incore_newton_krylov_converges():
     assert (rel < 1e-5).all()
     # F(x) at the solution really is small in the max norm too
     assert float(jnp.abs(fcn).max()) < 1e-3 * float(jnp.abs(x).max())
+
+
+@pytest.mark.slow
+def test_incore_checkpoint_resume(tmp_path):
+    """in-core checkpointing: a restarted solve resumes from the snapshot"""
+    depth, ypos = _axes(12, 8)
+    kernel = IageKernel(depth, ypos, MODELINFO, dtype=jnp.float64, n_steps=1460)
+    ckpt = str(tmp_path / "ckpt")
+
+    # run to convergence, checkpointing each iteration
+    solver = NewtonKrylovInCore(kernel, newton_rel_tol=1e-5, newton_max_iter=6)
+    x_ref, _, info = solver.solve(kernel.init_iterate(), checkpoint_dir=ckpt)
+    assert info["iterations"] >= 1
+
+    # a "preempted" restart loads the snapshot and is already converged
+    solver2 = NewtonKrylovInCore(kernel, newton_rel_tol=1e-5, newton_max_iter=6)
+    x2, _, info2 = solver2.solve(kernel.init_iterate(), checkpoint_dir=ckpt)
+    assert info2["iterations"] == info["iterations"]
+    assert np.allclose(np.asarray(x2), np.asarray(x_ref))

@@ -4,7 +4,7 @@ cd "$(dirname "$0")/.."
 source scripts/newton_krylov_env_cmds
 
 err_cnt=0
-: "${BASELINE_ROOT:=/root/reference/baselines}"
+: "${BASELINE_ROOT:=baselines}"
 : "${CI_WORKROOT:=${HOME}/nk_tpu_ci}"
 workdir=$CI_WORKROOT/ci_long_dye_decay_workdir
 rm -rf "$workdir" && mkdir -p "$workdir"

@@ -125,3 +125,24 @@ def test_propagate_base_matrix_defs(tmp_workdir):
     assert "matrix_opt_B sub_opt_phosphorus" in phosphorus["precond_matrices_opts"]
     assert "matrix_opt_B sub_opt_base" not in phosphorus["precond_matrices_opts"]
     assert phosphorus["precond_matrices_opts"].count("matrix_opt_A sub_opt") == 1
+
+
+def test_repro_fname_masking(tmp_workdir):
+    """logging_reproducible strips user-specific path components"""
+    from newton_krylov_ooc_tpu.config.share import repro_fname
+
+    parser, args_remaining = common_args(
+        "test_config",
+        "test_problem",
+        ["--workdir", tmp_workdir, "--logging_reproducible"],
+    )
+    args = parser.parse_args(args_remaining)
+    config = read_cfg_files(args)
+    masked = repro_fname(config["solverinfo"], f"{tmp_workdir}/fcn_00.nc")
+    assert masked == "$workdir/fcn_00.nc"
+    # without the flag, paths pass through
+    parser, args_remaining = common_args(
+        "test_config", "test_problem", ["--workdir", tmp_workdir]
+    )
+    config = read_cfg_files(parser.parse_args(args_remaining))
+    assert repro_fname(config["solverinfo"], f"{tmp_workdir}/x") == f"{tmp_workdir}/x"

@@ -72,6 +72,20 @@ def test_full_solve_persist(tmp_workdir):
     rel = solver._fcn.norm() / solver._iterate.norm()
     assert (rel < 1.0e-8).all()
 
+    # stats files carry the solver diagnostics
+    import os
+
+    from newton_krylov_ooc_tpu.utils.ncio import NCFile
+
+    with NCFile(os.path.join(tmp_workdir, "Newton_stats.nc")) as fptr:
+        assert fptr.dim_len("iteration") == 4  # iterations 0..3
+        fcn_norms = fptr.var("fcn_norm_iage")[:][:, 0]
+        assert (np.diff(fcn_norms) < 0).all()  # monotone Newton convergence
+        assert fptr.has_var("Armijo_factor_iage")
+        assert fptr.has_var("Krylov_iterations")
+        assert fptr.has_var("iage")  # model-specific reduced tracer field
+    assert os.path.exists(os.path.join(tmp_workdir, "krylov_00", "Krylov_stats.nc"))
+
 
 @pytest.mark.slow
 def test_full_solve_reinvoke(tmp_workdir, monkeypatch):

@@ -170,3 +170,24 @@ def test_gram_schmidt(model_state_class, tmp_workdir):
     assert h_val.shape == (2, 2, 1)
     for prev in basis:
         assert np.allclose(probe.dot_prod(prev), 0.0, atol=1e-12)
+
+
+def test_po4_s_restoring_opt0(tmp_workdir):
+    """surface-only po4_s restoring (po4_s_restoring_opt=0) evaluates"""
+    import numpy as np
+
+    from newton_krylov_ooc_tpu.models.test_problem import physics
+
+    depth = spatial_axis_from_defn_dict(defn_dict=spatial_axis_defn_dict(nlevs=10))
+    grid = physics.column_grid(depth)
+    po4 = np.abs(np.random.default_rng(0).normal(1.0, 0.3, 10))
+    uptake = np.asarray(physics.po4_uptake(grid, po4))
+    tau0 = np.asarray(physics.po4_s_restore_tau_r(grid, po4, uptake, 0))
+    assert tau0[0] == pytest.approx(1.0 / 86400.0)
+    assert (tau0[1:] == 0.0).all()
+    # numpy twin agrees
+    tau0_np = physics.po4_s_restore_tau_r_np(depth, po4, uptake, 0)
+    assert np.allclose(tau0, tau0_np)
+    # opt 1 equals the FD derivative of uptake
+    tau1 = np.asarray(physics.po4_s_restore_tau_r(grid, po4, uptake, 1))
+    assert (tau1 > 0).all()

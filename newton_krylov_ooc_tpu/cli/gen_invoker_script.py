@@ -22,6 +22,23 @@ from ..config.share import (
 from ..utils.ncio import mkdir_exist_okay
 
 
+def _frozen_cli_args(args):
+    """serialize the override args (as given on this invocation) for the script"""
+    parts = [f'--cfg_fnames "{args.cfg_fnames}"']
+    if "model_name" in args:
+        parts.append(f'--model_name "{args.model_name}"')
+    for argname, metadata in cfg_override_args.items():
+        if argname not in args:
+            continue
+        value = getattr(args, argname)
+        if metadata.get("action") == "store_true":
+            if value:
+                parts.append(f"--{argname}")
+        elif value is not None:
+            parts.append(f'--{argname} "{value}"')
+    return " ".join(parts)
+
+
 def gen_invoker_script(args, modelinfo, repo_root):
     """write the invoker script with the current cfg/args frozen in"""
     invoker_script_fname = modelinfo["invoker_script_fname"]
@@ -30,47 +47,35 @@ def gen_invoker_script(args, modelinfo, repo_root):
     logger = logging.getLogger(__name__)
     logger.info("generating %s", repro_fname(modelinfo, invoker_script_fname))
 
-    with open(invoker_script_fname, mode="w") as fptr:
-        fptr.write("#!/bin/bash\n")
-        fptr.write(f"cd {repo_root}\n")
-        fptr.write('if [ -f scripts/newton_krylov_env_cmds ]; then\n')
-        fptr.write("    source scripts/newton_krylov_env_cmds\n")
-        fptr.write("fi\n")
-        if getattr(args, "deprecation_warning_to_error", False):
-            fptr.write("export PYTHONWARNINGS=error::DeprecationWarning\n")
-        mpi_cmd_env_cmds_fname = modelinfo.get("mpi_cmd_env_cmds_fname", None)
-        if mpi_cmd_env_cmds_fname is not None:
-            fptr.write(f"source {mpi_cmd_env_cmds_fname}\n")
+    lines = [
+        "#!/bin/bash",
+        f"cd {repo_root}",
+        "if [ -f scripts/newton_krylov_env_cmds ]; then",
+        "    source scripts/newton_krylov_env_cmds",
+        "fi",
+    ]
+    if getattr(args, "deprecation_warning_to_error", False):
+        lines.append("export PYTHONWARNINGS=error::DeprecationWarning")
+    mpi_env = modelinfo.get("mpi_cmd_env_cmds_fname", None)
+    if mpi_env is not None:
+        lines.append(f"source {mpi_env}")
+    lines.append(
+        "python -m newton_krylov_ooc_tpu.cli.nk_driver "
+        f'{_frozen_cli_args(args)} "$@"'
+    )
 
-        line = (
-            "python -m newton_krylov_ooc_tpu.cli.nk_driver "
-            f'--cfg_fnames "{args.cfg_fnames}" '
-        )
-        if "model_name" in args:
-            line += f'--model_name "{args.model_name}" '
-        for argname, metadata in cfg_override_args.items():
-            if argname not in args:
-                continue
-            if "action" not in metadata:
-                if getattr(args, argname) is not None:
-                    line += f'--{argname} "{getattr(args, argname)}" '
-            elif metadata["action"] == "store_true":
-                if getattr(args, argname):
-                    line += f"--{argname} "
-            else:
-                raise NotImplementedError(
-                    f'action={metadata["action"]} not implemented'
-                )
-        fptr.write(f'{line}"$@"\n')
+    with open(invoker_script_fname, mode="w") as fptr:
+        fptr.write("\n".join(lines) + "\n")
 
     fstat = os.stat(invoker_script_fname)
     os.chmod(invoker_script_fname, fstat.st_mode | stat.S_IXUSR)
 
 
 def parse_args(args_list_in=None):
-    args_list = [] if args_list_in is None else args_list_in
     parser, args_remaining = common_args(
-        "generate script for invoking nk_driver", "test_problem", args_list
+        "generate script for invoking nk_driver",
+        "test_problem",
+        [] if args_list_in is None else args_list_in,
     )
     return args_replace(parser.parse_args(args_remaining))
 

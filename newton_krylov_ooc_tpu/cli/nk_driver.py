@@ -16,58 +16,54 @@ from ..core.newton import NewtonSolver
 from ..core.state import get_model_state_class
 from ..ops.compute import ensure_x64
 
+KILL_SENTINEL = "KILL"
+
 
 def parse_args(args_list_in=None):
-    args_list = [] if args_list_in is None else args_list_in
     parser, args_remaining = common_args(
-        "invoke Newton-Krylov solver", "test_problem", args_list
+        "invoke Newton-Krylov solver",
+        "test_problem",
+        [] if args_list_in is None else args_list_in,
     )
-    parser.add_argument(
-        "--resume",
-        help="resume Newton's method from solver's saved state",
-        action="store_true",
-        default=False,
-    )
-    parser.add_argument(
-        "--rewind",
-        help="rewind last step to recover from error",
-        action="store_true",
-        default=False,
-    )
+    for flag, help_text in [
+        ("--resume", "resume Newton's method from solver's saved state"),
+        ("--rewind", "rewind last step to recover from error"),
+    ]:
+        parser.add_argument(flag, help=help_text, action="store_true", default=False)
     return args_replace(parser.parse_args(args_remaining))
+
+
+def build_solver(config, resume, rewind, lvl=logging.INFO):
+    """configure the model classes and construct the Newton solver"""
+    model_state_class = get_model_state_class(config["DEFAULT"]["model_name"], lvl)
+    model_state_class.model_config_obj = ModelConfig(config["modelinfo"], lvl)
+    return NewtonSolver(
+        model_state_class,
+        solverinfo=config["solverinfo"],
+        resume=resume,
+        rewind=rewind,
+    )
 
 
 def main(args):
     ensure_x64()
 
     config = read_cfg_files(args)
-    solverinfo = config["solverinfo"]
-
-    logging_config(solverinfo, filemode="a")
+    logging_config(config["solverinfo"], filemode="a")
     logger = logging.getLogger(__name__)
 
-    if os.path.exists("KILL"):
+    if os.path.exists(KILL_SENTINEL):
         logger.warning("KILL file detected, exiting")
         raise SystemExit
 
     lvl = logging.DEBUG if args.resume else logging.INFO
+    solver = build_solver(config, args.resume, args.rewind, lvl)
 
-    model_state_class = get_model_state_class(config["DEFAULT"]["model_name"], lvl)
-    model_state_class.model_config_obj = ModelConfig(config["modelinfo"], lvl)
+    while not solver.converged().all():
+        solver.step()
 
-    newton_solver = NewtonSolver(
-        model_state_class,
-        solverinfo=solverinfo,
-        resume=args.resume,
-        rewind=args.rewind,
-    )
-
-    while True:
-        if newton_solver.converged().all():
-            logger.info("Newton convergence criterion satisfied")
-            newton_solver.log()
-            break
-        newton_solver.step()
+    logger.info("Newton convergence criterion satisfied")
+    solver.log()
 
 
 if __name__ == "__main__":

@@ -15,42 +15,33 @@ from ..config.share import args_replace, common_args, logging_config, read_cfg_f
 from ..core.state import get_model_state_class
 from ..ops.compute import ensure_x64
 
+CMD_CHOICES = ["comp_fcn", "gen_precond_jacobian", "apply_precond_jacobian"]
+
+ARG_SPECS = [
+    ("--fname_dir", "directory that relative fname arguments are relative to", "."),
+    ("--hist_fname", "name of history file", None),
+    ("--precond_fname", "name of precond file", None),
+    ("--in_fname", "name of file with input", None),
+    ("--res_fname", "name of file for result", None),
+]
+
 
 def parse_args(args_list_in=None):
     args_list = [] if args_list_in is None else args_list_in
     parser, args_remaining = common_args(
         "standalone driver for model_state methods", "test_problem", args_list
     )
-    parser.add_argument(
-        "cmd",
-        choices=["comp_fcn", "gen_precond_jacobian", "apply_precond_jacobian"],
-        help="command to run",
-    )
-    parser.add_argument(
-        "--fname_dir",
-        help="directory that relative fname arguments are relative to",
-        default=".",
-    )
-    parser.add_argument("--hist_fname", help="name of history file", default=None)
-    parser.add_argument("--precond_fname", help="name of precond file", default=None)
-    parser.add_argument("--in_fname", help="name of file with input")
-    parser.add_argument("--res_fname", help="name of file for result")
+    parser.add_argument("cmd", choices=CMD_CHOICES, help="command to run")
+    for flag, help_text, default in ARG_SPECS:
+        parser.add_argument(flag, help=help_text, default=default)
     return args_replace(parser.parse_args(args_remaining))
-
-
-def _resolve_fname(fname_dir, fname):
-    if fname is None or os.path.isabs(fname):
-        return fname
-    return os.path.join(fname_dir, fname)
 
 
 def main(args):
     ensure_x64()
 
     config = read_cfg_files(args)
-    solverinfo = config["solverinfo"]
-
-    logging_config(solverinfo, filemode="a")
+    logging_config(config["solverinfo"], filemode="a")
     logger = logging.getLogger(__name__)
     logger.info('args.cmd="%s"', args.cmd)
 
@@ -59,29 +50,35 @@ def main(args):
     )
     model_state_class.model_config_obj = ModelConfig(config["modelinfo"], logging.INFO)
 
-    ms_in = model_state_class(_resolve_fname(args.fname_dir, args.in_fname))
+    def resolve(fname):
+        if fname is None or os.path.isabs(fname):
+            return fname
+        return os.path.join(args.fname_dir, fname)
+
+    ms_in = model_state_class(resolve(args.in_fname))
+
     if args.cmd == "comp_fcn":
         ms_in.log("state_in")
-        ms_in.comp_fcn(
-            _resolve_fname(args.fname_dir, args.res_fname),
+        result = ms_in.comp_fcn(
+            resolve(args.res_fname),
             solver_state=None,
-            hist_fname=_resolve_fname(args.fname_dir, args.hist_fname),
-        ).log("fcn")
+            hist_fname=resolve(args.hist_fname),
+        )
+        result.log("fcn")
     elif args.cmd == "gen_precond_jacobian":
         ms_in.gen_precond_jacobian(
-            _resolve_fname(args.fname_dir, args.hist_fname),
-            _resolve_fname(args.fname_dir, args.precond_fname),
+            resolve(args.hist_fname),
+            resolve(args.precond_fname),
             solver_state=None,
         )
-    elif args.cmd == "apply_precond_jacobian":
+    else:  # apply_precond_jacobian (argparse restricts the choices)
         ms_in.log("state_in")
-        ms_in.apply_precond_jacobian(
-            _resolve_fname(args.fname_dir, args.precond_fname),
-            _resolve_fname(args.fname_dir, args.res_fname),
+        result = ms_in.apply_precond_jacobian(
+            resolve(args.precond_fname),
+            resolve(args.res_fname),
             solver_state=None,
-        ).log("precond_res")
-    else:
-        raise ValueError(f"unknown cmd={args.cmd}")
+        )
+        result.log("precond_res")
 
     logger.info("done")
 

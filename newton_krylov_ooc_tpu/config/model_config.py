@@ -49,35 +49,36 @@ class ModelConfig:
             modelinfo["tracer_module_names"]
         )
 
-        # resolve region_mask_varname for every tracer and collect unique names
-        region_mask_varnames = set()
-        for tracer_module_name in modelinfo["tracer_module_names"].split(","):
-            tracer_module_def = self.tracer_module_defs[tracer_module_name]
-            for tracer_name, tracer_metadata in tracer_module_def["tracers"].items():
+        self.grid_vars = {
+            varname: gen_grid_vars(lvl, modelinfo["grid_vars_fname"], varname)
+            for varname in self._resolve_region_mask_varnames(modelinfo)
+        }
+        self.region_cnt = self._common_region_cnt()
+
+    def _resolve_region_mask_varnames(self, modelinfo):
+        """push module-level region_mask_varname down onto each tracer's
+        metadata; return the set of distinct mask names in active modules"""
+        varnames = set()
+        for module_name in modelinfo["tracer_module_names"].split(","):
+            module_def = self.tracer_module_defs[module_name]
+            module_default = module_def.get("region_mask_varname")
+            for tracer_name, tracer_metadata in module_def["tracers"].items():
                 if "region_mask_varname" not in tracer_metadata:
-                    if "region_mask_varname" not in tracer_module_def:
+                    if module_default is None:
                         raise RuntimeError(
                             f"region_mask_varname not known for {tracer_name} in "
-                            f"{tracer_module_name}"
+                            f"{module_name}"
                         )
-                    tracer_metadata["region_mask_varname"] = tracer_module_def[
-                        "region_mask_varname"
-                    ]
-                region_mask_varnames.add(tracer_metadata["region_mask_varname"])
+                    tracer_metadata["region_mask_varname"] = module_default
+                varnames.add(tracer_metadata["region_mask_varname"])
+        return varnames
 
-        self.grid_vars = {
-            region_mask_varname: gen_grid_vars(
-                lvl, modelinfo["grid_vars_fname"], region_mask_varname
-            )
-            for region_mask_varname in region_mask_varnames
-        }
-
-        region_cnts = {
-            grid_vars["region_cnt"] for grid_vars in self.grid_vars.values()
-        }
+    def _common_region_cnt(self):
+        """the region count shared by all masks (they must agree)"""
+        region_cnts = {gv["region_cnt"] for gv in self.grid_vars.values()}
         if len(region_cnts) != 1:
             raise RuntimeError("not all region_masks have the same region_cnt")
-        self.region_cnt = region_cnts.pop()
+        return region_cnts.pop()
 
     # -- parameterized module expansion --------------------------------------
 
@@ -112,18 +113,21 @@ class ModelConfig:
         return name_new
 
 
+def _is_parameterized(name):
+    """does the name contain a {suff} placeholder"""
+    return name.format(suff="suff") != name
+
+
 def check_tracer_module_names(tracer_module_names, tracer_module_defs):
     """validate that listed module names exist and suffix usage is consistent"""
-    fmt = {"suff": "suff"}
-    for tracer_module_name in tracer_module_names.split(","):
-        has_suff = ":" in tracer_module_name
-        if has_suff:
-            tracer_module_name = tracer_module_name.partition(":")[0]
-        if tracer_module_name not in tracer_module_defs:
-            raise ValueError(f"unknown tracer module name {tracer_module_name}")
-        if has_suff == (tracer_module_name.format(**fmt) == tracer_module_name):
-            verb = "doesn't expect" if has_suff else "expects"
-            raise ValueError(f"{tracer_module_name} {verb} suff")
+    for entry in tracer_module_names.split(","):
+        root, _, suffs = entry.partition(":")
+        if root not in tracer_module_defs:
+            raise ValueError(f"unknown tracer module name {root}")
+        wants_suff = _is_parameterized(root)
+        if bool(suffs) != wants_suff:
+            verb = "expects" if wants_suff else "doesn't expect"
+            raise ValueError(f"{root} {verb} suff")
 
 
 def check_shadow_tracers(tracer_module_defs, lvl):
@@ -157,16 +161,16 @@ def check_shadow_tracers(tracer_module_defs, lvl):
 
 def check_tracer_module_suffs(tracer_module_defs):
     """validate that {suff} usage is consistent between names and metadata"""
-    fmt = {"suff": "suff"}
     for name, metadata in tracer_module_defs.items():
-        name_has_suff = name.format(**fmt) != name
-        metadata_has_suff = fmt_vals(metadata, fmt) != metadata
+        name_has_suff = _is_parameterized(name)
+        metadata_has_suff = fmt_vals(metadata, {"suff": "suff"}) != metadata
         if name_has_suff != metadata_has_suff:
             raise ValueError(f"{name}: name_has_suff must equal metadata_has_suff")
-        if name_has_suff:
-            for tracer_name in metadata["tracers"]:
-                if tracer_name.format(**fmt) == tracer_name:
-                    raise ValueError(f"{name}: tracer {tracer_name} must have suff")
+        if not name_has_suff:
+            continue
+        for tracer_name in metadata["tracers"]:
+            if not _is_parameterized(tracer_name):
+                raise ValueError(f"{name}: tracer {tracer_name} must have suff")
 
 
 def propagate_base_matrix_defs_to_all(matrix_defs):
@@ -180,27 +184,30 @@ def propagate_base_matrix_defs_to_all(matrix_defs):
             propagate_base_matrix_defs_to_one(matrix_defs["base"], matrix_def)
 
 
+def _merge_opt_list(base_opts, matrix_opts):
+    """append base opts whose first word isn't already present (the first word
+    keys an option; a matrix-level opt overrides the base's version of it)"""
+    existing_word0 = {opt.split()[0] for opt in matrix_opts}
+    matrix_opts.extend(
+        opt for opt in base_opts if opt.split()[0] not in existing_word0
+    )
+
+
 def propagate_base_matrix_defs_to_one(base_def, matrix_def):
     """merge one base matrix def into a specific matrix def
 
-    list values merge by first-word key (an opt already present, judged by its
-    first word, is not overridden); dict values merge by key; other types are
-    copied only when absent
+    list values merge by first-word key (see _merge_opt_list); dict values
+    merge by key; other types are copied only when absent
     """
     for base_key, base_value in base_def.items():
         if base_key not in matrix_def:
             matrix_def[base_key] = copy.deepcopy(base_value)
-            continue
-        matrix_value = matrix_def[base_key]
-        if isinstance(base_value, list):
-            existing_word0 = [opt.split()[0] for opt in matrix_value]
-            for opt in base_value:
-                if opt.split()[0] not in existing_word0:
-                    matrix_value.append(opt)
+        elif isinstance(base_value, list):
+            _merge_opt_list(base_value, matrix_def[base_key])
         elif isinstance(base_value, dict):
-            for key in base_value:
-                if key not in matrix_value:
-                    matrix_value[key] = base_value[key]
+            matrix_value = matrix_def[base_key]
+            for key, value in base_value.items():
+                matrix_value.setdefault(key, value)
         else:
             raise TypeError(f"base defn type {type(base_value)} not supported")
 

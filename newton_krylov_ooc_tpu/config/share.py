@@ -23,32 +23,70 @@ from ..utils.ncio import mkdir_exist_okay
 
 def repo_root():
     """root of this repository (two levels above this file's package)"""
-    return os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
-    )
+    here = os.path.realpath(__file__)
+    return os.path.dirname(os.path.dirname(os.path.dirname(here)))
 
 
-# declarative table of CLI flags that override cfg entries
+class _Override:
+    """one CLI flag that overrides a cfg entry"""
+
+    def __init__(self, section, override_var=None, flag=False, override_val=None,
+                 model_names=None):
+        self.section = section
+        self.override_var = override_var
+        self.flag = flag  # store_true-style switch
+        self.override_val = override_val
+        self.model_names = model_names  # None = all models
+
+    def applies_to(self, model_name):
+        return self.model_names is None or model_name in self.model_names
+
+    def add_to_parser(self, parser, argname):
+        target = self.override_var or argname
+        help_text = f"override {target} from cfg file"
+        if self.flag:
+            parser.add_argument(f"--{argname}", help=help_text, action="store_true")
+        else:
+            parser.add_argument(f"--{argname}", help=help_text, default=None)
+
+    def apply(self, config, argname, value):
+        target = self.override_var or argname
+        if target not in config[self.section]:
+            raise ValueError(f"{target} not in cfg section {self.section}")
+        if self.flag:
+            if value:
+                config[self.section][target] = self.override_val
+        elif value is not None:
+            config[self.section][target] = value
+
+
+_OVERRIDES = {
+    "workdir": _Override("DEFAULT"),
+    "logging_fname": _Override("solverinfo"),
+    "logging_reproducible": _Override("DEFAULT", flag=True, override_val="True"),
+    "logging_level": _Override("solverinfo"),
+    "newton_max_iter": _Override("solverinfo"),
+    "newton_rel_tol": _Override("solverinfo"),
+    "init_iterate_fname": _Override("solverinfo"),
+    "tracer_module_names": _Override("modelinfo"),
+    "persist": _Override(
+        "modelinfo",
+        override_var="reinvoke",
+        flag=True,
+        override_val="False",
+        model_names=["test_problem", "py_driver_2d"],
+    ),
+}
+
+# legacy-compatible view of the table (consumed by gen_invoker_script)
 cfg_override_args = {
-    "workdir": {"section": "DEFAULT"},
-    "logging_fname": {"section": "solverinfo"},
-    "logging_reproducible": {
-        "section": "DEFAULT",
-        "action": "store_true",
-        "override_val": "True",
-    },
-    "logging_level": {"section": "solverinfo"},
-    "newton_max_iter": {"section": "solverinfo"},
-    "newton_rel_tol": {"section": "solverinfo"},
-    "init_iterate_fname": {"section": "solverinfo"},
-    "tracer_module_names": {"section": "modelinfo"},
-    "persist": {
-        "model_names": ["test_problem", "py_driver_2d"],
-        "override_var": "reinvoke",
-        "action": "store_true",
-        "override_val": "False",
-        "section": "modelinfo",
-    },
+    name: {
+        "section": ov.section,
+        **({"override_var": ov.override_var} if ov.override_var else {}),
+        **({"action": "store_true", "override_val": ov.override_val} if ov.flag else {}),
+        **({"model_names": ov.model_names} if ov.model_names else {}),
+    }
+    for name, ov in _OVERRIDES.items()
 }
 
 
@@ -58,78 +96,64 @@ def common_args(description, model_name, args_list):
     returns (parser, args_remaining); --model_name is pre-parsed so it can
     rebind the default cfg-file chain and conditional flags
     """
-    parent_parser = argparse.ArgumentParser(add_help=False)
-    parent_parser.add_argument(
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument(
         "--model_name",
+        default=model_name,
         help="name of the model that solver is being applied to; "
         "using a non-default value alters subsequent options",
-        default=model_name,
     )
-    args, args_remaining = parent_parser.parse_known_args(args_list)
+    pre_args, args_remaining = pre.parse_known_args(args_list)
 
     parser = argparse.ArgumentParser(
         description=description,
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
-        parents=[parent_parser],
+        parents=[pre],
     )
-    input_dir = os.path.join(repo_root(), "input", args.model_name)
-    defaults = [os.path.join(input_dir, "newton_krylov.cfg")]
+
+    input_dir = os.path.join(repo_root(), "input", pre_args.model_name)
+    cfg_chain = [os.path.join(input_dir, "newton_krylov.cfg")]
     params_fname = os.path.join(input_dir, "model_params.cfg")
     if os.path.exists(params_fname):
-        defaults.append(params_fname)
+        cfg_chain.append(params_fname)
     parser.add_argument(
         "--cfg_fnames",
         help="names of configuration files",
-        default=",".join(defaults),
+        default=",".join(cfg_chain),
     )
 
-    for argname, metadata in cfg_override_args.items():
-        if args.model_name not in metadata.get("model_names", [args.model_name]):
-            continue
-        override_var = metadata.get("override_var", argname)
-        action = metadata.get("action")
-        if action is None:
-            parser.add_argument(
-                f"--{argname}",
-                help=f"override {override_var} from cfg file",
-                default=None,
-            )
-        elif action == "store_true":
-            parser.add_argument(
-                f"--{argname}",
-                help=f"override {override_var} from cfg file",
-                action="store_true",
-            )
-        else:
-            raise NotImplementedError(f"action={action} not implemented")
+    for argname, override in _OVERRIDES.items():
+        if override.applies_to(pre_args.model_name):
+            override.add_to_parser(parser, argname)
 
     return parser, args_remaining
 
 
 def args_replace(args):
     """apply {model_name} substitution to string args ({suff} passes through)"""
-    str_subs = {"model_name": args.model_name, "suff": "{suff}"}
-    for arg, value in vars(args).items():
+    subs = {"model_name": args.model_name, "suff": "{suff}"}
+    for name, value in vars(args).items():
         if isinstance(value, str):
-            setattr(args, arg, value.format(**str_subs))
+            setattr(args, name, value.format(**subs))
     return args
 
 
 def read_cfg_files(args):
     """read the cfg-file chain, apply CLI overrides, echo cfg for provenance"""
-    cfg_fnames = args.cfg_fnames
-
-    defaults = {key: os.environ[key] for key in ["HOME", "USER"] if key in os.environ}
-    defaults.setdefault("USER", os.environ.get("LOGNAME", "user"))
-    defaults.setdefault("HOME", os.path.expanduser("~"))
-    defaults["repo_root"] = repo_root()
+    defaults = {
+        "HOME": os.environ.get("HOME", os.path.expanduser("~")),
+        "USER": os.environ.get("USER", os.environ.get("LOGNAME", "user")),
+        "repo_root": repo_root(),
+    }
     config = configparser.ConfigParser(defaults, allow_no_value=True)
-    files_read = config.read(cfg_fnames.split(","))
-    if len(files_read) == 0:
-        raise RuntimeError(f"cfg_fnames not read: {cfg_fnames}")
+    if not config.read(args.cfg_fnames.split(",")):
+        raise RuntimeError(f"cfg_fnames not read: {args.cfg_fnames}")
 
-    _check_config_no_values(cfg_fnames, config)
-    _apply_cfg_override_args(args, config)
+    _reject_unexpected_empty_values(args.cfg_fnames, config)
+
+    for argname, override in _OVERRIDES.items():
+        if argname in args:
+            override.apply(config, argname, getattr(args, argname))
 
     cfg_out_fname = config["solverinfo"]["cfg_out_fname"]
     if cfg_out_fname is not None:
@@ -140,48 +164,28 @@ def read_cfg_files(args):
     return config
 
 
-def _check_config_no_values(cfg_fnames, config):
+def _reject_unexpected_empty_values(cfg_fnames, config):
     """only names listed in no_value_allowed may be valueless"""
-    no_value_allowed = config["DEFAULT"].get("no_value_allowed", None)
-    nva_list = [] if no_value_allowed is None else no_value_allowed.split(",")
-    nva_list.append("no_value_allowed")
+    allowed = config["DEFAULT"].get("no_value_allowed", None)
+    allowed_names = set([] if allowed is None else allowed.split(","))
+    allowed_names.add("no_value_allowed")
     for section in config.sections():
-        for name in config[section]:
-            if config[section][name] is None and name not in nva_list:
+        for name, value in config[section].items():
+            if value is None and name not in allowed_names:
                 raise ValueError(
                     f"{name} not allowed to be empty in cfg file {cfg_fnames}"
                 )
 
 
-def _apply_cfg_override_args(args, config):
-    """apply the cfg_override_args table to the parsed config"""
-    for argname, metadata in cfg_override_args.items():
-        if argname not in args:
-            continue
-        override_var = metadata.get("override_var", argname)
-        if override_var not in config[metadata["section"]]:
-            raise ValueError(
-                f'{override_var} not in cfg section {metadata["section"]}'
-            )
-        if "action" not in metadata:
-            if getattr(args, argname) is not None:
-                config[metadata["section"]][override_var] = getattr(args, argname)
-        elif metadata["action"] == "store_true":
-            if getattr(args, argname):
-                config[metadata["section"]][override_var] = metadata["override_val"]
-
-
 def logging_config(solverinfo, filemode):
     """configure logging to stdout + logfile; reproducible mode strips
     timestamps/PIDs so logs are diffable"""
-    logging_format_list = []
+    fields = ["%(filename)s", "%(funcName)s", "%(message)s"]
     if not strtobool(solverinfo["logging_reproducible"]):
-        logging_format_list.extend(["%(asctime)s", "%(process)s"])
-    logging_format_list.extend(["%(filename)s", "%(funcName)s", "%(message)s"])
-    logging_format = ":".join(logging_format_list)
+        fields = ["%(asctime)s", "%(process)s"] + fields
     mkdir_exist_okay(os.path.dirname(solverinfo["logging_fname"]))
     logging.basicConfig(
-        format=logging_format,
+        format=":".join(fields),
         level=solverinfo["logging_level"],
         handlers=[
             logging.StreamHandler(stream=sys.stdout),
@@ -193,8 +197,8 @@ def logging_config(solverinfo, filemode):
 
 def repro_fname(cfg_section, fname):
     """fname with user-specific path components masked, for reproducible logs"""
-    ret = fname
-    if strtobool(cfg_section["logging_reproducible"]):
-        ret = ret.replace(cfg_section["workdir"], "$workdir")
-        ret = ret.replace(cfg_section["repo_root"], "$repo_root")
-    return ret
+    if not strtobool(cfg_section["logging_reproducible"]):
+        return fname
+    return fname.replace(cfg_section["workdir"], "$workdir").replace(
+        cfg_section["repo_root"], "$repo_root"
+    )

@@ -93,6 +93,44 @@ class KrylovSolver(SolverBase):
         (-precond_fcn / beta).dump(self._fname("basis"), caller)
         self._solver_state.set_value_saved_state("beta", beta)
 
+    def _grown_hessenberg(self, fcn, j_val):
+        """the stored Hessenberg matrices, grown by one column/row for
+        Arnoldi step j_val: (module_cnt, j+2, j+1, region_cnt)"""
+        shape = (
+            len(fcn.tracer_modules),
+            j_val + 2,
+            j_val + 1,
+            fcn.model_config_obj.region_cnt,
+        )
+        h_mat = np.zeros(shape)
+        if j_val > 0:
+            prev = self._solver_state.get_value_saved_state("h_mat")
+            h_mat[:, :-1, :-1, :] = prev
+        return h_mat
+
+    def _arnoldi_step(self, fcn, j_val, h_mat):
+        """one Arnoldi step: w = M^-1 A basis_j, modified Gram-Schmidt against
+        the stored basis, fill Hessenberg column j; returns normalized w"""
+        basis_j = type(self._iterate)(self._fname("basis"))
+        w_raw = self._iterate.comp_jacobian_fcn_state_prod(
+            fcn, basis_j, self._fname("w_raw"), self._solver_state
+        )
+        w_j = w_raw.apply_precond_jacobian(
+            self._fname("precond", 0), self._fname("w"), self._solver_state
+        )
+        h_mat[:, :-1, -1, :] = w_j.mod_gram_schmidt(j_val + 1, self._fname, "basis")
+        h_mat[:, -1, -1, :] = w_j.norm()
+        w_j /= h_mat[:, -1, -1, :]
+        self._solver_state.set_value_saved_state("h_mat", h_mat)
+        return w_j
+
+    def _precond_resid_norm(self, coeff):
+        """norm of the preconditioned residual of the least-squares solution:
+        ||sum_i coeff_i w_i + M^-1 fcn||, per (module, region)"""
+        resid = state_mod.lin_comb(type(self._iterate), coeff, self._fname, "w")
+        resid += type(self._iterate)(self._fname("precond_fcn", 0))
+        return resid.norm()
+
     def solve(self, res_fname, fcn):
         """run GMRES until the per-(module, region) residuals converge"""
         logger = logging.getLogger(__name__)
@@ -104,56 +142,24 @@ class KrylovSolver(SolverBase):
         while True:
             j_val = self.get_iteration()
 
-            # grow the per-(module, region) Hessenberg system by one column
-            h_mat = np.zeros(
-                (
-                    len(fcn.tracer_modules),
-                    j_val + 2,
-                    j_val + 1,
-                    fcn.model_config_obj.region_cnt,
-                )
-            )
-            if j_val > 0:
-                h_mat[:, :-1, :-1, :] = self._solver_state.get_value_saved_state(
-                    "h_mat"
-                )
-
-            basis_j = type(self._iterate)(self._fname("basis"))
-            w_raw = self._iterate.comp_jacobian_fcn_state_prod(
-                fcn, basis_j, self._fname("w_raw"), self._solver_state
-            )
-            w_j = w_raw.apply_precond_jacobian(
-                self._fname("precond", 0), self._fname("w"), self._solver_state
-            )
-            h_mat[:, :-1, -1, :] = w_j.mod_gram_schmidt(
-                j_val + 1, self._fname, "basis"
-            )
-            h_mat[:, -1, -1, :] = w_j.norm()
-            w_j /= h_mat[:, -1, -1, :]
-            self._solver_state.set_value_saved_state("h_mat", h_mat)
+            h_mat = self._grown_hessenberg(fcn, j_val)
+            w_j = self._arnoldi_step(fcn, j_val, h_mat)
 
             # least-squares for the Krylov coefficients, per (module, region)
             beta = self._solver_state.get_value_saved_state("beta")
             coeff = comp_krylov_basis_coeffs(beta, h_mat)
             self._iterate.log_vals("KrylovCoeff", coeff)
 
-            # approximate solution and preconditioned residual
-            res = state_mod.lin_comb(
-                type(self._iterate), coeff, self._fname, "basis"
-            )
+            res = state_mod.lin_comb(type(self._iterate), coeff, self._fname, "basis")
             res.dump(self._fname("krylov_res", j_val), caller)
 
-            precond_resid = state_mod.lin_comb(
-                type(self._iterate), coeff, self._fname, "w"
-            )
-            precond_resid += type(self._iterate)(self._fname("precond_fcn", 0))
-            precond_resid_norm = precond_resid.norm()
-            self._iterate.log_vals("precond_resid", precond_resid_norm)
-            self._put_solver_stats_vars(precond_resid_norm=precond_resid_norm)
+            resid_norm = self._precond_resid_norm(coeff)
+            self._iterate.log_vals("precond_resid", resid_norm)
+            self._put_solver_stats_vars(precond_resid_norm=resid_norm)
 
             self._solver_state.inc_iteration()
 
-            if self.converged(beta, precond_resid_norm).all():
+            if self.converged(beta, resid_norm).all():
                 logger.info("Krylov convergence criterion satisfied")
                 break
 

@@ -7,7 +7,6 @@ Capability parity: nk_ooc/solver_base.py.
 from __future__ import annotations
 
 import logging
-import os
 
 import numpy as np
 
@@ -39,78 +38,83 @@ class SolverBase:
         )
         self._stats_vars_put_metadata = {}
 
+    # -- conventions ----------------------------------------------------------
+
     def get_iteration(self):
         return self._solver_state.get_iteration()
 
+    def _solverinfo_key(self, suffix, default=None):
+        """solver-name-prefixed solverinfo lookup with optional fallback"""
+        key = f"{self._solver_name}_{suffix}"
+        if key in self._solverinfo:
+            return self._solverinfo[key]
+        return default
+
     def _get_workdir(self):
-        key = f"{self._solver_name}_workdir"
-        if key not in self._solverinfo:
-            key = "workdir"
-        return self._solverinfo[key]
+        workdir = self._solverinfo_key("workdir")
+        return workdir if workdir is not None else self._solverinfo["workdir"]
 
     def _fname(self, quantity, iteration=None):
         """workdir filename for a quantity at an iteration"""
         if iteration is None:
             iteration = self.get_iteration()
-        return os.path.join(self._get_workdir(), f"{quantity}_{iteration:02}.nc")
+        return f"{self._get_workdir()}/{quantity}_{iteration:02}.nc"
 
     def _get_rel_tol(self):
-        return float(self._solverinfo[f"{self._solver_name}_rel_tol"])
+        return float(self._solverinfo_key("rel_tol"))
 
     def _get_min_iter(self):
-        key = f"{self._solver_name}_min_iter"
-        return int(self._solverinfo[key]) if key in self._solverinfo else 0
+        return int(self._solverinfo_key("min_iter", default=0))
 
-    # -- stats-var plumbing ----------------------------------------------------
+    # -- stats-var plumbing -----------------------------------------------------
     #
-    # stats vars come in three categories:
-    #   model_state: per tracer module, reduced two ways (mean and norm)
-    #   per_tracer_module: one scalar per (module, region)
-    #   tracer_module_independent: one value per iteration
+    # categories:
+    #   model_state: one mean + one norm var per tracer module
+    #   per_tracer_module: one var per tracer module
+    #   tracer_module_independent: a single var
 
     def _def_solver_stats_vars(self, stats_vars_dict, tracer_modules):
-        """define solver stats vars, caching put-time metadata"""
+        """define solver stats vars, caching the put-time expansion"""
         vars_def_metadata = {}
+
+        def expand(key, metadata, method=None):
+            """per-module expansion of one stats-var template"""
+            names = []
+            for tracer_module in tracer_modules:
+                repl = {
+                    "tracer_module_name": tracer_module.name,
+                    "tracer_module_units": tracer_module.units,
+                }
+                if method is not None:
+                    repl["method"] = method
+                    varname = f"{key}_{method}_{tracer_module.name}"
+                else:
+                    varname = f"{key}_{tracer_module.name}"
+                expanded = fmt_vals(metadata, repl)
+                if expanded["attrs"].get("units") == "None":
+                    expanded["attrs"]["units"] = None
+                vars_def_metadata[varname] = expanded
+                names.append(varname)
+            return names
+
         for key, metadata in stats_vars_dict.items():
             dimensions = metadata["dimensions"]
             if "iteration" in dimensions and dimensions[0] != "iteration":
                 raise ValueError("iteration must be first dimension, if present")
             category = metadata["category"]
-            put_metadata = {"category": category, "dimensions": dimensions}
-            self._stats_vars_put_metadata[key] = put_metadata
-
+            entry = {"category": category, "dimensions": dimensions}
             if category == "model_state":
-                stats_varnames = {"mean": [], "norm": []}
-                for method, varnames in stats_varnames.items():
-                    for tracer_module in tracer_modules:
-                        repl_dict = {
-                            "method": method,
-                            "tracer_module_name": tracer_module.name,
-                            "tracer_module_units": tracer_module.units,
-                        }
-                        stats_varname = f"{key}_{method}_{tracer_module.name}"
-                        vars_def_metadata[stats_varname] = _finalize_units(
-                            fmt_vals(metadata, repl_dict)
-                        )
-                        varnames.append(stats_varname)
-                put_metadata["stats_varnames"] = stats_varnames
+                entry["stats_varnames"] = {
+                    method: expand(key, metadata, method)
+                    for method in ("mean", "norm")
+                }
             elif category == "per_tracer_module":
-                stats_varnames = []
-                for tracer_module in tracer_modules:
-                    repl_dict = {
-                        "tracer_module_name": tracer_module.name,
-                        "tracer_module_units": tracer_module.units,
-                    }
-                    stats_varname = f"{key}_{tracer_module.name}"
-                    vars_def_metadata[stats_varname] = _finalize_units(
-                        fmt_vals(metadata, repl_dict)
-                    )
-                    stats_varnames.append(stats_varname)
-                put_metadata["stats_varnames"] = stats_varnames
+                entry["stats_varnames"] = expand(key, metadata)
             elif category == "tracer_module_independent":
                 vars_def_metadata[key] = metadata
             else:
                 raise ValueError(f"unknown category {category}")
+            self._stats_vars_put_metadata[key] = entry
 
         # step-logged so vars are not redefined on resume
         step = f"define {self._solver_name} solver stats file vars"
@@ -118,65 +122,47 @@ class SolverBase:
             self._stats_file.def_vars(vars_def_metadata)
         self._solver_state.log_step(step, per_iteration=False)
 
-    def _put_solver_stats_vars_iteration_independent(self, **kwargs):
-        """write values of iteration-independent stats vars"""
+    def _collect_stats_vals(self, kwargs, per_iteration):
+        """expand put kwargs into a {varname: value} dict, step-logging each"""
         vals_dict = {}
         for key, vals in kwargs.items():
             put_metadata = self._stats_vars_put_metadata[key]
-            if "iteration" in put_metadata["dimensions"]:
-                raise ValueError(
-                    "_put_solver_stats_vars should be used "
-                    "for vars with the iteration dimension"
+            has_iter_dim = "iteration" in put_metadata["dimensions"]
+            if has_iter_dim != per_iteration:
+                which = (
+                    "_put_solver_stats_vars"
+                    if has_iter_dim
+                    else "_put_solver_stats_vars_iteration_independent"
                 )
+                raise ValueError(f"{which} should be used for {key}")
             step = f"write {key} vals to stats file"
-            if self._solver_state.step_logged(step, per_iteration=False):
-                continue
-            category = put_metadata["category"]
-            if category == "per_tracer_module":
-                for ind, stats_varname in enumerate(put_metadata["stats_varnames"]):
-                    vals_dict[stats_varname] = vals[ind]
-            elif category == "tracer_module_independent":
-                vals_dict[key] = vals
-            else:
-                raise ValueError(f"unknown category {category}")
-            self._solver_state.log_step(step, per_iteration=False)
-        self._stats_file.put_vars_iteration_invariant(vals_dict)
-
-    def _put_solver_stats_vars(self, **kwargs):
-        """write values of per-iteration stats vars"""
-        vals_dict = {}
-        for key, vals in kwargs.items():
-            put_metadata = self._stats_vars_put_metadata[key]
-            if "iteration" not in put_metadata["dimensions"]:
-                raise ValueError(
-                    "_put_solver_stats_vars_iteration_independent should be used "
-                    "for vars lacking the iteration dimension"
-                )
-            step = f"write {key} vals to stats file"
-            if self._solver_state.step_logged(step):
+            if self._solver_state.step_logged(step, per_iteration):
                 continue
             category = put_metadata["category"]
             if category == "model_state":
-                for method in ["mean", "norm"]:
-                    vals_reduced = vals.mean() if method == "mean" else vals.norm()
-                    for ind, stats_varname in enumerate(
+                for method, reducer in (("mean", vals.mean), ("norm", vals.norm)):
+                    reduced = reducer()
+                    for ind, varname in enumerate(
                         put_metadata["stats_varnames"][method]
                     ):
-                        vals_dict[stats_varname] = vals_reduced[ind]
+                        vals_dict[varname] = reduced[ind]
             elif category == "per_tracer_module":
-                for ind, stats_varname in enumerate(put_metadata["stats_varnames"]):
-                    vals_dict[stats_varname] = np.asarray(vals)[ind]
+                arr = np.asarray(vals)
+                for ind, varname in enumerate(put_metadata["stats_varnames"]):
+                    vals_dict[varname] = arr[ind]
             elif category == "tracer_module_independent":
                 vals_dict[key] = vals
             else:
                 raise ValueError(f"unknown category {category}")
-            self._solver_state.log_step(step)
+            self._solver_state.log_step(step, per_iteration)
+        return vals_dict
+
+    def _put_solver_stats_vars_iteration_independent(self, **kwargs):
+        """write values of vars lacking the iteration dimension"""
+        vals_dict = self._collect_stats_vals(kwargs, per_iteration=False)
+        self._stats_file.put_vars_iteration_invariant(vals_dict)
+
+    def _put_solver_stats_vars(self, **kwargs):
+        """write values of per-iteration vars at the current iteration"""
+        vals_dict = self._collect_stats_vals(kwargs, per_iteration=True)
         self._stats_file.put_vars(self.get_iteration(), vals_dict)
-
-
-def _finalize_units(metadata):
-    """map the literal units string 'None' to no units attribute"""
-    attrs = metadata["attrs"]
-    if attrs.get("units") == "None":
-        attrs["units"] = None
-    return metadata

@@ -38,22 +38,25 @@ class abio_dic_dic14(TracerModuleState):  # noqa: N801
         res.append("ABIO_D14Cocn")
         return res
 
+    # nmol C / cm^2 / s * cm^2 -> Pg C / year:
+    # nmol->mol, mol->g C (12), g->Pg, s->year (noleap)
+    _FLUX_TO_PG_PER_YEAR = 1.0e-9 * 12.0 * 1.0e-15 * 86400.0 * 365.0
+
     def stats_vars_vals(self, fptr_hist):
         res = super().stats_vars_vals(fptr_hist)
+        region_cnt = self.model_config_obj.region_cnt
 
-        tracer_name = self.tracer_names[0]
-        region_mask_surf = self.get_grid_vars(tracer_name)["region_mask"][0, :, :]
-        if region_mask_surf.max() != self.model_config_obj.region_cnt:
+        surf_mask = self.get_grid_vars(self.tracer_names[0])["region_mask"][0]
+        if surf_mask.max() != region_cnt:
             raise RuntimeError("region_cnt_surf != region_cnt")
 
-        tarea = fptr_hist.var("TAREA")[:]
-        hist_var_vals = tarea * fptr_hist.var("FG_ABIO_DIC")[:][0, :]
-        stats_var_vals = np.empty(self.model_config_obj.region_cnt)
-        for region_ind in range(self.model_config_obj.region_cnt):
-            stats_var_vals[region_ind] = np.where(
-                region_mask_surf == region_ind + 1, hist_var_vals, 0.0
-            ).sum()
-        # nmol/cm^2/s * cm^2 -> Pg C / year
-        stats_var_vals *= 1.0e-9 * 12.0 * 1.0e-15 * 86400.0 * 365.0
-        res["FG_ABIO_DIC_int_nlat_nlon"] = stats_var_vals
+        # area-weighted gas flux, summed per region with one vectorized bincount
+        flux = fptr_hist.var("TAREA")[:] * fptr_hist.var("FG_ABIO_DIC")[:][0, :]
+        region_ids = np.where(surf_mask > 0, surf_mask, 0)
+        sums = np.bincount(
+            region_ids.ravel().astype(np.intp),
+            weights=np.where(surf_mask > 0, flux, 0.0).ravel(),
+            minlength=region_cnt + 1,
+        )[1:]
+        res["FG_ABIO_DIC_int_nlat_nlon"] = sums * self._FLUX_TO_PG_PER_YEAR
         return res

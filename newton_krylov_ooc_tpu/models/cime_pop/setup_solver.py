@@ -83,58 +83,56 @@ def main(args):
     ModelConfig(modelinfo)
 
 
+def _irf_averaging_window(modelinfo):
+    """(year0, month0, yr_cnt) of the IRF output to be averaged, defaulting to
+    the case's own run-duration settings"""
+    start_date = modelinfo["irf_hist_start_date"]
+    if start_date is None:
+        run_type = cime_xmlquery(modelinfo["caseroot"], "RUN_TYPE")
+        varname = "RUN_REFDATE" if run_type == "branch" else "RUN_STARTDATE"
+        start_date = cime_xmlquery(modelinfo["caseroot"], varname)
+    year0, month0, day0 = start_date.split("-")
+
+    if day0 != "01":
+        raise NotImplementedError(f"irf_hist_day0={day0} not implemented")
+
+    yr_cnt = modelinfo["irf_hist_yr_cnt"]
+    if yr_cnt is None:
+        yr_cnt = cime_yr_cnt(modelinfo)
+    return int(year0), int(month0), int(yr_cnt)
+
+
 def gen_irf_file(modelinfo):
     """time-average IRF tracer output into the IRF mean file"""
-    irf_hist_freq_opt = modelinfo["irf_hist_freq_opt"]
-    if irf_hist_freq_opt not in ["nyear", "nmonth"]:
-        raise NotImplementedError(
-            f"irf_hist_freq_opt={irf_hist_freq_opt} not implemented"
-        )
+    freq = modelinfo["irf_hist_freq_opt"]
+    if freq not in ("nyear", "nmonth"):
+        raise NotImplementedError(f"irf_hist_freq_opt={freq} not implemented")
 
-    if modelinfo["irf_hist_start_date"] is None:
-        if cime_xmlquery(modelinfo["caseroot"], "RUN_TYPE") == "branch":
-            varname = "RUN_REFDATE"
-        else:
-            varname = "RUN_STARTDATE"
-        irf_hist_start_date = cime_xmlquery(modelinfo["caseroot"], varname)
-    else:
-        irf_hist_start_date = modelinfo["irf_hist_start_date"]
-
-    (irf_hist_year0, irf_hist_month0, irf_hist_day0) = irf_hist_start_date.split("-")
-
-    if irf_hist_day0 != "01":
-        raise NotImplementedError(f"irf_hist_day0={irf_hist_day0} not implemented")
-    if irf_hist_freq_opt == "nyear" and irf_hist_month0 != "01":
-        raise NotImplementedError(
-            f"irf_hist_month0={irf_hist_month0} not implemented for nyear tavg output"
-        )
-
-    if modelinfo["irf_hist_yr_cnt"] is None:
-        irf_hist_yr_cnt = cime_yr_cnt(modelinfo)
-    else:
-        irf_hist_yr_cnt = modelinfo["irf_hist_yr_cnt"]
-
+    year0, month0, yr_cnt = _irf_averaging_window(modelinfo)
     caller = f"{__name__}.gen_irf_file"
     irf_case = modelinfo["irf_case"]
 
-    if irf_hist_freq_opt == "nyear":
-        fname_fmt = f"{irf_case}.pop.h.{{year:04}}.nc"
+    if freq == "nyear":
+        if month0 != 1:
+            raise NotImplementedError(
+                f"irf_hist_month0={month0:02d} not implemented for nyear "
+                "tavg output"
+            )
         ann_files_to_mean_file(
             modelinfo["irf_hist_dir"],
-            fname_fmt,
-            int(irf_hist_year0),
-            int(irf_hist_yr_cnt),
+            f"{irf_case}.pop.h.{{year:04}}.nc",
+            year0,
+            yr_cnt,
             modelinfo["irf_fname"],
             caller,
         )
-    if irf_hist_freq_opt == "nmonth":
-        fname_fmt = f"{irf_case}.pop.h.{{year:04}}-{{month:02}}.nc"
+    else:
         mon_files_to_mean_file(
             modelinfo["irf_hist_dir"],
-            fname_fmt,
-            int(irf_hist_year0),
-            int(irf_hist_month0),
-            12 * int(irf_hist_yr_cnt),
+            f"{irf_case}.pop.h.{{year:04}}-{{month:02}}.nc",
+            year0,
+            month0,
+            12 * yr_cnt,
             modelinfo["irf_fname"],
             caller,
         )
@@ -153,17 +151,16 @@ def gen_grid_vars_file(modelinfo):
         region_mask = fptr_in.var("REGION_MASK")[:]
         dimensions_3d = extract_dimensions(fptr_in, ["z_t", "KMT"])
 
-    mask = np.empty(tuple(dimensions_3d.values()), dtype=np.int32)
-    for k in range(mask.shape[0]):
-        mask[k, :] = np.where((k < kmt) & (region_mask > 0), 1, 0)
-
+    # vectorized 3D mask: ocean cells above the bottom (k < KMT) are region 1;
+    # the Black Sea (REGION_MASK == -13) optionally becomes region 2
+    nz = next(iter(dimensions_3d.values()))
+    k_idx = np.arange(nz)[:, None, None]
+    ocean = k_idx < kmt[None, :, :]
+    mask = np.where(ocean & (region_mask[None, :, :] > 0), 1, 0).astype(np.int32)
     if strtobool(modelinfo["include_black_sea"]):
-        for k in range(mask.shape[0]):
-            mask[k, :] = np.where((k < kmt) & (region_mask == -13), 2, mask[k, :])
+        mask = np.where(ocean & (region_mask[None, :, :] == -13), 2, mask)
 
-    weight = np.empty(tuple(dimensions_3d.values()))
-    for k in range(weight.shape[0]):
-        weight[k, :, :] = thickness[k] * np.where(mask[k, :, :] > 0, area, 0.0)
+    weight = thickness[:, None, None] * np.where(mask > 0, area[None, :, :], 0.0)
 
     with NCFile(modelinfo["grid_vars_fname"], mode="w") as fptr_out:
         datestamp = datetime.now().strftime("%Y-%m-%d %H:%M:%S")

@@ -5,10 +5,8 @@ is disabled), invoker script, initial iterate with fixed-point warm-up.
 Capability parity: nk_ooc/py_driver_2d/setup_solver.py.
 """
 
-import cProfile
 import logging
 import os
-import pstats
 import sys
 
 import numpy as np
@@ -22,97 +20,67 @@ from ...config.share import (
     read_cfg_files,
     repro_fname,
 )
-from ...core.spatial_axis import spatial_axis_defn_dict, spatial_axis_from_defn_dict
 from ...ops.compute import ensure_x64
 from ...utils.ncio import NCFile, mkdir_exist_okay
+from ..setup_common import add_setup_args, axis_from_cfg, warmup_and_write_init_iterate
 from .model_state import ModelState
+
+CALLER = "newton_krylov_ooc_tpu.models.py_driver_2d.setup_solver.main"
 
 
 def parse_args(args_list_in=None):
-    args_list = [] if args_list_in is None else args_list_in
     parser, args_remaining = common_args(
-        "setup solver for py_driver_2d model", "py_driver_2d", args_list
+        "setup solver for py_driver_2d model",
+        "py_driver_2d",
+        [] if args_list_in is None else args_list_in,
     )
-    parser.add_argument(
-        "--init_iterate_opt",
-        help="option for specifying initial iterate",
-        default="gen_init_iterate",
-    )
-    parser.add_argument(
-        "--fp_cnt",
-        type=int,
-        help="number of fixed point iterations to apply to init_iterate",
-        default=2,
-    )
-    parser.add_argument(
-        "--prof_comp_fcn_fname",
-        help="profile comp_fcn call; write output to provided argument",
-        default=None,
-    )
-    parser.add_argument(
-        "--deprecation_warning_to_error",
-        help="treat DeprecationWarning warnings as errors",
-        action="store_true",
-    )
+    add_setup_args(parser)
     return args_replace(parser.parse_args(args_remaining))
-
-
-def gen_axis(axisname, args, modelinfo):
-    """axis object from modelinfo + CLI overrides"""
-    defn_dict = {}
-    for key, defn in spatial_axis_defn_dict(axisname=axisname).items():
-        axis_key = f"{axisname}_{key}"
-        if axis_key in modelinfo:
-            defn_dict[key] = (defn["type"])(modelinfo[axis_key])
-        if hasattr(args, axis_key):
-            defn_dict[key] = getattr(args, axis_key)
-    return spatial_axis_from_defn_dict(defn_dict=spatial_axis_defn_dict(**defn_dict))
 
 
 def gen_grid_vars_file(args, modelinfo):
     """grid-vars file: both axes, area weights, region mask (per-ypos-column
     regions when advection and horizontal mixing are both disabled)"""
-    axisnames = ["depth", "ypos"]
-    axes = {axisname: gen_axis(axisname, args, modelinfo) for axisname in axisnames}
+    axes = {
+        name: axis_from_cfg(name, args, modelinfo) for name in ("depth", "ypos")
+    }
+    weight = np.outer(axes["depth"].delta, axes["ypos"].delta)
+
+    lateral_off = (
+        float(modelinfo["max_abs_vvel"]) == 0.0
+        and float(modelinfo["horiz_mix_coeff"]) == 0.0
+    )
+    if lateral_off:
+        # columns are decoupled: each solves as its own region
+        mask = np.broadcast_to(
+            np.arange(1, weight.shape[1] + 1, dtype=np.int32), weight.shape
+        ).copy()
+    else:
+        mask = np.ones(weight.shape, dtype=np.int32)
 
     with NCFile(modelinfo["grid_vars_fname"], mode="w") as fptr:
         fptr.stamp_history(f"{__name__}.gen_grid_vars_file")
         for axis in axes.values():
             fptr.create_dimensions_verify(axis.dump_dimensions())
             fptr.create_vars(axis.dump_vars_metadata())
-
-        fptr.create_variable(
+            axis.dump_write(fptr)
+        weight_var = fptr.create_variable(
             "grid_weight",
             "f8",
-            tuple(axisnames),
+            ("depth", "ypos"),
             attrs={"long_name": "grid-cell area", "units": "m^2"},
         )
-        fptr.create_variable(
+        weight_var[:] = weight
+        mask_var = fptr.create_variable(
             "region_mask",
             "i4",
-            tuple(axisnames),
+            ("depth", "ypos"),
             attrs={
                 "long_name": "Region Mask",
                 "cell_measures": "area: grid_weight",
             },
         )
-
-        for axis in axes.values():
-            axis.dump_write(fptr)
-
-        weight = np.outer(axes["depth"].delta, axes["ypos"].delta)
-        fptr.var("grid_weight")[:] = weight
-
-        max_abs_vvel = float(modelinfo["max_abs_vvel"])
-        horiz_mix_coeff = float(modelinfo["horiz_mix_coeff"])
-        if max_abs_vvel == 0.0 and horiz_mix_coeff == 0.0:
-            # columns are decoupled: solve each as its own region
-            mask = np.broadcast_to(
-                np.arange(1, weight.shape[1] + 1, dtype=np.int32), weight.shape
-            ).copy()
-        else:
-            mask = np.ones(weight.shape, dtype=np.int32)
-        fptr.var("region_mask")[:] = mask
+        mask_var[:] = mask
 
 
 def main(args):
@@ -120,6 +88,7 @@ def main(args):
 
     config = read_cfg_files(args)
     solverinfo = config["solverinfo"]
+    modelinfo = config["modelinfo"]
 
     logging_config(solverinfo, filemode="w")
     logger = logging.getLogger(__name__)
@@ -130,57 +99,18 @@ def main(args):
     args.model_name = "py_driver_2d"
     gen_invoker_script.main(args)
 
-    modelinfo = config["modelinfo"]
-
-    grid_vars_fname = modelinfo["grid_vars_fname"]
-    logger.info('grid_vars_fname="%s"', repro_fname(modelinfo, grid_vars_fname))
-    mkdir_exist_okay(os.path.dirname(grid_vars_fname))
+    logger.info(
+        'grid_vars_fname="%s"',
+        repro_fname(modelinfo, modelinfo["grid_vars_fname"]),
+    )
+    mkdir_exist_okay(os.path.dirname(modelinfo["grid_vars_fname"]))
     gen_grid_vars_file(args, modelinfo)
 
     ModelState.model_config_obj = ModelConfig(modelinfo)
 
     init_iterate = ModelState(args.init_iterate_opt)
-
-    if args.prof_comp_fcn_fname is not None:
-        cProfile.runctx(
-            "init_iterate.comp_fcn(res_fname=None, solver_state=None, hist_fname=None)",
-            globals=None,
-            locals={"init_iterate": init_iterate},
-            filename=args.prof_comp_fcn_fname,
-        )
-        stats_obj = pstats.Stats(args.prof_comp_fcn_fname)
-        stats_obj.strip_dirs().sort_stats("time").print_stats(20)
-        return
-
-    if args.fp_cnt > 0:
-        workdir = solverinfo["workdir"]
-        gen_init_iterate_workdir = os.path.join(workdir, "gen_init_iterate")
-        mkdir_exist_okay(gen_init_iterate_workdir)
-
-        for fp_iter in range(args.fp_cnt):
-            logger.info("fp_iter=%d", fp_iter)
-            init_iterate.dump(
-                os.path.join(
-                    gen_init_iterate_workdir, f"init_iterate_{fp_iter:04}.nc"
-                ),
-                "newton_krylov_ooc_tpu.models.py_driver_2d.setup_solver.main",
-            )
-            init_iterate_fcn = init_iterate.comp_fcn(
-                os.path.join(gen_init_iterate_workdir, f"fcn_{fp_iter:04}.nc"),
-                None,
-                os.path.join(gen_init_iterate_workdir, f"hist_{fp_iter:04}.nc"),
-            )
-            init_iterate += init_iterate_fcn
-            init_iterate.copy_shadow_tracers_to_real_tracers()
-
-    init_iterate_fname = solverinfo["init_iterate_fname"]
-    logger.info(
-        'init_iterate_fname="%s"', repro_fname(solverinfo, init_iterate_fname)
-    )
-    mkdir_exist_okay(os.path.dirname(init_iterate_fname))
-    init_iterate.dump(
-        init_iterate_fname,
-        "newton_krylov_ooc_tpu.models.py_driver_2d.setup_solver.main",
+    warmup_and_write_init_iterate(
+        init_iterate, args, solverinfo, CALLER, iter_digits=4
     )
 
 

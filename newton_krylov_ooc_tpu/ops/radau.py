@@ -63,7 +63,11 @@ _E = np.array([-13.0 - 7.0 * _S6, -13.0 + 7.0 * _S6, -1.0]) / 3.0
 
 # collocation interpolant: y(t_old + x*h) = y_old + Q @ (x, x^2, x^3),
 # Q = Z^T P, determined by the interpolant passing through the stage values
-_P = np.linalg.inv(np.stack([_C ** (k + 1) for k in range(3)], axis=1))
+# continuous-extension coefficients: z(x) = (z.T @ _P) @ [x, x^2, x^3] with
+# x = (t - t_old)/h interpolates the stage increments (z(c_i) = z_i, z(0) = 0,
+# exact at the right node x = 1).  The Vandermonde inverse is transposed so it
+# contracts against z.T from the right.
+_P = np.linalg.inv(np.stack([_C ** (k + 1) for k in range(3)], axis=1)).T
 
 NEWTON_MAXITER = 6
 MIN_FACTOR = 0.2
@@ -492,30 +496,47 @@ def radau5_integrate(
 
         return attempt
 
-    def run_segment(state, t_bound):
-        attempt = make_attempt(t_bound)
+    # One continuous integration to t_end; t_eval values come from the
+    # collocation polynomial (dense output), exactly as scipy's solve_ivp
+    # samples t_eval.  Steps are never truncated at interior output points --
+    # truncating there resets the controller to the boundary sliver, which
+    # both wastes attempts regrowing h and can underflow the min-step check.
+    attempt = make_attempt(t_end)
+    n_time = t_eval.shape[0]
+    ys0 = jnp.broadcast_to(y0, (n_time, n))
 
-        def cond(carry):
-            st, n_att = carry
-            return (st.t < t_bound) & ~st.failed & (n_att < max_attempts)
+    def cond(carry):
+        st, _ys, n_att = carry
+        return (st.t < t_end) & ~st.failed & (n_att < max_attempts)
 
-        def body(carry):
-            st, n_att = carry
-            return attempt(st), n_att + 1
+    def body(carry):
+        st, ys_buf, n_att = carry
+        t_prev = st.t
+        st2 = attempt(st)
+        # fill the output points this step crossed: y(t_old + x*h) from the
+        # degree-3 continuous extension (exact at the right node, x == 1)
+        h_safe = jnp.where(st2.h_old != 0, st2.h_old, 1.0)
+        x = (t_eval - st2.t_old) / h_safe
+        xp = jnp.stack([x, x**2, x**3], axis=0)  # (3 powers, n_time)
+        vals = st2.cont_base[None, :] + (st2.cont_q @ xp).T  # (n_time, n)
+        newly = (t_eval > t_prev) & (t_eval <= st2.t)
+        ys_buf = jnp.where(newly[:, None], vals, ys_buf)
+        return st2, ys_buf, n_att + 1
 
-        state, n_att = jax.lax.while_loop(
-            cond, body, (state, jnp.asarray(0, jnp.int32))
-        )
-        state = state._replace(
-            failed=state.failed | ((n_att >= max_attempts) & (state.t < t_bound))
-        )
-        return state, state.y
-
-    state_final, ys_tail = jax.lax.scan(run_segment, init, t_eval[1:])
-    ys = jnp.concatenate([y0[None, :], ys_tail], axis=0)
+    state_final, ys_buf, n_att = jax.lax.while_loop(
+        cond, body, (init, ys0, jnp.asarray(0, jnp.int32))
+    )
+    state_final = state_final._replace(
+        failed=state_final.failed
+        | ((n_att >= max_attempts) & (state_final.t < t_end))
+    )
+    ys = ys_buf.at[0].set(y0)
     info = {
         "success": ~state_final.failed,
         "nfev": state_final.nfev,
         "nlu": state_final.nlu,
+        "t_final": state_final.t,
+        "h_abs_final": state_final.h_abs,
+        "n_attempts": n_att,
     }
     return ys, info

@@ -15,6 +15,7 @@ from ..config.share import args_replace, common_args, logging_config, read_cfg_f
 from ..core.newton import NewtonSolver
 from ..core.state import get_model_state_class
 from ..ops.compute import ensure_x64
+from ..parallel.distributed import bootstrap
 
 KILL_SENTINEL = "KILL"
 
@@ -47,6 +48,7 @@ def build_solver(config, resume, rewind, lvl=logging.INFO):
 
 def main(args):
     ensure_x64()
+    bootstrap()  # multi-host: no-op unless JAX_COORDINATOR_ADDRESS is set
 
     config = read_cfg_files(args)
     logging_config(config["solverinfo"], filemode="a")

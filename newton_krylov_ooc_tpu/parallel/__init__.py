@@ -1,1 +1,16 @@
-"""newton_krylov_ooc_tpu.parallel"""
+"""newton_krylov_ooc_tpu.parallel: device meshes, shardings, multi-host
+bootstrap, and distributed solves"""
+
+from .distributed import (  # noqa: F401
+    auto_mesh_shape,
+    bootstrap,
+    device_memory_bytes,
+    sharded_block_banded_solve,
+)
+from .mesh import (  # noqa: F401
+    make_mesh,
+    module_sharding,
+    replicated,
+    space_sharding_2d,
+    state_sharding,
+)

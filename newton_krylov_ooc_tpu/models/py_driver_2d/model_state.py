@@ -99,8 +99,17 @@ class ModelState(ModelStateBase):
             physics.lateral_jac_const(grid)
 
             use_bands = hasattr(type(tracer_module), "build_jac_bands")
+            perm = inv = None
             if use_bands:
                 physics.lateral_bands_const(grid)
+                # modules with cross-tracer coupling declare a state
+                # permutation (band_info) that makes their Jacobian banded
+                if hasattr(type(tracer_module), "band_info"):
+                    bandwidth, perm_np = type(tracer_module).band_info(grid)
+                    perm = jnp.asarray(perm_np)
+                    inv = jnp.asarray(np.argsort(perm_np))
+                else:
+                    bandwidth = grid.ypos_mid.shape[0]
 
             def integrate(y0, params):
                 cls = type(tracer_module)
@@ -110,7 +119,16 @@ class ModelState(ModelStateBase):
                     kwargs["jac_bands"] = cls.build_jac_bands(
                         grid, static_args, params
                     )
-                    kwargs["bandwidth"] = grid.ypos_mid.shape[0]
+                    kwargs["bandwidth"] = bandwidth
+                    if perm is not None:
+                        # integrate in the banded (permuted) state ordering;
+                        # jac_bands receives the permuted state directly
+                        tracer_major_fun = fun
+
+                        def fun(t, y_banded):  # noqa: F811
+                            return tracer_major_fun(t, y_banded[inv])[perm]
+
+                        y0 = y0[perm]
                 else:
                     kwargs["jac"] = cls.build_jac(grid, static_args, params)
                 ys, info = radau5_integrate(
@@ -123,6 +141,8 @@ class ModelState(ModelStateBase):
                     max_step=max_step,
                     **kwargs,
                 )
+                if perm is not None:
+                    ys = ys[:, inv]
                 return ys, info["success"]
 
             ModelState._integrate_cache[key] = jax.jit(integrate)

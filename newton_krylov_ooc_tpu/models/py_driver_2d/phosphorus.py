@@ -163,6 +163,92 @@ class phosphorus(TracerModuleState):  # noqa: N801
 
         return jac
 
+    @classmethod
+    def band_info(cls, grid):
+        """banded stage solver layout: tracer-innermost state ordering.
+
+        With state index k = cell*3 + tracer (cell = z*ny + ypos), the coupled
+        3-tracer Jacobian is banded: same-cell biogeochemical couplings sit at
+        offsets +-2, lateral-transport neighbors at +-3, and vertical
+        transport/sinking at +-3*ny -- bandwidth 3*ny, vs a dense (3*nz*ny)^2
+        system in tracer-major order.  Returns (bandwidth, perm) with perm
+        mapping banded index -> tracer-major flat index.
+        """
+        nz = grid.depth_mid.shape[0]
+        ny = grid.ypos_mid.shape[0]
+        n = nz * ny
+        perm = (
+            np.arange(3)[None, :] * n + np.arange(n)[:, None]
+        ).reshape(-1)
+        return 3 * ny, perm
+
+    @staticmethod
+    def build_jac_bands(grid, static_args, params):
+        """banded Jacobian in the tracer-innermost layout of band_info;
+        receives the integration-ordered (permuted) state"""
+        (
+            po4_halfsat,
+            max_uptake_rate,
+            sigma,
+            dop_remin_rate,
+            pop_remin_rate,
+            pop_sink_vel,
+            light_lim_flat,
+        ) = static_args
+        nz = grid.depth_mid.shape[0]
+        ny = grid.ypos_mid.shape[0]
+        n = nz * ny
+        bw = 3 * ny
+        dtype = grid.depth_mid.dtype
+        light_lim = jnp.asarray(light_lim_flat, dtype)
+
+        rows = np.arange(3 * n)
+        cell_of = rows // 3
+        is_pop = rows % 3 == 2
+        dz_r_cell = np.broadcast_to(
+            np.asarray(grid.dz_r)[:, None], (nz, ny)
+        ).reshape(-1)
+        sink_gain = jnp.asarray(
+            np.where(is_pop & (cell_of >= ny), pop_sink_vel * dz_r_cell[cell_of], 0.0),
+            dtype,
+        )
+        sink_loss = jnp.asarray(
+            np.where(
+                is_pop & (cell_of < (nz - 1) * ny),
+                pop_sink_vel * dz_r_cell[cell_of],
+                0.0,
+            ),
+            dtype,
+        )
+        # cell-level band offset o maps to permuted band position bw + 3*o
+        cell_cols = bw + 3 * (np.arange(2 * ny + 1) - ny)
+
+        def jac_bands(time, vals_flat):
+            cell_bands = physics.transport_bands(grid, time)  # (n, 2*ny+1)
+            pb = jnp.zeros((3 * n, 2 * bw + 1), dtype)
+            pb = pb.at[:, cell_cols].set(jnp.repeat(cell_bands, 3, axis=0))
+
+            # particulate sinking (pop rows): gain from the layer above,
+            # diagonal loss to the layer below (zero-flux bottom)
+            pb = pb.at[:, bw - 3 * ny].add(sink_gain)
+            pb = pb.at[:, bw].add(-sink_loss)
+
+            # biogeochemical couplings, per cell (offsets are tracer deltas)
+            po4 = vals_flat[0::3]
+            uptake_jac = (
+                max_uptake_rate * light_lim * po4_halfsat / (po4 + po4_halfsat) ** 2
+            )
+            pb = pb.at[0::3, bw].add(-uptake_jac)
+            pb = pb.at[1::3, bw - 1].add(sigma * uptake_jac)
+            pb = pb.at[2::3, bw - 2].add((1.0 - sigma) * uptake_jac)
+            pb = pb.at[0::3, bw + 1].add(dop_remin_rate)
+            pb = pb.at[1::3, bw].add(-dop_remin_rate)
+            pb = pb.at[0::3, bw + 2].add(pop_remin_rate)
+            pb = pb.at[2::3, bw].add(-pop_remin_rate)
+            return pb[None]
+
+        return jac_bands
+
     def tend_static_args(self):
         p = self.params
         return (

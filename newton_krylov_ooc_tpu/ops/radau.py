@@ -175,8 +175,6 @@ def radau5_integrate(
     mu_b = float(MU_COMPLEX.imag)
 
     if banded_mode:
-        # all-real path (complex128 is unsupported on TPU): the complex stage
-        # system solves as an interleaved real banded system
         from .banded import (
             banded_lu_factor_blocks,
             banded_lu_solve_blocks,
@@ -185,30 +183,61 @@ def radau5_integrate(
             complex_shift_bands,
         )
 
-        complex_shift_blocks = jax.vmap(complex_shift_bands, in_axes=(0, None, None))
-        complex_solve_blocks = jax.vmap(complex_banded_solve)
-
-        def factor_lu(h, jac_mat):
-            # jac_mat: (n_blocks, m, 2bw+1) row-band blocks of J
-            lu_r = banded_lu_factor_blocks(
-                bands_add_diag(-jac_mat, MU_REAL / h)
-            )
-            lu_c = banded_lu_factor_blocks(
-                complex_shift_blocks(-jac_mat, mu_a / h, mu_b / h)
-            )
-            return lu_r, lu_c
-
         def solve_real(lu, rhs):
             n_blocks = lu.shape[0]
             sol = banded_lu_solve_blocks(lu, rhs.reshape(n_blocks, -1))
             return sol.reshape(-1)
 
-        def solve_cplx(lu, rhs_re, rhs_im):
-            n_blocks = lu.shape[0]
-            x_re, x_im = complex_solve_blocks(
-                lu, rhs_re.reshape(n_blocks, -1), rhs_im.reshape(n_blocks, -1)
+        if jax.default_backend() == "tpu":
+            # TPU has no complex128: the complex stage system solves as an
+            # interleaved real banded system (2x rows, ~2x bandwidth)
+            complex_shift_blocks = jax.vmap(
+                complex_shift_bands, in_axes=(0, None, None)
             )
-            return x_re.reshape(-1), x_im.reshape(-1)
+            complex_solve_blocks = jax.vmap(complex_banded_solve)
+
+            def factor_lu(h, jac_mat):
+                # jac_mat: (n_blocks, m, 2bw+1) row-band blocks of J
+                lu_r = banded_lu_factor_blocks(
+                    bands_add_diag(-jac_mat, MU_REAL / h)
+                )
+                lu_c = banded_lu_factor_blocks(
+                    complex_shift_blocks(-jac_mat, mu_a / h, mu_b / h)
+                )
+                return lu_r, lu_c
+
+            def solve_cplx(lu, rhs_re, rhs_im):
+                n_blocks = lu.shape[0]
+                x_re, x_im = complex_solve_blocks(
+                    lu, rhs_re.reshape(n_blocks, -1), rhs_im.reshape(n_blocks, -1)
+                )
+                return x_re.reshape(-1), x_im.reshape(-1)
+
+        else:
+            # CPU/GPU support complex dtypes natively; the banded kernels are
+            # dtype-generic, and the native-complex factorization moves ~4x
+            # less memory than the interleaved-real form (same m and bw, 2x
+            # bytes per element, vs 2x m and 2x bw at 1x bytes)
+            cplx_dtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+
+            def factor_lu(h, jac_mat):
+                lu_r = banded_lu_factor_blocks(
+                    bands_add_diag(-jac_mat, MU_REAL / h)
+                )
+                mu_over_h = (mu_a + 1j * mu_b) / h.astype(cplx_dtype)
+                lu_c = banded_lu_factor_blocks(
+                    bands_add_diag((-jac_mat).astype(cplx_dtype), mu_over_h)
+                )
+                return lu_r, lu_c
+
+            def solve_cplx(lu, rhs_re, rhs_im):
+                n_blocks = lu.shape[0]
+                rhs = (rhs_re + 1j * rhs_im).astype(cplx_dtype)
+                sol = banded_lu_solve_blocks(lu, rhs.reshape(n_blocks, -1))
+                return (
+                    sol.real.astype(dtype).reshape(-1),
+                    sol.imag.astype(dtype).reshape(-1),
+                )
 
     else:
         cplx_dtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64

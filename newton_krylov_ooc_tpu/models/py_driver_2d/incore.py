@@ -19,6 +19,7 @@ from ...ops.imex import imex_year
 from ...utils.regions import region_mean_weights
 from . import physics
 from .iage import SURF_SLOW_FACTOR, surf_restore_rate
+from .phosphorus import DEFAULT_PARAMS, light_lim_2d
 
 
 class IageKernel:
@@ -46,6 +47,7 @@ class IageKernel:
         self.mean_mat = jnp.asarray(
             region_mean_weights(region_mask, grid_weight), dtype
         )
+        self._weight_flat = jnp.asarray(np.asarray(grid_weight).reshape(-1), dtype)
 
         diag = np.zeros((2, self.nz, self.ny))
         diag[0, 0, :] = -self.rate
@@ -185,3 +187,148 @@ class IageKernel:
         column = np.interp(self.depth.mid, [55.0, 200.0], [0.0, 2.0])
         field = np.broadcast_to(column[:, None], (self.nz, self.ny))
         return jnp.asarray(np.stack([field, field]), self.dtype)
+
+
+class PhosphorusKernel(IageKernel):
+    """in-core kernel: py_driver_2d phosphorus (po4/dop/pop), IMEX year.
+
+    The only stiff term is vertical mixing, which the Crank-Nicolson half of
+    the IMEX split absorbs; biogeochemistry (Michaelis-Menten uptake at a
+    ~3 day timescale, remineralization at ~0.5 yr) and particulate sinking
+    (Courant number ~4e-3 at hourly steps) integrate explicitly in the Heun
+    half.  state layout: (3, nz, ny).
+    """
+
+    def __init__(self, depth, ypos, modelinfo, dtype=jnp.float32, n_steps=8760,
+                 region_mask=None, grid_weight=None, params=None):
+        # reuse IageKernel's mesh/region plumbing, then swap the physics
+        super().__init__(depth, ypos, modelinfo, dtype, n_steps,
+                         region_mask, grid_weight)
+        self.params = dict(DEFAULT_PARAMS if params is None else params)
+        p = self.params
+
+        grid = self.grid
+        year = self.year
+        nz, ny = self.nz, self.ny
+        light_lim = jnp.asarray(light_lim_2d(depth, ypos), dtype)
+        dz_r = grid.dz_r
+        sink_vel = p["pop_sink_vel"]
+
+        def explicit_tend(t, y):
+            po4, dop, pop = y[0], y[1], y[2]
+
+            def transport(v):
+                return physics.advection_tend(grid, v) + physics.horiz_mix_tend(
+                    grid, v
+                )
+
+            d = jax.vmap(transport)(y)
+
+            uptake = (
+                p["max_uptake_rate"] * light_lim * po4 / (po4 + p["po4_halfsat"])
+            )
+            dop_remin = p["dop_remin_rate"] * dop
+            pop_remin = p["pop_remin_rate"] * pop
+            d_po4 = d[0] - uptake + dop_remin + pop_remin
+            d_dop = d[1] + p["sigma"] * uptake - dop_remin
+            d_pop = d[2] + (1.0 - p["sigma"]) * uptake - pop_remin
+
+            # particulate sinking, zero-flux bottom (mass retained)
+            sink_int = sink_vel * pop[:-1, :]
+            zero = jnp.zeros((1, ny), y.dtype)
+            sink = jnp.concatenate([zero, sink_int, zero], axis=0)
+            d_pop = d_pop + dz_r[:, None] * (sink[:-1, :] - sink[1:, :])
+
+            return jnp.stack([d_po4, d_dop, d_pop])
+
+        def vert_coeff(t):
+            return physics.vert_mixing_coeff(grid, t)
+
+        vert_diag = jnp.zeros((3, nz, ny), dtype)  # no linear local term
+
+        def year_fn(y):
+            return imex_year(
+                explicit_tend, vert_coeff, vert_diag, dz_r, y, (0.0, year),
+                n_steps,
+            )
+
+        self._year_fn = jax.jit(year_fn)
+        self._comp_fcn = jax.jit(lambda y: year_fn(y) - y)
+        self._jvp = jax.jit(
+            lambda y, v: jax.jvp(lambda yy: year_fn(yy) - yy, (y,), (v,))[1]
+        )
+        self._precond_factor = jax.jit(self._phos_precond_factor)
+        self._precond_solve = jax.jit(self._phos_precond_solve)
+
+        def dot(a, b):
+            prod = (a * b).sum(axis=0).reshape(-1)
+            return (self.mean_mat @ prod)[None, :]
+
+        self._dot = jax.jit(dot)
+
+    # -- preconditioner: one implicit-Euler step of the full coupled Jacobian ------
+
+    def _phos_jac(self, t_mid, po4_lin):
+        """dense coupled Jacobian at a po4 linearization point (f32, MXU)"""
+        from .phosphorus import phosphorus
+
+        p = self.params
+        static_args = (
+            p["po4_halfsat"],
+            p["max_uptake_rate"],
+            p["sigma"],
+            p["dop_remin_rate"],
+            p["pop_remin_rate"],
+            p["pop_sink_vel"],
+            tuple(light_lim_2d(self.depth, self.ypos).reshape(-1)),
+        )
+        jac_fn = phosphorus.build_jac(self.grid, static_args, jnp.zeros(0))
+        n = self.nz * self.ny
+        vals = jnp.zeros((3 * n,), self.dtype).at[:n].set(po4_lin.reshape(-1))
+        return jac_fn(t_mid, vals).astype(self.dtype)
+
+    def _phos_precond_factor(self, po4_lin):
+        """LU of the bordered implicit-Euler operator.
+
+        mat = dt*J is exactly singular: total phosphorus is conserved, so the
+        grid-weight functional w (tiled over the three tracers) is a left null
+        vector of J.  Bordering with the rank-one term c*w*w^T makes the
+        factorization nonsingular, and for P-neutral right-hand sides (which
+        F and all Krylov products are, up to discretization error) the
+        bordered solve returns exactly the P-neutral solution: multiplying
+        the system by w^T gives c*(w.w)*(w.x) = w.r = 0.  This replaces the
+        eigen-decomposition + null-space projection the out-of-core module
+        uses (phosphorus.apply_precond_jacobian) with a single LU.
+        """
+        n3 = 3 * self.nz * self.ny
+        dt = self.year
+        mat = dt * self._phos_jac(0.5 * self.year, po4_lin)
+        w = jnp.tile(self._weight_flat, 3)
+        c = jnp.abs(jnp.diagonal(mat)).mean() / (w @ w)
+        mat = mat + c * jnp.outer(w, w)
+        return jax.scipy.linalg.lu_factor(mat)
+
+    def _phos_precond_solve(self, data, r):
+        sol = jax.scipy.linalg.lu_solve(data, r.reshape(-1))
+        return sol.reshape(r.shape) - r
+
+    def precond_setup(self, x):
+        return self._precond_factor(x[0])
+
+    def precond_apply(self, data, r):
+        return self._precond_solve(data, r)
+
+    # -- conveniences -------------------------------------------------------------
+
+    def init_iterate(self, tracer_module_def=None):
+        """column-interpolated initial iterate matching gen_init_iterate"""
+        profiles = (
+            ([130.0, 260.0], [5.5e-3, 4.1]),
+            ([95.0, 140.0], [7.1e-2, 1.5e-4]),
+            ([170.0, 250.0], [1.8e-2, 7.9e-4]),
+        )
+        cols = [np.interp(self.depth.mid, d, v) for d, v in profiles]
+        field = np.stack(
+            [np.broadcast_to(c[:, None], (self.nz, self.ny)) for c in cols]
+        )
+        return jnp.asarray(field, self.dtype)

@@ -149,3 +149,25 @@ def test_incore_checkpoint_resume(tmp_path):
     x2, _, info2 = solver2.solve(kernel.init_iterate(), checkpoint_dir=ckpt)
     assert info2["iterations"] == info["iterations"]
     assert np.allclose(np.asarray(x2), np.asarray(x_ref))
+
+
+def test_incore_phosphorus_spinup():
+    """coupled 3-tracer phosphorus spin-up through the IMEX fast path:
+    quadratic Newton convergence with the dense implicit-Euler precond"""
+    from newton_krylov_ooc_tpu.models.py_driver_2d.incore import PhosphorusKernel
+
+    depth, ypos = _axes(10, 6)
+    kernel = PhosphorusKernel(
+        depth, ypos, MODELINFO, dtype=jnp.float64, n_steps=730
+    )
+    solver = NewtonKrylovInCore(kernel, newton_rel_tol=1e-4, newton_max_iter=8)
+    x, fcn, info = solver.solve(kernel.init_iterate())
+
+    rel = [
+        float((st["fcn_norm"] / np.maximum(st["x_norm"], 1e-300)).max())
+        for st in solver.stats
+    ]
+    assert rel[-1] < 1e-4
+    assert len(rel) <= 4  # quadratic-ish convergence, not a crawl
+    assert np.isfinite(np.asarray(x)).all()
+    assert float(np.asarray(x)[0].min()) > 0.0  # po4 stays positive

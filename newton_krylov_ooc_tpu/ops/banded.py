@@ -148,3 +148,143 @@ def complex_banded_solve(factored, rhs_re, rhs_im):
     sol = banded_lu_solve(factored, rhs).reshape(-1, 2)
     return sol[:, 0], sol[:, 1]
 
+
+
+# -- block-banded kernels -----------------------------------------------------
+#
+# For coupled-tracer stage systems (b tracers per grid cell, cell-level stencil
+# bandwidth BW) scalar banded LU moves O(m * (b*BW)^2) elements; block-band
+# storage moves O((m/b) * BW^2 * b^2) = b x less, with b x fewer (fatter)
+# scan steps.  Block row-band storage:
+#   bands[i, d] = A_block[i, i + d - BW]   (shape (M, 2*BW+1, b, b))
+# The factored form stores L multiplier blocks in the lower band, U blocks in
+# the upper band, and the INVERSE of each pivot block on the diagonal (so
+# solves never re-invert).  No pivoting: stage matrices (mu/h I - J) are
+# block-diagonally dominant.
+
+
+def _small_inv(mat):
+    """inverse of a small (b, b) block by unrolled Gauss-Jordan (no pivoting;
+    avoids XLA LuDecomposition so it runs float64/complex on TPU)"""
+    b = mat.shape[-1]
+    aug = jnp.concatenate([mat, jnp.eye(b, dtype=mat.dtype)], axis=-1)
+    for j in range(b):
+        row_j = aug[j] / aug[j, j]
+        aug = aug - aug[:, j:j + 1] * row_j[None, :]
+        aug = aug.at[j].set(row_j)
+    return aug[:, b:]
+
+
+def block_bands_add_diag(bands, val):
+    """add val to the scalar diagonal of every diagonal block"""
+    b = bands.shape[-1]
+    bw = (bands.shape[1] - 1) // 2
+    diag_idx = jnp.arange(b)
+    return bands.at[:, bw, diag_idx, diag_idx].add(val)
+
+
+def block_banded_lu_factor(bands):
+    """block LU of block-row-band storage; see module comment for the layout
+
+    returns the factored bands with pivot-block inverses on the diagonal.
+    """
+    m, width, b, _ = bands.shape
+    bw = (width - 1) // 2
+    dtype = bands.dtype
+
+    padded = jnp.concatenate(
+        [bands, jnp.zeros((bw, width, b, b), dtype)], axis=0
+    )
+    k_idx = jnp.arange(bw)
+    col_idx = jnp.arange(width)
+
+    def step(mat, i):
+        pivot_row = jax.lax.dynamic_slice(mat, (i, 0, 0, 0), (1, width, b, b))[0]
+        pinv = _small_inv(pivot_row[bw])
+        window = jax.lax.dynamic_slice(mat, (i + 1, 0, 0, 0), (bw, width, b, b))
+        # L_k = A[i+1+k, i] @ pinv, stored at band position bw - (k+1)
+        sub = window[k_idx, bw - 1 - k_idx]  # (bw, b, b)
+        l_blk = jnp.einsum("kab,bc->kac", sub, pinv)
+        # pivot row's U part only (lower band holds stored multipliers)
+        pivot_u = jnp.where(
+            (col_idx >= bw)[:, None, None], pivot_row, jnp.zeros((), dtype)
+        )
+        pivot_pad = jnp.concatenate(
+            [pivot_u, jnp.zeros((bw + 1, b, b), dtype)], axis=0
+        )
+        shift = pivot_pad[k_idx[:, None] + 1 + col_idx[None, :]]  # (bw, W, b, b)
+        window = window - jnp.einsum("kab,kdbc->kdac", l_blk, shift)
+        window = window.at[k_idx, bw - 1 - k_idx].set(l_blk)
+        mat = jax.lax.dynamic_update_slice(mat, window, (i + 1, 0, 0, 0))
+        # store the pivot inverse in place of the processed diagonal block
+        mat = jax.lax.dynamic_update_slice(
+            mat, pinv[None, None], (i, bw, 0, 0)
+        )
+        return mat, None
+
+    factored, _ = jax.lax.scan(step, padded, jnp.arange(m - 1))
+    factored = factored[:m]
+    # invert the last pivot block too
+    last_inv = _small_inv(factored[m - 1, bw])
+    return factored.at[m - 1, bw].set(last_inv)
+
+
+def block_banded_lu_solve(factored, rhs):
+    """solve A x = rhs given block_banded_lu_factor output; rhs: (M, b)"""
+    m, width, b, _ = factored.shape
+    bw = (width - 1) // 2
+    dtype = factored.dtype
+    rhs = rhs.astype(dtype)
+
+    # forward: y[i] = b[i] - sum_d L[i, d] y[i + d - bw], d < bw
+    def fwd(hist, inp):
+        b_i, row = inp
+        l_blk = row[:bw]  # (bw, b, b), offsets -bw..-1 (oldest..newest)
+        y_i = b_i - jnp.einsum("dab,db->a", l_blk, hist)
+        hist = jnp.concatenate([hist[1:], y_i[None]], axis=0)
+        return hist, y_i
+
+    _, y = jax.lax.scan(fwd, jnp.zeros((bw, b), dtype), (rhs, factored))
+
+    # back: x[i] = Pinv_i (y[i] - sum_d U[i, bw+1+d] x[i+1+d])
+    def back(hist, inp):
+        y_i, row = inp
+        u_blk = row[bw + 1:]  # offsets +1..+bw (nearest..farthest)
+        x_i = row[bw] @ (y_i - jnp.einsum("dab,db->a", u_blk, hist))
+        hist = jnp.concatenate([x_i[None], hist[:-1]], axis=0)
+        return hist, x_i
+
+    _, x = jax.lax.scan(
+        back, jnp.zeros((bw, b), dtype), (y, factored), reverse=True
+    )
+    return x
+
+
+def complex_shift_block_bands(neg_bands, alpha, beta):
+    """(alpha + i*beta) I + real block bands -> interleaved real block bands
+
+    neg_bands: (M, W, b, b) blocks of -J; returns (M, W, 2b, 2b) blocks of the
+    real form [[alpha I - J, -beta I], [beta I, alpha I - J]] (per cell; the
+    alpha/beta terms touch only diagonal blocks).  For TPU, where complex
+    dtypes are unavailable.
+    """
+    m, width, b, _ = neg_bands.shape
+    bw = (width - 1) // 2
+    dtype = neg_bands.dtype
+    out = jnp.zeros((m, width, 2 * b, 2 * b), dtype)
+    out = out.at[:, :, :b, :b].set(neg_bands)
+    out = out.at[:, :, b:, b:].set(neg_bands)
+    diag_idx = jnp.arange(b)
+    out = out.at[:, bw, diag_idx, diag_idx].add(alpha)
+    out = out.at[:, bw, b + diag_idx, b + diag_idx].add(alpha)
+    out = out.at[:, bw, diag_idx, b + diag_idx].add(-beta)
+    out = out.at[:, bw, b + diag_idx, diag_idx].add(beta)
+    return out
+
+
+def complex_block_banded_solve(factored, rhs_re, rhs_im):
+    """solve the interleaved real block system; rhs_re/rhs_im: (M, b)"""
+    rhs = jnp.concatenate([rhs_re, rhs_im], axis=-1)  # (M, 2b)
+    sol = block_banded_lu_solve(factored, rhs)
+    b = rhs_re.shape[-1]
+    return sol[:, :b], sol[:, b:]

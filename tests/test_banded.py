@@ -101,3 +101,76 @@ def test_transport_bands_match_dense():
     for blk in range(2):
         dense_blk = jd[blk * n : (blk + 1) * n, blk * n : (blk + 1) * n]
         assert np.abs(jb[blk] - dense_to_bands(dense_blk, 6)).max() < 1e-14
+
+
+def _random_block_bands(rng, m, bw, b, dom=30.0):
+    bands = rng.standard_normal((m, 2 * bw + 1, b, b))
+    for d in range(2 * bw + 1):
+        off = d - bw
+        bad = [i for i in range(m) if not 0 <= i + off < m]
+        bands[bad, d] = 0.0
+    bands[:, bw] += dom * np.eye(b)
+    return bands
+
+
+def _block_bands_to_dense(bands):
+    m, width, b, _ = bands.shape
+    bw = (width - 1) // 2
+    dense = np.zeros((m * b, m * b), bands.dtype)
+    for i in range(m):
+        for d in range(width):
+            j = i + d - bw
+            if 0 <= j < m:
+                dense[i * b : (i + 1) * b, j * b : (j + 1) * b] = bands[i, d]
+    return dense
+
+
+def test_block_banded_solve_matches_dense():
+    from newton_krylov_ooc_tpu.ops.banded import (
+        block_banded_lu_factor,
+        block_banded_lu_solve,
+    )
+
+    rng = np.random.default_rng(17)
+    m, bw, b = 24, 3, 3
+    bands = _random_block_bands(rng, m, bw, b)
+    rhs = rng.standard_normal((m, b))
+    lu = block_banded_lu_factor(jnp.asarray(bands))
+    x = np.asarray(block_banded_lu_solve(lu, jnp.asarray(rhs)))
+    x_ref = np.linalg.solve(_block_bands_to_dense(bands), rhs.reshape(-1))
+    assert np.allclose(x, x_ref.reshape(m, b), atol=1e-12)
+
+
+def test_block_banded_complex_paths_agree():
+    """interleaved-real (TPU form) and native-complex block solves agree"""
+    from newton_krylov_ooc_tpu.ops.banded import (
+        block_banded_lu_factor,
+        block_banded_lu_solve,
+        block_bands_add_diag,
+        complex_block_banded_solve,
+        complex_shift_block_bands,
+    )
+
+    rng = np.random.default_rng(23)
+    m, bw, b = 16, 2, 3
+    alpha, beta = 2.5, 1.7
+    bands = _random_block_bands(rng, m, bw, b)
+    rr = rng.standard_normal((m, b))
+    ri = rng.standard_normal((m, b))
+
+    lu_i = block_banded_lu_factor(
+        complex_shift_block_bands(jnp.asarray(-bands), alpha, beta)
+    )
+    xr, xi = complex_block_banded_solve(lu_i, jnp.asarray(rr), jnp.asarray(ri))
+
+    lu_n = block_banded_lu_factor(
+        block_bands_add_diag(
+            jnp.asarray(-bands).astype(jnp.complex128), alpha + 1j * beta
+        )
+    )
+    xn = np.asarray(block_banded_lu_solve(lu_n, jnp.asarray(rr + 1j * ri)))
+
+    cmat = (alpha + 1j * beta) * np.eye(m * b) - _block_bands_to_dense(bands)
+    x_ref = np.linalg.solve(cmat, (rr + 1j * ri).reshape(-1)).reshape(m, b)
+    assert np.allclose(np.asarray(xr) + 1j * np.asarray(xi), x_ref, atol=1e-11)
+    assert np.allclose(xn, x_ref, atol=1e-11)

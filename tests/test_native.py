@@ -192,3 +192,77 @@ def test_gen_a_solve_abdist_roundtrip(tmp_path):
     expected = np.linalg.solve(a_dense, rhs.reshape(-1)[row_to_cell])
     assert np.allclose(solution[row_to_cell], expected, rtol=1e-9, atol=1e-12)
     assert np.array_equal(solution, old)
+
+
+def test_device_sparse_solve_matches_native(tmp_path):
+    """the on-device ELL/BiCGSTAB path (ops/sparse + cime_pop
+    precond_solver_mode=device) solves the same gen_A matrix to the same
+    answer as the native solve_ABdist tool"""
+    if not os.path.exists(GEN_A):
+        pytest.skip("native tools not built")
+    from newton_krylov_ooc_tpu.models.cime_pop.model_state import (
+        _device_solve_matrix,
+    )
+    from newton_krylov_ooc_tpu.ops.sparse import solve_csr_systems
+
+    nz, nlat, nlon = 5, 3, 2
+    reg_fname = tmp_path / "grid_vars.nc"
+    with NCFile(str(reg_fname), mode="w") as fptr:
+        fptr.create_dimensions_verify({"z_t": nz, "nlat": nlat, "nlon": nlon})
+        mask = fptr.create_variable("region_mask", "i4", ("z_t", "nlat", "nlon"))
+        mask[:] = np.ones((nz, nlat, nlon), np.int32)
+    circ_fname = tmp_path / "irf.nc"
+    with NCFile(str(circ_fname), mode="w") as fptr:
+        fptr.create_dimensions_verify({"z_t": nz, "nlat": nlat, "nlon": nlon})
+        fptr.create_variable("dz", "f8", ("z_t",))[:] = np.full(nz, 100.0e2)
+        vdc = fptr.create_variable("VDC", "f8", ("z_t", "nlat", "nlon"))
+        vdc[:] = np.full((nz, nlat, nlon), 1.0e4)
+    opts = tmp_path / "matrix.opts"
+    opts.write_text(
+        "day_cnt 365\n"
+        f"reg_fname {reg_fname}\n"
+        f"circ_fname {circ_fname}\n"
+        "vmix_type file VDC\n"
+        "sink_type const 1.0e-8\n"
+    )
+    matrix_fname = tmp_path / "matrix.nc"
+    subprocess.run([GEN_A, "-D1", "-o", str(opts), str(matrix_fname)], check=True)
+
+    rng = np.random.default_rng(7)
+    rhs = rng.normal(size=(nz, nlat, nlon))
+    state_fname = tmp_path / "state.nc"
+    with NCFile(str(state_fname), mode="w") as fptr:
+        fptr.create_dimensions_verify({"z_t": nz, "nlat": nlat, "nlon": nlon})
+        for suffix in ["CUR", "OLD"]:
+            var = fptr.create_variable(
+                f"IAGE_{suffix}", "f8", ("z_t", "nlat", "nlon")
+            )
+            var[:] = rhs
+
+    _device_solve_matrix(str(matrix_fname), str(state_fname), ["IAGE_CUR"])
+
+    with NCFile(str(matrix_fname)) as fptr:
+        row_ptr = fptr.var("row_ptr")[:].astype(np.int64)
+        col_ind = fptr.var("col_ind")[:].astype(np.int64)
+        data = fptr.var("data")[:]
+        row_to_cell = fptr.var("row_to_cell")[:].astype(np.int64)
+    n = len(row_ptr) - 1
+    a_dense = np.zeros((n, n))
+    for r in range(n):
+        for p in range(int(row_ptr[r]), int(row_ptr[r + 1])):
+            a_dense[r, int(col_ind[p])] = data[p]
+    expected = np.linalg.solve(a_dense, rhs.reshape(-1)[row_to_cell])
+
+    with NCFile(str(state_fname)) as fptr:
+        solution = fptr.var("IAGE_CUR")[:].reshape(-1)
+        old = fptr.var("IAGE_OLD")[:].reshape(-1)
+    assert np.allclose(solution[row_to_cell], expected, rtol=1e-8, atol=1e-11)
+    assert np.array_equal(solution, old)
+
+    # direct batched-API check with 2 right-hand sides
+    rhs2 = rng.normal(size=(2, n))
+    x, ok = solve_csr_systems(row_ptr, col_ind, data, rhs2)
+    assert ok.all()
+    assert np.allclose(
+        x, np.linalg.solve(a_dense, rhs2.T).T, rtol=1e-8, atol=1e-11
+    )

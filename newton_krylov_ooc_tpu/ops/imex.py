@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .tridiag import thomas_solve
+from .tridiag import pcr_solve
 
 
 def cn_vertical_increment(kv, diag, dz_r, v, dt):
@@ -53,12 +53,16 @@ def cn_vertical_increment(kv, diag, dz_r, v, dt):
     ) + diag * v
     rhs = dt * m_v
 
-    return jax.vmap(thomas_solve, in_axes=(1, 1, 1, 1), out_axes=1)(
-        -half * dl, 1.0 - half * dmain, -half * du, rhs
-    )
+    # parallel cyclic reduction along depth: log2(nz) vectorized stages
+    # instead of a 2*nz-step sequential scan -- the step-time floor of the
+    # fused year loop is this solve's depth, not its flops
+    return pcr_solve(
+        (-half * dl).T, (1.0 - half * dmain).T, (-half * du).T, rhs.T
+    ).T
 
 
-def imex_year(explicit_tend, vert_coeff, vert_diag, dz_r, y0, t_span, n_steps):
+def imex_year(explicit_tend, vert_coeff, vert_diag, dz_r, y0, t_span, n_steps,
+              unroll=8):
     """
     integrate a (..., nz, ny) state one period with Strang-split IMEX and
     Kahan-compensated accumulation
@@ -68,6 +72,8 @@ def imex_year(explicit_tend, vert_coeff, vert_diag, dz_r, y0, t_span, n_steps):
     vert_diag: stiff local linear rates folded into the implicit solve
         (zeros if none); broadcastable to y0's shape
     y0: (..., nz, ny); leading axes (modules, tracers) are batched
+    unroll: lax.scan unroll factor -- small grids are bound by per-iteration
+        loop overhead, not arithmetic; unrolling amortizes it
     """
     dtype = y0.dtype
     t0 = jnp.asarray(t_span[0], dtype)
@@ -90,20 +96,39 @@ def imex_year(explicit_tend, vert_coeff, vert_diag, dz_r, y0, t_span, n_steps):
         comp_new = adj - (y_new - y)
         return y_new, comp_new
 
-    def step(carry, ind):
-        y, comp = carry
-        t = t0 + ind.astype(dtype) * dt
-        y, comp = kahan_add(y, comp, cn_incr_all(vert_coeff(t), y, 0.5 * dt))
+    def heun(t, y, comp):
         # Heun (explicit trapezoid) for the non-stiff terms
         f1 = explicit_tend(t, y)
         f2 = explicit_tend(t + dt, y + dt * f1)
-        y, comp = kahan_add(y, comp, 0.5 * dt * (f1 + f2))
-        y, comp = kahan_add(
-            y, comp, cn_incr_all(vert_coeff(t + dt), y, 0.5 * dt)
-        )
+        return kahan_add(y, comp, 0.5 * dt * (f1 + f2))
+
+    # Strang splitting with combined interior half-steps: the trailing
+    # CN(dt/2) of step k and the leading CN(dt/2) of step k+1 act at the
+    # same time point with the same operator, so the interior pairs merge
+    # into single full-dt solves -- half the implicit solves per year at
+    # the same (second) order:
+    #   CNh(t0) H(t0) CNf(t1) H(t1) ... CNf(t_{n-1}) H(t_{n-1}) CNh(t_n)
+    y, comp = kahan_add(
+        y0, jnp.zeros_like(y0), cn_incr_all(vert_coeff(t0), y0, 0.5 * dt)
+    )
+
+    def step(carry, ind):
+        y, comp = carry
+        t = t0 + ind.astype(dtype) * dt
+        y, comp = heun(t, y, comp)
+        y, comp = kahan_add(y, comp, cn_incr_all(vert_coeff(t + dt), y, dt))
         return (y, comp), None
 
-    (y_end, _comp), _ = jax.lax.scan(
-        step, (y0, jnp.zeros_like(y0)), jnp.arange(n_steps)
+    if n_steps > 1:
+        (y, comp), _ = jax.lax.scan(
+            step,
+            (y, comp),
+            jnp.arange(n_steps - 1),
+            unroll=min(unroll, n_steps - 1),
+        )
+    t_last = t0 + (n_steps - 1) * dt
+    y, comp = heun(t_last, y, comp)
+    y, _comp = kahan_add(
+        y, comp, cn_incr_all(vert_coeff(t_last + dt), y, 0.5 * dt)
     )
-    return y_end
+    return y

@@ -74,3 +74,55 @@ def thomas_solve_np(dl, d, du, b):
     for i in range(n - 2, -1, -1):
         x[..., i] = g[..., i] - c[..., i] * x[..., i + 1]
     return x
+
+
+def pcr_solve(dl, d, du, b):
+    """parallel-cyclic-reduction tridiagonal solve along the LAST axis
+
+    All arguments (..., n) with the Thomas convention (dl[..., 0] and
+    du[..., -1] unused).  ceil(log2(n)) fully-vectorized stages instead of 2n
+    sequential recurrence steps -- the depth-optimal form for accelerators,
+    where the batched Thomas scan's latency is the step-time floor of the
+    IMEX kernel.  Stable for the diagonally dominant Crank-Nicolson systems
+    (same regime as the pivot-free banded LU).
+    """
+    n = d.shape[-1]
+    if n == 1:
+        return b / d
+    a_c = jnp.where(
+        jnp.arange(n) == 0, jnp.zeros((), d.dtype), dl
+    )
+    c_c = jnp.where(
+        jnp.arange(n) == n - 1, jnp.zeros((), d.dtype), du
+    )
+    b_c, r_c = d, b
+
+    def shifted(arr, shift, fill):
+        """arr shifted so that out[..., i] = arr[..., i + shift], padded"""
+        if shift > 0:
+            pad = jnp.full(arr.shape[:-1] + (shift,), fill, arr.dtype)
+            return jnp.concatenate([arr[..., shift:], pad], axis=-1)
+        pad = jnp.full(arr.shape[:-1] + (-shift,), fill, arr.dtype)
+        return jnp.concatenate([pad, arr[..., :shift]], axis=-1)
+
+    stride = 1
+    while stride < n:
+        # neighbors at i -/+ stride; out-of-range rows act as identity rows
+        a_m = shifted(a_c, -stride, 0.0)
+        b_m = shifted(b_c, -stride, 1.0)
+        c_m = shifted(c_c, -stride, 0.0)
+        r_m = shifted(r_c, -stride, 0.0)
+        a_p = shifted(a_c, stride, 0.0)
+        b_p = shifted(b_c, stride, 1.0)
+        c_p = shifted(c_c, stride, 0.0)
+        r_p = shifted(r_c, stride, 0.0)
+
+        alpha = -a_c / b_m
+        gamma = -c_c / b_p
+        a_c = alpha * a_m
+        c_c = gamma * c_p
+        b_c = b_c + alpha * c_m + gamma * a_p
+        r_c = r_c + alpha * r_m + gamma * r_p
+        stride *= 2
+
+    return r_c / b_c

@@ -23,9 +23,7 @@ TPU VMs.
 from __future__ import annotations
 
 import logging
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

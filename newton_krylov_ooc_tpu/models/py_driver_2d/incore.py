@@ -18,6 +18,19 @@ import numpy as np
 from ...ops.imex import imex_year
 from ...utils.regions import region_mean_weights
 from . import physics
+
+
+def _matmul_highest(fn):
+    """trace fn under highest matmul precision: TPU float32 matmuls default
+    to reduced (bfloat16-multiply) MXU precision, which degrades the dense-LU
+    preconditioner enough to stall Newton -- solver linear algebra needs the
+    full-precision path"""
+
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 from .iage import SURF_SLOW_FACTOR, surf_restore_rate
 from .phosphorus import DEFAULT_PARAMS, light_lim_2d
 
@@ -84,8 +97,8 @@ class IageKernel:
 
         # dense per-tracer Jacobian hooks for the preconditioner
         physics.lateral_jac_const(grid)
-        self._precond_factor = jax.jit(self._precond_factor_impl)
-        self._precond_solve = jax.jit(self._precond_solve_impl)
+        self._precond_factor = jax.jit(_matmul_highest(self._precond_factor_impl))
+        self._precond_solve = jax.jit(_matmul_highest(self._precond_solve_impl))
 
         # region-weighted reductions: (2, nz, ny) -> (1 module, region_cnt)
         def dot(a, b):
@@ -257,8 +270,8 @@ class PhosphorusKernel(IageKernel):
         self._jvp = jax.jit(
             lambda y, v: jax.jvp(lambda yy: year_fn(yy) - yy, (y,), (v,))[1]
         )
-        self._precond_factor = jax.jit(self._phos_precond_factor)
-        self._precond_solve = jax.jit(self._phos_precond_solve)
+        self._precond_factor = jax.jit(_matmul_highest(self._phos_precond_factor))
+        self._precond_solve = jax.jit(_matmul_highest(self._phos_precond_solve))
 
         def dot(a, b):
             prod = (a * b).sum(axis=0).reshape(-1)

@@ -42,7 +42,7 @@ class IageKernel:
     """
 
     def __init__(self, depth, ypos, modelinfo, dtype=jnp.float32, n_steps=8760,
-                 region_mask=None, grid_weight=None):
+                 region_mask=None, grid_weight=None, use_pallas=None):
         self.depth = depth
         self.ypos = ypos
         self.dtype = dtype
@@ -89,11 +89,35 @@ class IageKernel:
                 (0.0, year), n_steps,
             )
 
-        self._year_fn = jax.jit(year_fn)
-        self._comp_fcn = jax.jit(lambda y: year_fn(y) - y)
-        self._jvp = jax.jit(
-            lambda y, v: jax.jvp(lambda yy: year_fn(yy) - yy, (y,), (v,))[1]
-        )
+        # on TPU at float32 the whole year runs as ONE pallas kernel (state
+        # VMEM-resident across all steps, ~3x the XLA scan); the model is
+        # linear, so the exact Jacobian-vector product is the same kernel
+        # with the aging source zeroed: J v = year_src0(v) - v
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu" and dtype == jnp.float32
+            )
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from ...ops.imex_pallas import build_iage_year_pallas
+
+            source = np.full((2, 1, 1), 1.0 / year, np.float32)
+            year_pl = build_iage_year_pallas(
+                grid, self._vert_diag, source, (0.0, year), n_steps
+            )
+            year0_pl = build_iage_year_pallas(
+                grid, self._vert_diag, np.zeros((2, 1, 1), np.float32),
+                (0.0, year), n_steps,
+            )
+            self._year_fn = year_pl
+            self._comp_fcn = jax.jit(lambda y: year_pl(y) - y)
+            self._jvp = jax.jit(lambda y, v: year0_pl(v) - v)
+        else:
+            self._year_fn = jax.jit(year_fn)
+            self._comp_fcn = jax.jit(lambda y: year_fn(y) - y)
+            self._jvp = jax.jit(
+                lambda y, v: jax.jvp(lambda yy: year_fn(yy) - yy, (y,), (v,))[1]
+            )
 
         # dense per-tracer Jacobian hooks for the preconditioner
         physics.lateral_jac_const(grid)

@@ -1,0 +1,238 @@
+"""single-kernel (pallas) IMEX year for the py_driver_2d iage family.
+
+The XLA scan version (ops/imex.py) executes ~30 small fused kernels per step;
+at the 40x50 benchmark grid that op-launch cadence -- not arithmetic or
+bandwidth -- sets the ~15 us/step floor.  This kernel runs the WHOLE model
+year inside one `pallas_call`: the state (tens of KB) lives in VMEM scratch
+for all 8760 steps, the boundary-layer seasonality evaluates in closed form
+on the VPU, and the Crank-Nicolson solves run as parallel cyclic reduction on
+VMEM arrays.  Measured ~4x over the scan version on a v5e chip.
+
+Scope: linear models (advection + horizontal mixing + constant source
+explicit; vertical mixing + linear local terms implicit) -- iage and its
+parameterized relatives.  Linearity also gives the exact Jacobian-vector
+product for free: the year-tangent is this same kernel with the source
+zeroed (see IageKernel).
+
+The numerical scheme is identical to ops/imex.imex_year: Strang splitting
+with merged interior half-steps and Kahan-compensated accumulation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.py_driver_2d import physics
+
+
+def _piecewise_frac(t, xs, fs):
+    """closed-form piecewise-linear interpolation over a static table
+    (flat extrapolation), gather-free for pallas"""
+    val = float(fs[0])
+    for k in range(len(xs) - 1):
+        val = val + (float(fs[k + 1]) - float(fs[k])) * jnp.clip(
+            (t - float(xs[k])) / (float(xs[k + 1]) - float(xs[k])), 0.0, 1.0
+        )
+    return val
+
+
+def _pcr_axis1(dl, d, du, b, nz):
+    """parallel cyclic reduction along axis 1 of (T, nz, ny) arrays"""
+    dtype = b.dtype
+    t_dim, _, ny = b.shape
+
+    def sh(arr, s, fill):
+        pad = jnp.full((t_dim, abs(s), ny), fill, dtype)
+        if s > 0:
+            return jnp.concatenate([arr[:, s:, :], pad], axis=1)
+        return jnp.concatenate([pad, arr[:, :s, :]], axis=1)
+
+    a_c, b_c, c_c, r_c = dl, d, du, b
+    stride = 1
+    while stride < nz:
+        alpha = -a_c / sh(b_c, -stride, 1.0)
+        gamma = -c_c / sh(b_c, stride, 1.0)
+        a_n = alpha * sh(a_c, -stride, 0.0)
+        c_n = gamma * sh(c_c, stride, 0.0)
+        b_c = b_c + alpha * sh(c_c, -stride, 0.0) + gamma * sh(a_c, stride, 0.0)
+        r_c = r_c + alpha * sh(r_c, -stride, 0.0) + gamma * sh(r_c, stride, 0.0)
+        a_c, c_c = a_n, c_n
+        stride *= 2
+    return r_c / b_c
+
+
+def build_iage_year_pallas(grid, vert_diag, source, t_span, n_steps):
+    """jitted (y0: (T, nz, ny) f32) -> y(t_end), the whole year in one kernel
+
+    grid: physics.Grid2D (float32); vert_diag: (T, nz, ny) linear local rates
+    folded into the implicit solve; source: (T, 1, 1) constant explicit source
+    (the aging term; pass zeros for the linearized/tangent year).
+    """
+    nz = int(grid.depth_mid.shape[0])
+    ny = int(grid.ypos_mid.shape[0])
+    t_dim = int(np.asarray(vert_diag).shape[0])
+    dtype = jnp.float32
+
+    t0 = float(t_span[0])
+    dt = float((t_span[1] - t_span[0]) / n_steps)
+    n_steps = int(n_steps)
+
+    # static scalars
+    bld_min = float(physics.BLD_MIN)
+    log_shallow = float(physics.VERT_MIX_LOG_SHALLOW)
+    log_deep = float(physics.VERT_MIX_LOG_DEEP)
+    tfrac = np.asarray(physics._BLD_TFRAC, np.float64)
+    ffrac = np.asarray(physics._BLD_FRAC, np.float64)
+
+    # static per-grid constants, embedded 2-D for TPU tiling
+    bld_max = np.interp(
+        np.asarray(grid.ypos_mid, np.float64),
+        physics._BLD_YPOS,
+        physics._BLD_MAX,
+    ).astype(np.float32)[None, :]                        # (1, ny)
+    vvel_int = np.asarray(grid.vvel, np.float32)[:, 1:-1]  # (nz, ny-1)
+    wvel_int = np.asarray(grid.wvel, np.float32)[1:-1, :]  # (nz-1, ny)
+    dy_r = np.asarray(grid.dy_r, np.float32).reshape(1, ny)  # (1, ny)
+    hmc = np.asarray(grid.horiz_mix_coeff, np.float32)       # (nz, ny-1)
+    if hmc.ndim == 0:
+        hmc = np.full((nz, ny - 1), float(hmc), np.float32)
+    dz_r = np.asarray(grid.dz_r, np.float32)[:, None]       # (nz, 1)
+    dz_mid = np.asarray(grid.dz_mid, np.float32)[:, None]   # (nz-1, 1)
+    dz_mid_r = np.asarray(grid.dz_mid_r, np.float32)[:, None]
+    edges = np.asarray(grid.depth_mid, np.float32)[:, None]  # (nz, 1)
+    diag_np = np.asarray(vert_diag, np.float32).reshape(t_dim, nz, ny)
+    source_np = np.asarray(source, np.float32).reshape(t_dim, 1, 1)
+
+    def kernel(y0_ref, vvel_ref, wvel_ref, diag_ref, src_ref, bldmax_ref,
+               dzr_ref, dzm_ref, dzmr_ref, edges_ref, dyr_ref, hmc_ref,
+               out_ref, y_scr, c_scr):
+        diag = diag_ref[:]
+        src = src_ref[:]
+        dzr = dzr_ref[:]          # (nz, 1)
+        wv = wvel_ref[:]          # (nz-1, ny)
+        vv = vvel_ref[:]          # (nz, ny-1)
+        dy_rv = dyr_ref[:]        # (1, ny)
+        hmcv = hmc_ref[:]         # (nz, ny-1)
+        abs_wv = jnp.abs(wv)
+        e_lo = edges_ref[0 : nz - 1, :]   # (nz-1, 1)
+        e_hi = edges_ref[1:nz, :]
+        e_delta = e_hi - e_lo
+        bldmax = bldmax_ref[:]    # (1, ny)
+
+        def kv_of(t):
+            frac = _piecewise_frac(t, tfrac, ffrac)
+            bld = bld_min + (bldmax - bld_min) * frac        # (1, ny)
+            x0 = bld - 20.0
+            x1 = bld + 20.0
+            slope = (log_deep - log_shallow) / (x1 - x0)
+
+            def antider(x):
+                c = jnp.clip(x, x0, x1) - x0
+                return 0.5 * c * c + (x1 - x0) * jnp.maximum(x - x1, 0.0)
+
+            num = log_shallow * e_delta + slope * (antider(e_hi) - antider(e_lo))
+            coeff = jnp.exp(num / e_delta)                   # (nz-1, ny)
+            peclet = 0.5 * dzm_ref[:] * abs_wv / coeff
+            coeff = coeff * jnp.maximum(peclet, 1.0)
+            return coeff * dzmr_ref[:]                       # (nz-1, ny)
+
+        zero_row = jnp.zeros((t_dim, 1, ny), dtype)
+        zero_col = jnp.zeros((t_dim, nz, 1), dtype)
+
+        def cn_incr(kv, y, h):
+            up = kv * dzr[: nz - 1, :]                       # (nz-1, ny)
+            lo = kv * dzr[1:, :]
+            du = jnp.concatenate([up, jnp.zeros((1, ny), dtype)], axis=0)
+            dl = jnp.concatenate([jnp.zeros((1, ny), dtype), lo], axis=0)
+            dmain = -(du + dl)[None] + diag                  # (T, nz, ny)
+
+            flux = kv[None] * (y[:, 1:, :] - y[:, :-1, :])
+            m_v = dzr[None] * (
+                jnp.concatenate([flux, zero_row], axis=1)
+                - jnp.concatenate([zero_row, flux], axis=1)
+            ) + diag * y
+            rhs = h * m_v
+            half = 0.5 * h
+            dl_b = jnp.broadcast_to(-half * dl[None], (t_dim, nz, ny))
+            du_b = jnp.broadcast_to(-half * du[None], (t_dim, nz, ny))
+            return _pcr_axis1(dl_b, 1.0 - half * dmain, du_b, rhs, nz)
+
+        def tend(y):
+            wy_int = 0.5 * (y[:, :, 1:] + y[:, :, :-1]) * vv[None]
+            wy = jnp.concatenate([zero_col, wy_int, zero_col], axis=2)
+            res = dy_rv[None] * (wy[:, :, :-1] - wy[:, :, 1:])
+            wz_int = 0.5 * (y[:, 1:, :] + y[:, :-1, :]) * wv[None]
+            wz = jnp.concatenate([zero_row, wz_int, zero_row], axis=1)
+            res = res + dzr[None] * (wz[:, 1:, :] - wz[:, :-1, :])
+            hflux_int = hmcv[None] * (y[:, :, 1:] - y[:, :, :-1])
+            hflux = jnp.concatenate([zero_col, hflux_int, zero_col], axis=2)
+            res = res + dy_rv[None] * (hflux[:, :, 1:] - hflux[:, :, :-1])
+            return res + src
+
+        def kahan(delta):
+            adj = delta + c_scr[:]
+            y_old = y_scr[:]
+            y_new = y_old + adj
+            c_scr[:] = adj - (y_new - y_old)
+            y_scr[:] = y_new
+
+        def heun(t):
+            y = y_scr[:]
+            f1 = tend(y)
+            f2 = tend(y + dt * f1)
+            kahan(0.5 * dt * (f1 + f2))
+
+        y_scr[:] = y0_ref[:]
+        c_scr[:] = jnp.zeros((t_dim, nz, ny), dtype)
+
+        kahan(cn_incr(kv_of(t0), y_scr[:], 0.5 * dt))
+
+        def body(i, _):
+            t = t0 + i.astype(dtype) * dt
+            heun(t)
+            kahan(cn_incr(kv_of(t + dt), y_scr[:], dt))
+            return _
+
+        if n_steps > 1:
+            jax.lax.fori_loop(0, n_steps - 1, body, 0)
+        t_last = t0 + (n_steps - 1) * dt
+        heun(t_last)
+        kahan(cn_incr(kv_of(t_last + dt), y_scr[:], 0.5 * dt))
+        out_ref[:] = y_scr[:]
+
+    consts = (
+        jnp.asarray(vvel_int),
+        jnp.asarray(wvel_int),
+        jnp.asarray(diag_np),
+        jnp.asarray(source_np),
+        jnp.asarray(bld_max),
+        jnp.asarray(dz_r),
+        jnp.asarray(dz_mid),
+        jnp.asarray(dz_mid_r),
+        jnp.asarray(edges),
+        jnp.asarray(dy_r),
+        jnp.asarray(hmc),
+    )
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def year(y0, interpret=False):
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((t_dim, nz, ny), dtype),
+            in_specs=[vmem() for _ in range(12)],
+            out_specs=vmem(),
+            scratch_shapes=[
+                pltpu.VMEM((t_dim, nz, ny), dtype),
+                pltpu.VMEM((t_dim, nz, ny), dtype),
+            ],
+            interpret=interpret,
+        )(y0.astype(dtype), *consts)
+
+    return year

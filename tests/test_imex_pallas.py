@@ -1,0 +1,80 @@
+"""pallas IMEX year kernel: interpret-mode equivalence with the XLA scan
+version (the real-TPU path is exercised by bench.py and the IageKernel)"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from newton_krylov_ooc_tpu.core.spatial_axis import (
+    spatial_axis_defn_dict,
+    spatial_axis_from_defn_dict,
+)
+from newton_krylov_ooc_tpu.models.py_driver_2d import physics
+from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
+    SURF_SLOW_FACTOR,
+    surf_restore_rate,
+)
+from newton_krylov_ooc_tpu.ops.imex import imex_year
+from newton_krylov_ooc_tpu.ops.imex_pallas import build_iage_year_pallas
+
+
+def test_pallas_year_matches_xla_scan():
+    nz, ny, n_steps = 8, 6, 24
+    depth = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            nlevs=nz, edge_end=4000.0, delta_ratio_max=19.0
+        )
+    )
+    ypos = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            axisname="ypos",
+            nlevs=ny,
+            edge_start=0.0,
+            edge_end=50.0e5,
+            delta_ratio_max=1.0,
+            units="m",
+        )
+    )
+    grid = physics.make_grid(
+        depth,
+        ypos,
+        {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"},
+        jnp.float32,
+    )
+    year = physics.SEC_PER_YEAR
+    rate = surf_restore_rate(depth)
+    diag = np.zeros((2, nz, ny), np.float32)
+    diag[0, 0, :] = -rate
+    diag[1, 0, :] = -SURF_SLOW_FACTOR * rate
+    source = np.full((2, 1, 1), 1.0 / year, np.float32)
+
+    def explicit_tend(t, y):
+        def one(v):
+            return physics.advection_tend(grid, v) + physics.horiz_mix_tend(
+                grid, v
+            )
+
+        return jax.vmap(one)(y) + 1.0 / year
+
+    col = np.interp(np.asarray(depth.mid), [55.0, 200.0], [0.0, 2.0])
+    y0 = jnp.asarray(
+        np.broadcast_to(col[None, :, None], (2, nz, ny)), jnp.float32
+    )
+
+    y_ref = imex_year(
+        explicit_tend,
+        lambda t: physics.vert_mixing_coeff(grid, t),
+        jnp.asarray(diag),
+        grid.dz_r,
+        y0,
+        (0.0, year),
+        n_steps,
+    )
+    year_pl = build_iage_year_pallas(grid, diag, source, (0.0, year), n_steps)
+    y_pl = year_pl(y0, interpret=True)
+
+    scale = float(jnp.abs(y_ref).max())
+    # f32 rounding with different accumulation orders; equivalence,
+    # not bit-identity
+    assert float(jnp.abs(y_pl - y_ref).max()) / scale < 5e-5

@@ -237,10 +237,11 @@ class PhosphorusKernel(IageKernel):
     """
 
     def __init__(self, depth, ypos, modelinfo, dtype=jnp.float32, n_steps=8760,
-                 region_mask=None, grid_weight=None, params=None):
+                 region_mask=None, grid_weight=None, params=None,
+                 use_pallas=None):
         # reuse IageKernel's mesh/region plumbing, then swap the physics
         super().__init__(depth, ypos, modelinfo, dtype, n_steps,
-                         region_mask, grid_weight)
+                         region_mask, grid_weight, use_pallas=use_pallas)
         self.params = dict(DEFAULT_PARAMS if params is None else params)
         p = self.params
 
@@ -289,8 +290,21 @@ class PhosphorusKernel(IageKernel):
                 n_steps,
             )
 
-        self._year_fn = jax.jit(year_fn)
-        self._comp_fcn = jax.jit(lambda y: year_fn(y) - y)
+        # forward evaluations run as one pallas kernel on TPU (see
+        # IageKernel); the model is nonlinear, so Jacobian-vector products
+        # stay on the XLA path (exact jax.jvp through the scan)
+        if self.use_pallas:
+            from ...ops.imex_pallas import build_phosphorus_year_pallas
+
+            year_pl = build_phosphorus_year_pallas(
+                grid, self.params, light_lim_2d(depth, ypos), (0.0, year),
+                n_steps,
+            )
+            self._year_fn = year_pl
+            self._comp_fcn = jax.jit(lambda y: year_pl(y) - y)
+        else:
+            self._year_fn = jax.jit(year_fn)
+            self._comp_fcn = jax.jit(lambda y: year_fn(y) - y)
         self._jvp = jax.jit(
             lambda y, v: jax.jvp(lambda yy: year_fn(yy) - yy, (y,), (v,))[1]
         )

@@ -236,3 +236,194 @@ def build_iage_year_pallas(grid, vert_diag, source, t_span, n_steps):
         )(y0.astype(dtype), *consts)
 
     return year
+
+
+def build_phosphorus_year_pallas(grid, params, light_lim, t_span, n_steps):
+    """(y0: (3, nz, ny) f32) -> y(t_end): the coupled phosphorus year in one
+    pallas kernel.  Vertical mixing is implicit (PCR); Michaelis-Menten
+    uptake, remineralization, and particulate sinking are explicit local
+    terms in the Heun half (all non-stiff at hourly steps).  Nonlinear, so
+    Jacobian-vector products stay on the XLA path (jax.jvp)."""
+    nz = int(grid.depth_mid.shape[0])
+    ny = int(grid.ypos_mid.shape[0])
+    dtype = jnp.float32
+    t_dim = 3
+
+    t0 = float(t_span[0])
+    dt = float((t_span[1] - t_span[0]) / n_steps)
+    n_steps = int(n_steps)
+
+    po4_halfsat = float(params["po4_halfsat"])
+    max_uptake_rate = float(params["max_uptake_rate"])
+    sigma = float(params["sigma"])
+    dop_remin_rate = float(params["dop_remin_rate"])
+    pop_remin_rate = float(params["pop_remin_rate"])
+    pop_sink_vel = float(params["pop_sink_vel"])
+
+    bld_min = float(physics.BLD_MIN)
+    log_shallow = float(physics.VERT_MIX_LOG_SHALLOW)
+    log_deep = float(physics.VERT_MIX_LOG_DEEP)
+    tfrac = np.asarray(physics._BLD_TFRAC, np.float64)
+    ffrac = np.asarray(physics._BLD_FRAC, np.float64)
+
+    bld_max = np.interp(
+        np.asarray(grid.ypos_mid, np.float64),
+        physics._BLD_YPOS,
+        physics._BLD_MAX,
+    ).astype(np.float32)[None, :]
+    vvel_int = np.asarray(grid.vvel, np.float32)[:, 1:-1]
+    wvel_int = np.asarray(grid.wvel, np.float32)[1:-1, :]
+    dy_r = np.asarray(grid.dy_r, np.float32).reshape(1, ny)
+    hmc = np.asarray(grid.horiz_mix_coeff, np.float32)
+    if hmc.ndim == 0:
+        hmc = np.full((nz, ny - 1), float(hmc), np.float32)
+    dz_r = np.asarray(grid.dz_r, np.float32)[:, None]
+    dz_mid = np.asarray(grid.dz_mid, np.float32)[:, None]
+    dz_mid_r = np.asarray(grid.dz_mid_r, np.float32)[:, None]
+    edges = np.asarray(grid.depth_mid, np.float32)[:, None]
+    llim = np.asarray(light_lim, np.float32).reshape(nz, ny)
+
+    def kernel(y0_ref, vvel_ref, wvel_ref, bldmax_ref, dzr_ref, dzm_ref,
+               dzmr_ref, edges_ref, dyr_ref, hmc_ref, llim_ref,
+               out_ref, y_scr, c_scr):
+        dzr = dzr_ref[:]
+        wv = wvel_ref[:]
+        vv = vvel_ref[:]
+        dy_rv = dyr_ref[:]
+        hmcv = hmc_ref[:]
+        light = llim_ref[:]
+        abs_wv = jnp.abs(wv)
+        e_lo = edges_ref[0 : nz - 1, :]
+        e_hi = edges_ref[1:nz, :]
+        e_delta = e_hi - e_lo
+        bldmax = bldmax_ref[:]
+
+        def kv_of(t):
+            frac = _piecewise_frac(t, tfrac, ffrac)
+            bld = bld_min + (bldmax - bld_min) * frac
+            x0 = bld - 20.0
+            x1 = bld + 20.0
+            slope = (log_deep - log_shallow) / (x1 - x0)
+
+            def antider(x):
+                c = jnp.clip(x, x0, x1) - x0
+                return 0.5 * c * c + (x1 - x0) * jnp.maximum(x - x1, 0.0)
+
+            num = log_shallow * e_delta + slope * (antider(e_hi) - antider(e_lo))
+            coeff = jnp.exp(num / e_delta)
+            peclet = 0.5 * dzm_ref[:] * abs_wv / coeff
+            coeff = coeff * jnp.maximum(peclet, 1.0)
+            return coeff * dzmr_ref[:]
+
+        zero_row = jnp.zeros((t_dim, 1, ny), dtype)
+        zero_col = jnp.zeros((t_dim, nz, 1), dtype)
+        zero_row1 = jnp.zeros((1, ny), dtype)
+
+        def cn_incr(kv, y, h):
+            up = kv * dzr[: nz - 1, :]
+            lo = kv * dzr[1:, :]
+            du = jnp.concatenate([up, zero_row1], axis=0)
+            dl = jnp.concatenate([zero_row1, lo], axis=0)
+            dmain = -(du + dl)
+
+            flux = kv[None] * (y[:, 1:, :] - y[:, :-1, :])
+            m_v = dzr[None] * (
+                jnp.concatenate([flux, zero_row], axis=1)
+                - jnp.concatenate([zero_row, flux], axis=1)
+            )
+            rhs = h * m_v
+            half = 0.5 * h
+            dl_b = jnp.broadcast_to(-half * dl[None], (t_dim, nz, ny))
+            du_b = jnp.broadcast_to(-half * du[None], (t_dim, nz, ny))
+            d_b = jnp.broadcast_to(
+                (1.0 - half * dmain)[None], (t_dim, nz, ny)
+            )
+            return _pcr_axis1(dl_b, d_b, du_b, rhs, nz)
+
+        def tend(y):
+            # transport (all tracers at once)
+            wy_int = 0.5 * (y[:, :, 1:] + y[:, :, :-1]) * vv[None]
+            wy = jnp.concatenate([zero_col, wy_int, zero_col], axis=2)
+            res = dy_rv[None] * (wy[:, :, :-1] - wy[:, :, 1:])
+            wz_int = 0.5 * (y[:, 1:, :] + y[:, :-1, :]) * wv[None]
+            wz = jnp.concatenate([zero_row, wz_int, zero_row], axis=1)
+            res = res + dzr[None] * (wz[:, 1:, :] - wz[:, :-1, :])
+            hflux_int = hmcv[None] * (y[:, :, 1:] - y[:, :, :-1])
+            hflux = jnp.concatenate([zero_col, hflux_int, zero_col], axis=2)
+            res = res + dy_rv[None] * (hflux[:, :, 1:] - hflux[:, :, :-1])
+
+            # biogeochemistry (local)
+            po4, dop, pop = y[0], y[1], y[2]
+            uptake = max_uptake_rate * light * po4 / (po4 + po4_halfsat)
+            dop_remin = dop_remin_rate * dop
+            pop_remin = pop_remin_rate * pop
+            d_po4 = -uptake + dop_remin + pop_remin
+            d_dop = sigma * uptake - dop_remin
+            d_pop = (1.0 - sigma) * uptake - pop_remin
+
+            # particulate sinking, zero-flux bottom
+            sink_int = pop_sink_vel * pop[:-1, :]
+            sink = jnp.concatenate([zero_row1, sink_int, zero_row1], axis=0)
+            d_pop = d_pop + dzr[:, 0][:, None] * (sink[:-1, :] - sink[1:, :])
+
+            return res + jnp.stack([d_po4, d_dop, d_pop])
+
+        def kahan(delta):
+            adj = delta + c_scr[:]
+            y_old = y_scr[:]
+            y_new = y_old + adj
+            c_scr[:] = adj - (y_new - y_old)
+            y_scr[:] = y_new
+
+        def heun(t):
+            y = y_scr[:]
+            f1 = tend(y)
+            f2 = tend(y + dt * f1)
+            kahan(0.5 * dt * (f1 + f2))
+
+        y_scr[:] = y0_ref[:]
+        c_scr[:] = jnp.zeros((t_dim, nz, ny), dtype)
+        kahan(cn_incr(kv_of(t0), y_scr[:], 0.5 * dt))
+
+        def body(i, _):
+            t = t0 + i.astype(dtype) * dt
+            heun(t)
+            kahan(cn_incr(kv_of(t + dt), y_scr[:], dt))
+            return _
+
+        if n_steps > 1:
+            jax.lax.fori_loop(0, n_steps - 1, body, 0)
+        t_last = t0 + (n_steps - 1) * dt
+        heun(t_last)
+        kahan(cn_incr(kv_of(t_last + dt), y_scr[:], 0.5 * dt))
+        out_ref[:] = y_scr[:]
+
+    consts = (
+        jnp.asarray(vvel_int),
+        jnp.asarray(wvel_int),
+        jnp.asarray(bld_max),
+        jnp.asarray(dz_r),
+        jnp.asarray(dz_mid),
+        jnp.asarray(dz_mid_r),
+        jnp.asarray(edges),
+        jnp.asarray(dy_r),
+        jnp.asarray(hmc),
+        jnp.asarray(llim),
+    )
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def year(y0, interpret=False):
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((t_dim, nz, ny), dtype),
+            in_specs=[vmem() for _ in range(11)],
+            out_specs=vmem(),
+            scratch_shapes=[
+                pltpu.VMEM((t_dim, nz, ny), dtype),
+                pltpu.VMEM((t_dim, nz, ny), dtype),
+            ],
+            interpret=interpret,
+        )(y0.astype(dtype), *consts)
+
+    return year

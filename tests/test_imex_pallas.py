@@ -78,3 +78,49 @@ def test_pallas_year_matches_xla_scan():
     # f32 rounding with different accumulation orders; equivalence,
     # not bit-identity
     assert float(jnp.abs(y_pl - y_ref).max()) / scale < 5e-5
+
+
+def test_phosphorus_pallas_year_matches_xla():
+    from newton_krylov_ooc_tpu.models.py_driver_2d.incore import (
+        PhosphorusKernel,
+    )
+    from newton_krylov_ooc_tpu.models.py_driver_2d.phosphorus import (
+        DEFAULT_PARAMS,
+        light_lim_2d,
+    )
+    from newton_krylov_ooc_tpu.ops.imex_pallas import (
+        build_phosphorus_year_pallas,
+    )
+
+    nz, ny, n_steps = 8, 6, 24
+    depth = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            nlevs=nz, edge_end=4000.0, delta_ratio_max=19.0
+        )
+    )
+    ypos = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            axisname="ypos",
+            nlevs=ny,
+            edge_start=0.0,
+            edge_end=50.0e5,
+            delta_ratio_max=1.0,
+            units="m",
+        )
+    )
+    modelinfo = {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"}
+    kernel = PhosphorusKernel(
+        depth, ypos, modelinfo, dtype=jnp.float32, n_steps=n_steps,
+        use_pallas=False,
+    )
+    y0 = kernel.init_iterate()
+    y_ref = kernel._year_fn(y0)
+
+    grid = physics.make_grid(depth, ypos, modelinfo, jnp.float32)
+    year_pl = build_phosphorus_year_pallas(
+        grid, DEFAULT_PARAMS, light_lim_2d(depth, ypos),
+        (0.0, physics.SEC_PER_YEAR), n_steps,
+    )
+    y_pl = year_pl(y0, interpret=True)
+    scale = float(jnp.abs(y_ref).max())
+    assert float(jnp.abs(y_pl - y_ref).max()) / scale < 5e-5

@@ -144,14 +144,24 @@ def mock_case(tmp_path):
         "gen_A",
         f"""
         import sys, os
+        import numpy as np
         sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.realpath(__file__)))!r})
         from newton_krylov_ooc_tpu.utils.ncio import NCFile
-        from tests.test_cime_pop_adapter import DECAY
+        from tests.test_cime_pop_adapter import DECAY, NZ, NLAT, NLON
         matrix_fname = sys.argv[-1]
+        n = NZ * NLAT * NLON
         with NCFile(matrix_fname, mode='w') as f:
             f.history = 'mock gen_A'
             f.create_dimension('one', 1)
             f.create_variable('jac_scalar', 'f8', ('one',))[:] = DECAY - 1.0
+            # CSR form of the same diagonal operator, for the on-device
+            # precond_solver_mode=device path
+            f.create_dimension('rows_p1', n + 1)
+            f.create_dimension('nnz', n)
+            f.create_variable('row_ptr', 'f8', ('rows_p1',))[:] = np.arange(n + 1.0)
+            f.create_variable('col_ind', 'f8', ('nnz',))[:] = np.arange(float(n))
+            f.create_variable('data', 'f8', ('nnz',))[:] = np.full(n, DECAY - 1.0)
+            f.create_variable('row_to_cell', 'f8', ('nnz',))[:] = np.arange(float(n))
         """,
     )
     tool(
@@ -271,14 +281,18 @@ def _build_config(tmp_path, mock_case):
 
 
 @pytest.mark.slow
-def test_mock_cime_pop_solve(tmp_path, mock_case, monkeypatch):
+@pytest.mark.parametrize("precond_mode", ["native", "device"])
+def test_mock_cime_pop_solve(tmp_path, mock_case, monkeypatch, precond_mode):
     """full Newton solve of the mock external model through the adapter
 
-    the fixed point of y -> DECAY*y + FORCING is FORCING/(1-DECAY) = 4.0
+    the fixed point of y -> DECAY*y + FORCING is FORCING/(1-DECAY) = 4.0;
+    runs once with the external (mock) solve_ABdist tool and once with the
+    on-device sparse solve (precond_solver_mode=device)
     """
     from newton_krylov_ooc_tpu.models.cime_pop.model_state import ModelState
 
     config = _build_config(tmp_path, mock_case)
+    config["modelinfo"]["precond_solver_mode"] = precond_mode
 
     # initial restart file (the init iterate)
     _write_restart(

@@ -65,9 +65,11 @@ class ModelState(ModelStateBase):
 
     def _dtype_and_device(self):
         modelinfo = self.model_config_obj.modelinfo
-        dtype_name = modelinfo.get("comp_fcn_dtype", "float64")
+        dtype_name = modelinfo.get("comp_fcn_dtype") or "float64"
         if dtype_name == "float32":
             return jnp.float32, default_accelerator()
+        if dtype_name != "float64":
+            raise ValueError(f"unknown comp_fcn_dtype {dtype_name}")
         return jnp.float64, cpu_device()
 
     def _integration_fn(self, tracer_module, n_time):

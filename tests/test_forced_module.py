@@ -136,3 +136,25 @@ def test_forced_file_forcing_comp_fcn(tmp_workdir):
     assert np.isfinite(
         res.tracer_modules[0].get_tracer_vals("preformed_po4")
     ).all()
+
+
+def test_comp_fcn_dtype_float32_smoke(tmp_path):
+    """the comp_fcn_dtype=float32 accelerated OOC option produces function
+    values within ~1e-2 of the float64 path (uncompensated f32 stepping at
+    the reference tolerance)"""
+    import numpy as np
+
+    results = {}
+    for dtype_name in ("float64", "float32"):
+        workdir = tmp_path / dtype_name
+        workdir.mkdir()
+        _setup(str(workdir), {"comp_fcn_dtype": dtype_name}, "iage")
+        state = ModelState("gen_init_iterate")
+        fcn = state.comp_fcn(str(workdir / "fcn.nc"), None)
+        results[dtype_name] = fcn.tracer_modules[0].get_tracer_vals("iage")
+        ModelState.model_config_obj = None
+        ModelState.depth = None
+        ModelState.ypos = None
+
+    a, b = results["float32"], results["float64"]
+    assert np.abs(a - b).max() / np.abs(b).max() < 1e-2

@@ -167,20 +167,31 @@ class phosphorus(TracerModuleState):  # noqa: N801
     def band_info(cls, grid):
         """banded stage solver layout: tracer-innermost state ordering.
 
-        With state index k = cell*3 + tracer (cell = z*ny + ypos), the coupled
-        3-tracer Jacobian is banded: same-cell biogeochemical couplings sit at
-        offsets +-2, lateral-transport neighbors at +-3, and vertical
-        transport/sinking at +-3*ny -- bandwidth 3*ny, vs a dense (3*nz*ny)^2
-        system in tracer-major order.  Returns (bandwidth, perm) with perm
-        mapping banded index -> tracer-major flat index.
+        With state index k = cell*3 + tracer, the coupled 3-tracer Jacobian
+        is banded: same-cell biogeochemical couplings sit at offsets +-2,
+        near-neighbor transport at +-3, and far-neighbor transport at
+        +-3*stride -- bandwidth 3*min(nz, ny), with the cell ordering chosen
+        so the SMALLER grid dimension is the far stride (z-major cells when
+        ny <= nz, ypos-major when nz < ny; LU cost scales with bandwidth^2).
+        Returns (bandwidth, perm) with perm mapping banded index ->
+        tracer-major flat index.
         """
         nz = grid.depth_mid.shape[0]
         ny = grid.ypos_mid.shape[0]
         n = nz * ny
+        if nz < ny:
+            # ypos-major cells: cell' = y*nz + z; flat z-major cell = z*ny + y
+            cell_perm = (
+                np.arange(ny)[:, None] + np.arange(nz)[None, :] * ny
+            ).reshape(-1)
+            bw = 3 * nz
+        else:
+            cell_perm = np.arange(n)
+            bw = 3 * ny
         perm = (
-            np.arange(3)[None, :] * n + np.arange(n)[:, None]
+            np.arange(3)[None, :] * n + cell_perm[:, None]
         ).reshape(-1)
-        return 3 * ny, perm
+        return bw, perm
 
     @staticmethod
     def build_jac_bands(grid, static_args, params):
@@ -198,39 +209,52 @@ class phosphorus(TracerModuleState):  # noqa: N801
         nz = grid.depth_mid.shape[0]
         ny = grid.ypos_mid.shape[0]
         n = nz * ny
-        bw = 3 * ny
+        ymajor = nz < ny
+        cell_bw = min(nz, ny)
+        bw = 3 * cell_bw
         dtype = grid.depth_mid.dtype
-        light_lim = jnp.asarray(light_lim_flat, dtype)
 
         rows = np.arange(3 * n)
-        cell_of = rows // 3
+        cell_of = rows // 3  # cell index in the CHOSEN ordering
         is_pop = rows % 3 == 2
-        dz_r_cell = np.broadcast_to(
+        dz_r_cell_zmaj = np.broadcast_to(
             np.asarray(grid.dz_r)[:, None], (nz, ny)
         ).reshape(-1)
+        light_zmaj = np.asarray(light_lim_flat, np.float64).reshape(-1)
+        if ymajor:
+            # z index of y-major cell c' = y*nz + z is c' % nz
+            z_of = cell_of % nz
+            dz_r_cell = np.asarray(grid.dz_r)[z_of]
+            light_cells = light_zmaj.reshape(nz, ny).T.reshape(-1)
+            sink_off = 1     # layer above is one cell away in y-major order
+        else:
+            z_of = cell_of // ny
+            dz_r_cell = dz_r_cell_zmaj[cell_of]
+            light_cells = light_zmaj
+            sink_off = ny
+        light_lim = jnp.asarray(light_cells, dtype)
         sink_gain = jnp.asarray(
-            np.where(is_pop & (cell_of >= ny), pop_sink_vel * dz_r_cell[cell_of], 0.0),
+            np.where(is_pop & (z_of >= 1), pop_sink_vel * dz_r_cell, 0.0),
             dtype,
         )
         sink_loss = jnp.asarray(
-            np.where(
-                is_pop & (cell_of < (nz - 1) * ny),
-                pop_sink_vel * dz_r_cell[cell_of],
-                0.0,
-            ),
+            np.where(is_pop & (z_of < nz - 1), pop_sink_vel * dz_r_cell, 0.0),
             dtype,
         )
         # cell-level band offset o maps to permuted band position bw + 3*o
-        cell_cols = bw + 3 * (np.arange(2 * ny + 1) - ny)
+        cell_cols = bw + 3 * (np.arange(2 * cell_bw + 1) - cell_bw)
 
         def jac_bands(time, vals_flat):
-            cell_bands = physics.transport_bands(grid, time)  # (n, 2*ny+1)
+            if ymajor:
+                cell_bands = physics.transport_bands_ymajor(grid, time)
+            else:
+                cell_bands = physics.transport_bands(grid, time)
             pb = jnp.zeros((3 * n, 2 * bw + 1), dtype)
             pb = pb.at[:, cell_cols].set(jnp.repeat(cell_bands, 3, axis=0))
 
             # particulate sinking (pop rows): gain from the layer above,
             # diagonal loss to the layer below (zero-flux bottom)
-            pb = pb.at[:, bw - 3 * ny].add(sink_gain)
+            pb = pb.at[:, bw - 3 * sink_off].add(sink_gain)
             pb = pb.at[:, bw].add(-sink_loss)
 
             # biogeochemical couplings, per cell (offsets are tracer deltas)

@@ -352,6 +352,57 @@ def transport_bands(grid: Grid2D, time):
     return bands
 
 
+_LATERAL_BANDS_YMAJOR_CACHE = {}
+
+
+def lateral_bands_const_ymajor(grid: Grid2D):
+    """row-band storage (ncell, 2*nz+1) of the lateral Jacobian in
+    ypos-major cell order (cell = y*nz + z): lateral neighbors sit at
+    offsets +-nz, so the bandwidth is nz instead of ny"""
+    key = id(grid)
+    cached = _LATERAL_BANDS_YMAJOR_CACHE.get(key)
+    if cached is None or cached[0] is not grid:
+        from ...ops.banded import dense_to_bands
+
+        nz = grid.depth_mid.shape[0]
+        ny = grid.ypos_mid.shape[0]
+        # permute the dense z-major lateral operator into y-major order
+        perm = (
+            np.arange(ny)[:, None] * 1 + np.arange(nz)[None, :] * ny
+        ).reshape(-1)  # y-major cell -> z-major cell index
+        jac = lateral_jac_const(grid)[np.ix_(perm, perm)]
+        bands = dense_to_bands(jac, nz)
+        _LATERAL_BANDS_YMAJOR_CACHE[key] = (grid, bands)
+    return _LATERAL_BANDS_YMAJOR_CACHE[key][1]
+
+
+def transport_bands_ymajor(grid: Grid2D, time):
+    """row-band (ncell, 2*nz+1) transport Jacobian, ypos-major cell order
+
+    stencil offsets: +-1 (depth neighbors, vertical mixing), +-nz (ypos
+    neighbors, lateral), 0 (diagonal).  The narrower of the two layouts:
+    use when nz < ny (bandwidth min(nz, ny)).
+    """
+    nz = grid.depth_mid.shape[0]
+    ny = grid.ypos_mid.shape[0]
+    dtype = grid.depth_mid.dtype
+    bands = jnp.asarray(lateral_bands_const_ymajor(grid), dtype)
+
+    kv = vert_mixing_coeff(grid, time)  # (nz-1, ny)
+    # row (y, z): up couples to z+1 (offset +1), lo to z-1 (offset -1)
+    up = (kv * grid.dz_r[:-1, None]).T.reshape(-1)  # (ny*(nz-1),) y-major
+    lo = (kv * grid.dz_r[1:, None]).T.reshape(-1)
+    rows_up = (
+        np.arange(ny)[:, None] * nz + np.arange(nz - 1)[None, :]
+    ).reshape(-1)
+    rows_lo = rows_up + 1
+    bands = bands.at[rows_up, nz + 1].add(up)
+    bands = bands.at[rows_lo, nz - 1].add(lo)
+    bands = bands.at[rows_up, nz].add(-up)
+    bands = bands.at[rows_lo, nz].add(-lo)
+    return bands
+
+
 def block_diag_tracers(blocks):
     """dense block-diagonal assembly of per-tracer (n, n) Jacobians"""
     t_cnt = len(blocks)

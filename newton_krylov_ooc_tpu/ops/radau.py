@@ -133,6 +133,7 @@ def radau5_integrate(
     max_attempts=1_000_000,
     jac_bands=None,
     bandwidth=None,
+    lu_reuse_factor=1.2,
 ):
     """
     integrate dy/dt = fun(t, y) over t_span, reporting y at t_eval points
@@ -489,7 +490,12 @@ def radau5_integrate(
                     # unbounded max_step (inf/h would poison jvp tangents)
                     if has_max_step:
                         factor = jnp.minimum(factor, max_step / h_abs_cur)
-                    keep_lu = ~recompute_jac & (factor < 1.2)
+                    # keep h (and the LU factors) while the predicted growth
+                    # stays below lu_reuse_factor; RADAU5's classic window is
+                    # 1.2, but when each factorization costs many solves
+                    # (wide-band systems) a larger window trades slightly
+                    # smaller steps for far fewer factorizations
+                    keep_lu = ~recompute_jac & (factor < lu_reuse_factor)
                     factor = jnp.where(keep_lu, 1.0, factor)
 
                     f_new = fun(t_new, y_new)

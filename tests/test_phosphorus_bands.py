@@ -75,8 +75,8 @@ def _bands_to_dense(bands, bw):
     return dense
 
 
-def test_banded_matches_permuted_dense():
-    nz, ny = 9, 5
+@pytest.mark.parametrize("nz,ny", [(9, 5), (5, 9)])  # z-major and y-major
+def test_banded_matches_permuted_dense(nz, ny):
     grid, static_args = _setup(nz, ny)
     params = jnp.zeros(0)
     n = nz * ny
@@ -84,7 +84,7 @@ def test_banded_matches_permuted_dense():
     y = np.abs(rng.standard_normal(3 * n)) + 0.1
 
     bw, perm = phosphorus.band_info(grid)
-    assert bw == 3 * ny
+    assert bw == 3 * min(nz, ny)
     yb = y[perm]
 
     t = 0.37 * SPY
@@ -98,8 +98,8 @@ def test_banded_matches_permuted_dense():
     assert np.allclose(_bands_to_dense(pb, bw), jd_perm, atol=1e-14)
 
 
-def test_banded_integration_matches_dense():
-    nz, ny = 8, 4
+@pytest.mark.parametrize("nz,ny", [(8, 4), (4, 8)])
+def test_banded_integration_matches_dense(nz, ny):
     grid, static_args = _setup(nz, ny)
     params = jnp.zeros(0)
     dm = np.asarray(grid.depth_mid)

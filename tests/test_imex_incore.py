@@ -171,3 +171,41 @@ def test_incore_phosphorus_spinup():
     assert len(rel) <= 4  # quadratic-ish convergence, not a crawl
     assert np.isfinite(np.asarray(x)).all()
     assert float(np.asarray(x)[0].min()) > 0.0  # po4 stays positive
+
+
+def test_incore_column_regions():
+    """per-column regions (lateral transport off): the in-core solver's
+    per-(module, region) reductions, scaling, and convergence masks"""
+    depth, ypos = _axes(10, 4)
+    region_mask = np.broadcast_to(
+        np.arange(1, 5, dtype=np.int32), (10, 4)
+    ).copy()
+    kernel = IageKernel(
+        depth,
+        ypos,
+        {"max_abs_vvel": "0.0", "horiz_mix_coeff": "0.0"},
+        dtype=jnp.float64,
+        n_steps=730,
+        region_mask=region_mask,
+        grid_weight=np.outer(depth.delta, ypos.delta),
+    )
+    assert kernel.region_cnt == 4
+
+    x0 = kernel.init_iterate()
+    norms = np.asarray(kernel.norm(kernel.comp_fcn(x0)))
+    assert norms.shape == (1, 4)
+
+    solver = NewtonKrylovInCore(kernel, newton_rel_tol=1e-4, newton_max_iter=8)
+    x, fcn, info = solver.solve(x0)
+    final = np.asarray(kernel.norm(fcn)) / np.asarray(kernel.norm(x))
+    assert (final < 1e-4).all()
+
+    # columns are decoupled: perturbing one region's scale must not leak --
+    # per-region scaling touches exactly that region's cells
+    factors = np.ones((1, 4))
+    factors[0, 2] = 3.0
+    scaled = np.asarray(kernel.scale(x, factors))
+    base = np.asarray(x)
+    assert np.allclose(scaled[:, :, 2], 3.0 * base[:, :, 2])
+    others = [0, 1, 3]
+    assert np.allclose(scaled[:, :, others], base[:, :, others])

@@ -265,9 +265,23 @@ class forced(TracerModuleState):  # noqa: N801
 
         return jac
 
+    @classmethod
+    def band_info(cls, grid):
+        """single-tracer banded layout with the smaller grid dimension as
+        the far stride: bandwidth min(nz, ny)"""
+        nz = grid.depth_mid.shape[0]
+        ny = grid.ypos_mid.shape[0]
+        if nz < ny:
+            cell_perm = (
+                np.arange(ny)[:, None] + np.arange(nz)[None, :] * ny
+            ).reshape(-1)
+            return nz, cell_perm
+        return ny, np.arange(nz * ny)
+
     @staticmethod
     def build_jac_bands(grid, static_args, params):
-        """banded stage Jacobian: (1 tracer block, ncell, 2*ny+1)"""
+        """banded stage Jacobian, (1 tracer block, ncell, 2*bw+1) in the
+        band_info cell ordering; receives the permuted state"""
         (
             surf_restore_opt,
             surf_restore_rate,
@@ -280,27 +294,31 @@ class forced(TracerModuleState):  # noqa: N801
         ) = static_args
         nz = grid.depth_mid.shape[0]
         ny = grid.ypos_mid.shape[0]
-        surf = np.arange(ny)
+        ymajor = nz < ny
+        bw = min(nz, ny)
+        surf = np.arange(ny) * nz if ymajor else np.arange(ny)
+        cell_perm = forced.band_info(grid)[1]
 
         def jac_bands(time, vals_flat):
-            bt = physics.transport_bands(grid, time)
+            if ymajor:
+                bt = physics.transport_bands_ymajor(grid, time)
+            else:
+                bt = physics.transport_bands(grid, time)
             if surf_restore_opt != "none":
-                bt = bt.at[surf, ny].add(-surf_restore_rate)
+                bt = bt.at[surf, bw].add(-surf_restore_rate)
             if sms_opt == "decay":
-                bt = bt.at[:, ny].add(-sms_decay_rate)
+                bt = bt.at[:, bw].add(-sms_decay_rate)
             if sms_opt == "file" and sink_thres is not None:
                 times, table = tables["sms"]
-                sms = interp_time_jnp(time, times, table).reshape(-1)
+                sms = interp_time_jnp(time, times, table).reshape(-1)[cell_perm]
                 tmp = vals_flat / sink_thres
                 d_sms = jnp.where(
                     (sms < 0.0) & (tmp > 0.0) & (tmp < 1.0), sms / sink_thres, 0.0
                 )
-                bt = bt.at[:, ny].add(d_sms)
+                bt = bt.at[:, bw].add(d_sms)
             return bt[None, :, :]
 
         return jac_bands
-
-    jac_bandwidth = "ny"
 
     def apply_precond_jacobian(self, time_range, res_tms, jac_builder, fptr_precond):
         """implicit-Euler-product preconditioner linearized at tracer

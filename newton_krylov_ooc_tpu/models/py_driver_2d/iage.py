@@ -61,22 +61,48 @@ class iage(TracerModuleState):  # noqa: N801
 
         return jac
 
+    @classmethod
+    def band_info(cls, grid):
+        """per-tracer banded layout with the smaller grid dimension as the
+        far stride: bandwidth min(nz, ny) (cells z-major when ny <= nz,
+        ypos-major otherwise); perm keeps tracers outermost so the banded
+        solver's per-block reshape stays aligned"""
+        nz = grid.depth_mid.shape[0]
+        ny = grid.ypos_mid.shape[0]
+        n = nz * ny
+        if nz < ny:
+            cell_perm = (
+                np.arange(ny)[:, None] + np.arange(nz)[None, :] * ny
+            ).reshape(-1)
+            bw = nz
+        else:
+            cell_perm = np.arange(n)
+            bw = ny
+        perm = (np.arange(2)[:, None] * n + cell_perm[None, :]).reshape(-1)
+        return bw, perm
+
     @staticmethod
     def build_jac_bands(grid, static_args, params):
-        """banded stage Jacobian: (2 tracer blocks, ncell, 2*ny+1)"""
+        """banded stage Jacobian, (2 tracer blocks, ncell, 2*bw+1) in the
+        band_info cell ordering"""
         (restore_rate,) = static_args
+        nz = grid.depth_mid.shape[0]
         ny = grid.ypos_mid.shape[0]
-        surf = np.arange(ny)
+        ymajor = nz < ny
+        bw = min(nz, ny)
+        # surface cells (z = 0) in the chosen ordering
+        surf = np.arange(ny) * nz if ymajor else np.arange(ny)
 
         def jac_bands(time, vals_flat):
-            bt = physics.transport_bands(grid, time)
-            b0 = bt.at[surf, ny].add(-restore_rate)
-            b1 = bt.at[surf, ny].add(-SURF_SLOW_FACTOR * restore_rate)
+            if ymajor:
+                bt = physics.transport_bands_ymajor(grid, time)
+            else:
+                bt = physics.transport_bands(grid, time)
+            b0 = bt.at[surf, bw].add(-restore_rate)
+            b1 = bt.at[surf, bw].add(-SURF_SLOW_FACTOR * restore_rate)
             return jnp.stack([b0, b1])
 
         return jac_bands
-
-    jac_bandwidth = "ny"
 
     def tend_static_args(self):
         return (surf_restore_rate(self.depth),)

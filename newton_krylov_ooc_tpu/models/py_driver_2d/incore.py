@@ -99,13 +99,13 @@ class IageKernel:
             )
         self.use_pallas = use_pallas
         if use_pallas:
-            from ...ops.imex_pallas import build_iage_year_pallas
+            from ...ops.imex_pallas import build_iage_year_pallas_v2
 
             source = np.full((2, 1, 1), 1.0 / year, np.float32)
-            year_pl = build_iage_year_pallas(
+            year_pl = build_iage_year_pallas_v2(
                 grid, self._vert_diag, source, (0.0, year), n_steps
             )
-            year0_pl = build_iage_year_pallas(
+            year0_pl = build_iage_year_pallas_v2(
                 grid, self._vert_diag, np.zeros((2, 1, 1), np.float32),
                 (0.0, year), n_steps,
             )

@@ -238,6 +238,240 @@ def build_iage_year_pallas(grid, vert_diag, source, t_span, n_steps):
     return year
 
 
+def build_iage_year_pallas_v2(grid, vert_diag, source, t_span, n_steps):
+    """lane-packed variant of build_iage_year_pallas (same numerics, faster).
+
+    The baseline kernel works on (T, nz, ny) arrays; with ny=50 each vector
+    op touches T*ceil(nz/8) registers at 50/128 lane utilization.  This
+    variant packs the tracer axis into lanes -- every array is rank-2
+    (nz, T*ny) -- so the same arithmetic issues on half the registers.
+    Packing is sound because tracers only couple through the lateral
+    stencils, and the packed lateral velocity/diffusivity arrays carry an
+    exact zero at each tracer-block seam, so cross-tracer fluxes vanish
+    identically.  PCR runs along nz (sublanes) and never mixes lanes.
+    Also: one reciprocal per PCR round instead of two divides -- bitwise
+    identical on TPU hardware (divide lowers to reciprocal-multiply there;
+    measured max |diff| = 0 over an 8760-step year), a ~1-ulp/round rounding
+    difference in interpret mode.  ~10% faster than the baseline kernel on a
+    v5e chip (the per-op Mosaic overhead, not register count, dominates at
+    this problem size).
+    """
+    nz = int(grid.depth_mid.shape[0])
+    ny = int(grid.ypos_mid.shape[0])
+    t_dim = int(np.asarray(vert_diag).shape[0])
+    w_dim = t_dim * ny
+    dtype = jnp.float32
+
+    t0 = float(t_span[0])
+    dt = float((t_span[1] - t_span[0]) / n_steps)
+    n_steps = int(n_steps)
+
+    bld_min = float(physics.BLD_MIN)
+    log_shallow = float(physics.VERT_MIX_LOG_SHALLOW)
+    log_deep = float(physics.VERT_MIX_LOG_DEEP)
+    tfrac = np.asarray(physics._BLD_TFRAC, np.float64)
+    ffrac = np.asarray(physics._BLD_FRAC, np.float64)
+
+    bld_max = np.interp(
+        np.asarray(grid.ypos_mid, np.float64),
+        physics._BLD_YPOS,
+        physics._BLD_MAX,
+    ).astype(np.float32)
+    bld_max_p = np.tile(bld_max, t_dim)[None, :]              # (1, W)
+    vvel_int = np.asarray(grid.vvel, np.float32)[:, 1:-1]     # (nz, ny-1)
+    seam = np.zeros((nz, 1), np.float32)
+    vvel_p = np.concatenate(
+        ([vvel_int, seam] * t_dim)[:-1], axis=1
+    )                                                          # (nz, W-1)
+    wvel_p = np.tile(
+        np.asarray(grid.wvel, np.float32)[1:-1, :], (1, t_dim)
+    )                                                          # (nz-1, W)
+    dy_r_p = np.tile(
+        np.asarray(grid.dy_r, np.float32).reshape(-1), t_dim
+    )[None, :]                                                 # (1, W)
+    hmc = np.asarray(grid.horiz_mix_coeff, np.float32)
+    if hmc.ndim == 0:
+        hmc = np.full((nz, ny - 1), float(hmc), np.float32)
+    hmc_p = np.concatenate(([hmc, seam] * t_dim)[:-1], axis=1)  # (nz, W-1)
+    dz_r = np.asarray(grid.dz_r, np.float32)[:, None]          # (nz, 1)
+    dz_mid = np.asarray(grid.dz_mid, np.float32)[:, None]      # (nz-1, 1)
+    dz_mid_r = np.asarray(grid.dz_mid_r, np.float32)[:, None]
+    edges = np.asarray(grid.depth_mid, np.float32)[:, None]    # (nz, 1)
+    diag_p = (
+        np.asarray(vert_diag, np.float32)
+        .reshape(t_dim, nz, ny)
+        .transpose(1, 0, 2)
+        .reshape(nz, w_dim)
+    )
+    src_p = np.repeat(
+        np.asarray(source, np.float32).reshape(t_dim), ny
+    )[None, :]                                                 # (1, W)
+
+    def kernel(y0_ref, vvel_ref, wvel_ref, diag_ref, src_ref, bldmax_ref,
+               dzr_ref, dzm_ref, dzmr_ref, edges_ref, dyr_ref, hmc_ref,
+               out_ref, y_scr, c_scr):
+        diag = diag_ref[:]        # (nz, W)
+        src = src_ref[:]          # (1, W)
+        dzr = dzr_ref[:]          # (nz, 1)
+        wv = wvel_ref[:]          # (nz-1, W)
+        vv = vvel_ref[:]          # (nz, W-1), zero at tracer seams
+        dy_rv = dyr_ref[:]        # (1, W)
+        hmcv = hmc_ref[:]         # (nz, W-1), zero at tracer seams
+        abs_wv = jnp.abs(wvel_ref[:, 0:ny])   # (nz-1, ny): blocks identical
+        e_lo = edges_ref[0 : nz - 1, :]
+        e_hi = edges_ref[1:nz, :]
+        e_delta = e_hi - e_lo
+        bldmax = bldmax_ref[:, 0:ny]          # (1, ny)
+
+        def kv_of(t):
+            # mixing coefficient on one ny block; tiled to W lanes by caller
+            frac = _piecewise_frac(t, tfrac, ffrac)
+            bld = bld_min + (bldmax - bld_min) * frac
+            x0 = bld - 20.0
+            x1 = bld + 20.0
+            slope = (log_deep - log_shallow) / (x1 - x0)
+
+            def antider(x):
+                c = jnp.clip(x, x0, x1) - x0
+                return 0.5 * c * c + (x1 - x0) * jnp.maximum(x - x1, 0.0)
+
+            num = log_shallow * e_delta + slope * (antider(e_hi) - antider(e_lo))
+            coeff = jnp.exp(num / e_delta)
+            peclet = 0.5 * dzm_ref[:] * abs_wv / coeff
+            coeff = coeff * jnp.maximum(peclet, 1.0)
+            kv = coeff * dzmr_ref[:]          # (nz-1, ny)
+            return jnp.concatenate([kv] * t_dim, axis=1)  # (nz-1, W)
+
+        zero_row = jnp.zeros((1, w_dim), dtype)
+        zero_col = jnp.zeros((nz, 1), dtype)
+
+        def sh(arr, s, fill):
+            pad = jnp.full((abs(s), w_dim), fill, dtype)
+            if s > 0:
+                return jnp.concatenate([arr[s:, :], pad], axis=0)
+            return jnp.concatenate([pad, arr[:s, :]], axis=0)
+
+        def pcr(dl, d, du, b):
+            a_c, b_c, c_c, r_c = dl, d, du, b
+            stride = 1
+            while stride < nz:
+                rb = 1.0 / b_c
+                alpha = -a_c * sh(rb, -stride, 1.0)
+                gamma = -c_c * sh(rb, stride, 1.0)
+                a_n = alpha * sh(a_c, -stride, 0.0)
+                c_n = gamma * sh(c_c, stride, 0.0)
+                b_c = (
+                    b_c
+                    + alpha * sh(c_c, -stride, 0.0)
+                    + gamma * sh(a_c, stride, 0.0)
+                )
+                r_c = (
+                    r_c
+                    + alpha * sh(r_c, -stride, 0.0)
+                    + gamma * sh(r_c, stride, 0.0)
+                )
+                a_c, c_c = a_n, c_n
+                stride *= 2
+            return r_c / b_c
+
+        def cn_incr(kv, y, h):
+            up = kv * dzr[: nz - 1, :]        # (nz-1, W)
+            lo = kv * dzr[1:, :]
+            du = jnp.concatenate([up, zero_row], axis=0)
+            dl = jnp.concatenate([zero_row, lo], axis=0)
+            dmain = -(du + dl) + diag         # (nz, W)
+
+            flux = kv * (y[1:, :] - y[:-1, :])
+            m_v = dzr * (
+                jnp.concatenate([flux, zero_row], axis=0)
+                - jnp.concatenate([zero_row, flux], axis=0)
+            ) + diag * y
+            rhs = h * m_v
+            half = 0.5 * h
+            return pcr(-half * dl, 1.0 - half * dmain, -half * du, rhs)
+
+        def tend(y):
+            wy_int = 0.5 * (y[:, 1:] + y[:, :-1]) * vv    # seams: exactly 0
+            wy = jnp.concatenate([zero_col, wy_int, zero_col], axis=1)
+            res = dy_rv * (wy[:, :-1] - wy[:, 1:])
+            wz_int = 0.5 * (y[1:, :] + y[:-1, :]) * wv
+            wz = jnp.concatenate([zero_row, wz_int, zero_row], axis=0)
+            res = res + dzr * (wz[1:, :] - wz[:-1, :])
+            hflux_int = hmcv * (y[:, 1:] - y[:, :-1])     # seams: exactly 0
+            hflux = jnp.concatenate([zero_col, hflux_int, zero_col], axis=1)
+            res = res + dy_rv * (hflux[:, 1:] - hflux[:, :-1])
+            return res + src
+
+        def kahan(delta):
+            adj = delta + c_scr[:]
+            y_old = y_scr[:]
+            y_new = y_old + adj
+            c_scr[:] = adj - (y_new - y_old)
+            y_scr[:] = y_new
+
+        def heun(t):
+            y = y_scr[:]
+            f1 = tend(y)
+            f2 = tend(y + dt * f1)
+            kahan(0.5 * dt * (f1 + f2))
+
+        y_scr[:] = y0_ref[:]
+        c_scr[:] = jnp.zeros((nz, w_dim), dtype)
+
+        kahan(cn_incr(kv_of(t0), y_scr[:], 0.5 * dt))
+
+        def body(i, _):
+            t = t0 + i.astype(dtype) * dt
+            heun(t)
+            kahan(cn_incr(kv_of(t + dt), y_scr[:], dt))
+            return _
+
+        if n_steps > 1:
+            jax.lax.fori_loop(0, n_steps - 1, body, 0)
+        t_last = t0 + (n_steps - 1) * dt
+        heun(t_last)
+        kahan(cn_incr(kv_of(t_last + dt), y_scr[:], 0.5 * dt))
+        out_ref[:] = y_scr[:]
+
+    consts = (
+        jnp.asarray(vvel_p),
+        jnp.asarray(wvel_p),
+        jnp.asarray(diag_p),
+        jnp.asarray(src_p),
+        jnp.asarray(bld_max_p),
+        jnp.asarray(dz_r),
+        jnp.asarray(dz_mid),
+        jnp.asarray(dz_mid_r),
+        jnp.asarray(edges),
+        jnp.asarray(dy_r_p),
+        jnp.asarray(hmc_p),
+    )
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def year(y0, interpret=False):
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+        y0_p = (
+            y0.astype(dtype)
+            .reshape(t_dim, nz, ny)
+            .transpose(1, 0, 2)
+            .reshape(nz, w_dim)
+        )
+        out_p = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nz, w_dim), dtype),
+            in_specs=[vmem() for _ in range(12)],
+            out_specs=vmem(),
+            scratch_shapes=[
+                pltpu.VMEM((nz, w_dim), dtype),
+                pltpu.VMEM((nz, w_dim), dtype),
+            ],
+            interpret=interpret,
+        )(y0_p, *consts)
+        return out_p.reshape(nz, t_dim, ny).transpose(1, 0, 2)
+
+    return year
+
+
 def build_phosphorus_year_pallas(grid, params, light_lim, t_span, n_steps):
     """(y0: (3, nz, ny) f32) -> y(t_end): the coupled phosphorus year in one
     pallas kernel.  Vertical mixing is implicit (PCR); Michaelis-Menten

@@ -79,6 +79,70 @@ def test_pallas_year_matches_xla_scan():
     # not bit-identity
     assert float(jnp.abs(y_pl - y_ref).max()) / scale < 5e-5
 
+    # the lane-packed variant performs the same arithmetic (tracer-block
+    # seams carry exact zeros in the lateral stencils); the only rounding
+    # difference is reciprocal-multiply vs divide in the PCR (identical on
+    # TPU hardware, where divide lowers to reciprocal-multiply)
+    from newton_krylov_ooc_tpu.ops.imex_pallas import (
+        build_iage_year_pallas_v2,
+    )
+
+    year_v2 = build_iage_year_pallas_v2(grid, diag, source, (0.0, year), n_steps)
+    y_v2 = year_v2(y0, interpret=True)
+    assert float(jnp.abs(y_v2 - y_pl).max()) / scale < 5e-5
+
+
+def test_pallas_year_v2_three_tracers():
+    """generic tracer-count packing: 3 modules with distinct sources/diags"""
+    nz, ny, n_steps = 8, 6, 12
+    depth = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            nlevs=nz, edge_end=4000.0, delta_ratio_max=19.0
+        )
+    )
+    ypos = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            axisname="ypos",
+            nlevs=ny,
+            edge_start=0.0,
+            edge_end=50.0e5,
+            delta_ratio_max=1.0,
+            units="m",
+        )
+    )
+    grid = physics.make_grid(
+        depth,
+        ypos,
+        {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"},
+        jnp.float32,
+    )
+    year = physics.SEC_PER_YEAR
+    rate = surf_restore_rate(depth)
+    diag = np.zeros((3, nz, ny), np.float32)
+    diag[0, 0, :] = -rate
+    diag[1, 0, :] = -SURF_SLOW_FACTOR * rate
+    diag[2, 1, :] = -0.5 * rate
+    source = (
+        np.array([1.0, 2.0, 0.5], np.float32).reshape(3, 1, 1) / year
+    )
+
+    from newton_krylov_ooc_tpu.ops.imex_pallas import (
+        build_iage_year_pallas_v2,
+    )
+
+    col = np.interp(np.asarray(depth.mid), [55.0, 200.0], [0.0, 2.0])
+    y0 = jnp.asarray(
+        np.broadcast_to(col[None, :, None], (3, nz, ny)), jnp.float32
+    )
+    y_base = build_iage_year_pallas(grid, diag, source, (0.0, year), n_steps)(
+        y0, interpret=True
+    )
+    y_v2 = build_iage_year_pallas_v2(grid, diag, source, (0.0, year), n_steps)(
+        y0, interpret=True
+    )
+    scale = float(jnp.abs(y_base).max())
+    assert float(jnp.abs(y_v2 - y_base).max()) / scale < 5e-5
+
 
 def test_phosphorus_pallas_year_matches_xla():
     from newton_krylov_ooc_tpu.models.py_driver_2d.incore import (

@@ -133,6 +133,55 @@ class IageKernel:
 
     # -- solver interface --------------------------------------------------------
 
+    def build_year_operator(self, col_chunk=128):
+        """probe the exact dense one-year transition operator (the model is
+        linear): full-rank lane-packed Jacobian probing through the batched
+        year kernel (ops/year_operator.py).  After this one-time cost, fn
+        evals and JVPs are single MXU matvecs and the cyclo-stationary state
+        solves directly."""
+        from ...ops.year_operator import probe_year_operator
+
+        grid, year, n_steps = self.grid, self.year, self.n_steps
+        vert_diag = np.asarray(self._vert_diag, np.float32)
+
+        if self.use_pallas:
+            from ...ops.imex_pallas import build_iage_year_pallas_v2
+
+            def make_year0(channel_diag):
+                c_dim = channel_diag.shape[0]
+                return build_iage_year_pallas_v2(
+                    grid, channel_diag, np.zeros((c_dim, 1, 1), np.float32),
+                    (0.0, year), n_steps,
+                )
+        else:
+
+            def make_year0(channel_diag):
+                channel_diag = jnp.asarray(channel_diag, jnp.float32)
+
+                def explicit_tend0(t, y):
+                    def one(v):
+                        return physics.advection_tend(
+                            grid, v
+                        ) + physics.horiz_mix_tend(grid, v)
+
+                    return jax.vmap(one)(y)
+
+                return jax.jit(
+                    lambda y: imex_year(
+                        explicit_tend0,
+                        lambda t: physics.vert_mixing_coeff(grid, t),
+                        channel_diag,
+                        grid.dz_r,
+                        y,
+                        (0.0, year),
+                        n_steps,
+                    )
+                )
+
+        return probe_year_operator(
+            make_year0, self._year_fn, vert_diag, col_chunk=col_chunk
+        )
+
     def comp_fcn(self, x):
         return self._comp_fcn(x)
 

@@ -447,6 +447,15 @@ def build_iage_year_pallas_v2(grid, vert_diag, source, t_span, n_steps):
         jnp.asarray(hmc_p),
     )
 
+    # large channel batches (operator probing) need more than the default
+    # 16M scoped-vmem allowance; size the request to the working set
+    vmem_bytes = 4 * nz * w_dim * 24 + (1 << 20)
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=min(vmem_bytes, 100 << 20))
+        if vmem_bytes > (16 << 20)
+        else None
+    )
+
     @partial(jax.jit, static_argnames=("interpret",))
     def year(y0, interpret=False):
         vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
@@ -465,6 +474,7 @@ def build_iage_year_pallas_v2(grid, vert_diag, source, t_span, n_steps):
                 pltpu.VMEM((nz, w_dim), dtype),
                 pltpu.VMEM((nz, w_dim), dtype),
             ],
+            compiler_params=compiler_params,
             interpret=interpret,
         )(y0_p, *consts)
         return out_p.reshape(nz, t_dim, ny).transpose(1, 0, 2)

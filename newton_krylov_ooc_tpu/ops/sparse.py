@@ -12,6 +12,8 @@ Python control flow; `vmap` batches independent right-hand sides).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -115,14 +117,17 @@ def solve_csr_systems(row_ptr, col_ind, data, rhs_batch, rtol=1.0e-12,
     cols = jnp.asarray(cols_np)
     rhs = jnp.asarray(np.asarray(rhs_batch, np.float64))
 
-    @jax.jit
-    def run(rhs):
-        def one(b):
-            x, ok, _k = bicgstab_ell(vals, cols, b, rtol=rtol,
-                                     max_iter=max_iter)
-            return x, ok
-
-        return jax.vmap(one)(rhs)
-
-    x, ok = run(rhs)
+    # matrix passed as operands (not closure constants): closure-captured
+    # arrays become program literals that remote-device backends re-upload
+    # per call, and a fresh closure would also retrace on every invocation
+    x, ok = _solve_ell_batch(vals, cols, rhs, rtol, max_iter)
     return np.asarray(x), np.asarray(ok)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _solve_ell_batch(vals, cols, rhs, rtol, max_iter):
+    def one(b):
+        x, ok, _k = bicgstab_ell(vals, cols, b, rtol=rtol, max_iter=max_iter)
+        return x, ok
+
+    return jax.vmap(one)(rhs)

@@ -1,0 +1,184 @@
+"""dense one-year transition operators for linear tracer modules.
+
+The reference estimates Jacobian columns by packing impulse tracers into a
+forward run, using graph coloring to keep the probes structurally orthogonal
+(`notebooks/IRF_coloring_dev.ipynb`, `externals/gCol/*` -- SURVEY.md P6).  On
+TPU the batched megakernel makes the *full-rank* version affordable: probe
+ALL n = nz*ny basis columns by running them as extra lane-packed channels of
+the one-year kernel.  For a linear module the probe is exact, and the year
+map becomes an explicit affine operator
+
+    year(X) = B X + c        F(X) = (B - I) X + c
+
+after which a function evaluation or Jacobian-vector product is ONE dense
+matvec on the MXU (microseconds, vs milliseconds for the time-stepped year),
+and the cyclo-stationary problem F(X) = 0 can be solved *directly* as the
+linear system (I - B) X = c -- the whole spin-up collapses to a dense solve
+plus Richardson polishing with exact evaluations.
+
+The probe cost (n/chunk batched year integrations; ~47 s for the 40x50
+benchmark grid on a v5e) is one-time per (grid, time-grid, parameters)
+configuration.  At small grids a single Newton-Krylov spin-up with the
+time-stepped kernel is cheaper end-to-end; the operator pays off for
+parameter studies, repeated solves, spectral analysis of the annual
+propagator, and as the exact replacement for coloring-based probing.
+
+Reference parity: nk_ooc gets Jacobian action only via finite differences of
+full model runs (nk_ooc/model_state_base.py:492-527) and approximates
+preconditioners from IRF output; this module supersedes both for in-core
+linear modules.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _matvec(b_mat, x):
+    """(n, n) @ (n,) at float32-faithful MXU precision"""
+    return jax.lax.dot_general(
+        b_mat,
+        x,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _matmul(a, b):
+    """(n, n) @ (n, n) at float32-faithful MXU precision"""
+    return jax.lax.dot_general(
+        a,
+        b,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+class YearOperator:
+    """explicit affine one-year map for a batch of linear tracer fields
+
+    b_mats: (T, n, n) -- per-tracer dense transition operator (source-free)
+    const:  (T, nz, ny) -- year(0) with the source terms active
+    """
+
+    def __init__(self, b_mats, const, nz, ny):
+        self.nz = int(nz)
+        self.ny = int(ny)
+        self.n = self.nz * self.ny
+        self.t_dim = int(b_mats.shape[0])
+        # device-resident operands: the matrices MUST be jit arguments, not
+        # closure constants -- XLA treats closure-captured arrays as program
+        # literals, which remote-device backends re-upload on every call
+        # (measured 25 ms/call vs 20 us for the argument form)
+        self.b_mats = jnp.asarray(b_mats)
+        self.const = jnp.asarray(const)
+
+        n = self.n
+
+        @jax.jit
+        def year(b, c, y):
+            flat = y.reshape(-1, n)
+            out = jax.vmap(_matvec)(b, flat)
+            return out.reshape(y.shape) + c
+
+        @jax.jit
+        def fcn(b, c, y):
+            return year(b, c, y) - y
+
+        @jax.jit
+        def jvp(b, v):
+            flat = v.reshape(-1, n)
+            out = jax.vmap(_matvec)(b, flat)
+            return out.reshape(v.shape) - v
+
+        self.year = lambda y: year(self.b_mats, self.const, y)
+        self.fcn = lambda y: fcn(self.b_mats, self.const, y)
+        self.jvp = lambda v: jvp(self.b_mats, v)
+
+    def solve_cyclostationary(self, polish_iters=4, ns_iters=64):
+        """direct spin-up: solve (I - B) X = c, then polish with exact
+        Newton-Richardson steps.
+
+        Row-pivoted LU is serial and pathologically slow on TPU (seconds for
+        n=2000); instead the inverse of A = I - B is built by Newton-Schulz
+        iteration X <- X (2I - A X) -- nothing but MXU matmuls, quadratically
+        convergent from the standard A^T/(|A|_1 |A|_inf) start.  An inexact
+        inverse only slows the polish steps, which use exact residuals."""
+
+        @partial(jax.jit, static_argnums=(2, 3))
+        def solve_all(b, c, polish, ns):
+            eye = jnp.eye(self.n, dtype=b.dtype)
+            a = eye[None] - b                               # (T, n, n)
+
+            def inv_one(a_t):
+                x0 = a_t.T / (
+                    jnp.abs(a_t).sum(axis=0).max()
+                    * jnp.abs(a_t).sum(axis=1).max()
+                )
+
+                def body(_i, x):
+                    return _matmul(x, 2.0 * eye - _matmul(a_t, x))
+
+                return jax.lax.fori_loop(0, ns, body, x0)
+
+            a_inv = jax.vmap(inv_one)(a)
+
+            flat_c = c.reshape(self.t_dim, self.n)
+            x = jax.vmap(_matvec)(a_inv, flat_c)
+            for _ in range(polish):
+                # exact residual of F(x) = Bx + c - x, corrected through the
+                # approximate inverse
+                resid = jax.vmap(_matvec)(b, x) + flat_c - x
+                x = x + jax.vmap(_matvec)(a_inv, resid)
+            return x.reshape(c.shape)
+
+        return solve_all(self.b_mats, self.const, polish_iters, ns_iters)
+
+
+def probe_year_operator(make_year0, year_src_fn, vert_diag, col_chunk=128):
+    """probe the dense per-tracer year operators by basis-column batching
+
+    make_year0(channel_diag: (C, nz, ny) ndarray) -> fn((C, nz, ny)) ->
+        (C, nz, ny): a SOURCE-FREE batched year integrator whose channels
+        carry the given implicit local rates (e.g. the lane-packed pallas
+        megakernel or the vmapped imex_year scan).
+    year_src_fn: fn((T, nz, ny)) -> (T, nz, ny): the full year map WITH
+        sources, used once on zeros for the constant response.
+    vert_diag: (T, nz, ny) per-tracer implicit local rates.
+
+    Returns a YearOperator.  Chunks are padded to col_chunk so one compiled
+    kernel (fixed channel count) serves every probe batch.
+    """
+    vert_diag = np.asarray(vert_diag, np.float32)
+    t_dim, nz, ny = vert_diag.shape
+    n = nz * ny
+    col_chunk = int(min(col_chunk, n))
+
+    # one builder, reused for every chunk: channel layout is tracer-major
+    # (tracer t's probes occupy channels [t*col_chunk, (t+1)*col_chunk))
+    channel_diag = np.repeat(vert_diag, col_chunk, axis=0)  # (T*chunk, nz, ny)
+    year0 = make_year0(channel_diag)
+
+    # assemble ON DEVICE: a host readback here would not only cost transfers,
+    # it also flips remote-tunnel backends into a slow synchronous dispatch
+    # mode for the rest of the process
+    col_blocks = []                                         # (T, n, chunk) each
+    for start in range(0, n, col_chunk):
+        basis = np.zeros((col_chunk, n), np.float32)
+        m = min(col_chunk, n - start)
+        basis[np.arange(m), start + np.arange(m)] = 1.0
+        y0 = np.tile(basis.reshape(col_chunk, nz, ny), (t_dim, 1, 1))
+        out = year0(jnp.asarray(y0))                        # (T*chunk, nz, ny)
+        cols = out.reshape(t_dim, col_chunk, n)
+        col_blocks.append(jnp.swapaxes(cols, 1, 2))         # (T, n, chunk)
+
+    b_mats = jnp.concatenate(col_blocks, axis=2)[:, :, :n]  # (T, n, n)
+    const = year_src_fn(jnp.zeros((t_dim, nz, ny), jnp.float32))
+    return YearOperator(b_mats, const, nz, ny)

@@ -1,0 +1,71 @@
+"""dense year-operator probing: exactness for the linear iage module.
+
+The probe runs basis columns through the batched year kernel
+(ops/year_operator.py); for a linear model the affine operator it yields
+must reproduce the time-stepped year map to rounding, its JVP must match
+the kernel's exact JVP, and the direct cyclo-stationary solve must land on
+a root of F.  (Reference analog: IRF-coloring Jacobian probing, SURVEY.md
+P6, made full-rank.)
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from newton_krylov_ooc_tpu.core.spatial_axis import (
+    spatial_axis_defn_dict,
+    spatial_axis_from_defn_dict,
+)
+from newton_krylov_ooc_tpu.models.py_driver_2d.incore import IageKernel
+
+
+def _kernel(nz=6, ny=4, n_steps=8):
+    depth = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            nlevs=nz, edge_end=4000.0, delta_ratio_max=19.0
+        )
+    )
+    ypos = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            axisname="ypos",
+            nlevs=ny,
+            edge_start=0.0,
+            edge_end=50.0e5,
+            delta_ratio_max=1.0,
+            units="m",
+        )
+    )
+    modelinfo = {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"}
+    return IageKernel(
+        depth, ypos, modelinfo, dtype=jnp.float32, n_steps=n_steps,
+        use_pallas=False,
+    )
+
+
+def test_year_operator_probe_and_direct_spinup():
+    kernel = _kernel()
+    op = kernel.build_year_operator(col_chunk=7)  # force ragged last chunk
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((2, kernel.nz, kernel.ny)), jnp.float32
+    )
+    fcn_op = np.asarray(op.fcn(x))
+    fcn_ts = np.asarray(kernel.comp_fcn(x))
+    scale = np.abs(fcn_ts).max()
+    assert np.abs(fcn_op - fcn_ts).max() / scale < 1e-5
+
+    v = jnp.asarray(
+        rng.standard_normal((2, kernel.nz, kernel.ny)), jnp.float32
+    )
+    jvp_op = np.asarray(op.jvp(v))
+    jvp_ts = np.asarray(kernel.jvp(x, None, v))
+    scale = np.abs(jvp_ts).max()
+    assert np.abs(jvp_op - jvp_ts).max() / scale < 1e-5
+
+    # direct spin-up: a root of the exact time-stepped F, not merely of
+    # the operator model
+    x_star = op.solve_cyclostationary()
+    resid = np.asarray(kernel.comp_fcn(x_star))
+    scale = max(np.abs(np.asarray(x_star)).max(), 1.0)
+    assert np.abs(resid).max() / scale < 1e-5

@@ -67,6 +67,33 @@ def _pcr_axis1(dl, d, du, b, nz):
     return r_c / b_c
 
 
+def _pcr_axis1_recip(dl, d, du, b, nz):
+    """as _pcr_axis1 with one reciprocal per round instead of two divides
+    (bitwise identical on TPU, where divide lowers to reciprocal-multiply)"""
+    dtype = b.dtype
+    t_dim, _, ny = b.shape
+
+    def sh(arr, s, fill):
+        pad = jnp.full((t_dim, abs(s), ny), fill, dtype)
+        if s > 0:
+            return jnp.concatenate([arr[:, s:, :], pad], axis=1)
+        return jnp.concatenate([pad, arr[:, :s, :]], axis=1)
+
+    a_c, b_c, c_c, r_c = dl, d, du, b
+    stride = 1
+    while stride < nz:
+        rb = 1.0 / b_c
+        alpha = -a_c * sh(rb, -stride, 1.0)
+        gamma = -c_c * sh(rb, stride, 1.0)
+        a_n = alpha * sh(a_c, -stride, 0.0)
+        c_n = gamma * sh(c_c, stride, 0.0)
+        b_c = b_c + alpha * sh(c_c, -stride, 0.0) + gamma * sh(a_c, stride, 0.0)
+        r_c = r_c + alpha * sh(r_c, -stride, 0.0) + gamma * sh(r_c, stride, 0.0)
+        a_c, c_c = a_n, c_n
+        stride *= 2
+    return r_c / b_c
+
+
 def build_iage_year_pallas(grid, vert_diag, source, t_span, n_steps):
     """jitted (y0: (T, nz, ny) f32) -> y(t_end), the whole year in one kernel
 
@@ -520,20 +547,23 @@ def build_phosphorus_year_pallas(grid, params, light_lim, t_span, n_steps):
     hmc = np.asarray(grid.horiz_mix_coeff, np.float32)
     if hmc.ndim == 0:
         hmc = np.full((nz, ny - 1), float(hmc), np.float32)
+    # fused lateral flux coefficients (see build_iage_year_pallas_v2)
+    ca_np = 0.5 * vvel_int + hmc
+    cb_np = 0.5 * vvel_int - hmc
     dz_r = np.asarray(grid.dz_r, np.float32)[:, None]
     dz_mid = np.asarray(grid.dz_mid, np.float32)[:, None]
     dz_mid_r = np.asarray(grid.dz_mid_r, np.float32)[:, None]
     edges = np.asarray(grid.depth_mid, np.float32)[:, None]
     llim = np.asarray(light_lim, np.float32).reshape(nz, ny)
 
-    def kernel(y0_ref, vvel_ref, wvel_ref, bldmax_ref, dzr_ref, dzm_ref,
-               dzmr_ref, edges_ref, dyr_ref, hmc_ref, llim_ref,
+    def kernel(y0_ref, ca_ref, wvel_ref, bldmax_ref, dzr_ref, dzm_ref,
+               dzmr_ref, edges_ref, dyr_ref, cb_ref, llim_ref,
                out_ref, y_scr, c_scr):
         dzr = dzr_ref[:]
         wv = wvel_ref[:]
-        vv = vvel_ref[:]
+        cav = ca_ref[:]
+        cbv = cb_ref[:]
         dy_rv = dyr_ref[:]
-        hmcv = hmc_ref[:]
         light = llim_ref[:]
         abs_wv = jnp.abs(wv)
         e_lo = edges_ref[0 : nz - 1, :]
@@ -581,19 +611,16 @@ def build_phosphorus_year_pallas(grid, params, light_lim, t_span, n_steps):
             d_b = jnp.broadcast_to(
                 (1.0 - half * dmain)[None], (t_dim, nz, ny)
             )
-            return _pcr_axis1(dl_b, d_b, du_b, rhs, nz)
+            return _pcr_axis1_recip(dl_b, d_b, du_b, rhs, nz)
 
         def tend(y):
-            # transport (all tracers at once)
-            wy_int = 0.5 * (y[:, :, 1:] + y[:, :, :-1]) * vv[None]
-            wy = jnp.concatenate([zero_col, wy_int, zero_col], axis=2)
-            res = dy_rv[None] * (wy[:, :, :-1] - wy[:, :, 1:])
+            # transport (all tracers at once); fused lateral flux
+            g_int = cav[None] * y[:, :, :-1] + cbv[None] * y[:, :, 1:]
+            g = jnp.concatenate([zero_col, g_int, zero_col], axis=2)
+            res = dy_rv[None] * (g[:, :, :-1] - g[:, :, 1:])
             wz_int = 0.5 * (y[:, 1:, :] + y[:, :-1, :]) * wv[None]
             wz = jnp.concatenate([zero_row, wz_int, zero_row], axis=1)
             res = res + dzr[None] * (wz[:, 1:, :] - wz[:, :-1, :])
-            hflux_int = hmcv[None] * (y[:, :, 1:] - y[:, :, :-1])
-            hflux = jnp.concatenate([zero_col, hflux_int, zero_col], axis=2)
-            res = res + dy_rv[None] * (hflux[:, :, 1:] - hflux[:, :, :-1])
 
             # biogeochemistry (local)
             po4, dop, pop = y[0], y[1], y[2]
@@ -642,7 +669,7 @@ def build_phosphorus_year_pallas(grid, params, light_lim, t_span, n_steps):
         out_ref[:] = y_scr[:]
 
     consts = (
-        jnp.asarray(vvel_int),
+        jnp.asarray(ca_np),
         jnp.asarray(wvel_int),
         jnp.asarray(bld_max),
         jnp.asarray(dz_r),
@@ -650,7 +677,7 @@ def build_phosphorus_year_pallas(grid, params, light_lim, t_span, n_steps):
         jnp.asarray(dz_mid_r),
         jnp.asarray(edges),
         jnp.asarray(dy_r),
-        jnp.asarray(hmc),
+        jnp.asarray(cb_np),
         jnp.asarray(llim),
     )
 

@@ -473,11 +473,11 @@ def build_iage_year_pallas_v2(grid, vert_diag, source, t_span, n_steps):
         jnp.asarray(cb),
     )
 
-    # large channel batches (operator probing) need more than the default
-    # 16M scoped-vmem allowance; size the request to the working set
-    vmem_bytes = 4 * nz * w_dim * 24 + (1 << 20)
+    # large channel batches (operator probing) and large grids need more
+    # than the default 16M scoped-vmem allowance; size to the working set
+    vmem_bytes = 4 * nz * w_dim * 32 + (2 << 20)
     compiler_params = (
-        pltpu.CompilerParams(vmem_limit_bytes=min(vmem_bytes, 100 << 20))
+        pltpu.CompilerParams(vmem_limit_bytes=min(vmem_bytes, 110 << 20))
         if vmem_bytes > (16 << 20)
         else None
     )

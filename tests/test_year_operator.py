@@ -19,7 +19,7 @@ from newton_krylov_ooc_tpu.core.spatial_axis import (
 from newton_krylov_ooc_tpu.models.py_driver_2d.incore import IageKernel
 
 
-def _kernel(nz=6, ny=4, n_steps=8):
+def _kernel(nz=5, ny=4, n_steps=6):
     depth = spatial_axis_from_defn_dict(
         defn_dict=spatial_axis_defn_dict(
             nlevs=nz, edge_end=4000.0, delta_ratio_max=19.0

@@ -35,37 +35,23 @@ def main():
 
     import jax.numpy as jnp
 
-    from newton_krylov_ooc_tpu.core.spatial_axis import (
-        spatial_axis_defn_dict,
-        spatial_axis_from_defn_dict,
-    )
+    from __graft_entry__ import _axes
     from newton_krylov_ooc_tpu.models.py_driver_2d.incore import IageKernel
 
-    depth = spatial_axis_from_defn_dict(
-        defn_dict=spatial_axis_defn_dict(
-            nlevs=nz, edge_end=4000.0, delta_ratio_max=19.0
-        )
-    )
-    ypos = spatial_axis_from_defn_dict(
-        defn_dict=spatial_axis_defn_dict(
-            axisname="ypos",
-            nlevs=ny,
-            edge_start=0.0,
-            edge_end=50.0e5,
-            delta_ratio_max=1.0,
-            units="m",
-        )
-    )
+    depth, ypos = _axes(nz, ny)
     modelinfo = {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"}
     kernel = IageKernel(
         depth, ypos, modelinfo, dtype=jnp.float32, n_steps=n_steps
     )
 
-    n = 2 * nz * ny
+    n = nz * ny  # columns per tracer; both tracers probe in the same lanes
     t0 = time.time()
     op = kernel.build_year_operator(col_chunk=col_chunk)
     op.b_mats.block_until_ready()
-    print(f"probed B ({n} columns, chunk {col_chunk}): {time.time() - t0:.1f} s")
+    print(
+        f"probed B ({n} columns x 2 tracers, chunk {col_chunk}): "
+        f"{time.time() - t0:.1f} s"
+    )
 
     t0 = time.time()
     x_star = op.solve_cyclostationary()

@@ -142,7 +142,10 @@ class IageKernel:
         from ...ops.year_operator import probe_year_operator
 
         grid, year, n_steps = self.grid, self.year, self.n_steps
-        vert_diag = np.asarray(self._vert_diag, np.float32)
+        # the pallas kernel is float32 by design; the scan path probes in
+        # the kernel's own dtype (float64 operators for f64 kernels)
+        probe_dtype = np.float32 if self.use_pallas else np.dtype(self.dtype)
+        vert_diag = np.asarray(self._vert_diag, probe_dtype)
 
         if self.use_pallas:
             from ...ops.imex_pallas import build_iage_year_pallas_v2
@@ -156,7 +159,7 @@ class IageKernel:
         else:
 
             def make_year0(channel_diag):
-                channel_diag = jnp.asarray(channel_diag, jnp.float32)
+                channel_diag = jnp.asarray(channel_diag, self.dtype)
 
                 def explicit_tend0(t, y):
                     def one(v):
@@ -179,7 +182,8 @@ class IageKernel:
                 )
 
         return probe_year_operator(
-            make_year0, self._year_fn, vert_diag, col_chunk=col_chunk
+            make_year0, self._year_fn, vert_diag, col_chunk=col_chunk,
+            dtype=probe_dtype,
         )
 
     def comp_fcn(self, x):

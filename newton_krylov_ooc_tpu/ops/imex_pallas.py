@@ -42,22 +42,34 @@ def _piecewise_frac(t, xs, fs):
     return val
 
 
-def _pcr_axis1(dl, d, du, b, nz):
-    """parallel cyclic reduction along axis 1 of (T, nz, ny) arrays"""
+def _pcr_minor2(dl, d, du, b, nz, recip):
+    """parallel cyclic reduction along the second-minor axis (axis -2) of
+    rank-2 (nz, lanes) or rank-3 (T, nz, ny) arrays.
+
+    recip=True uses one reciprocal per round instead of two divides --
+    bitwise identical on TPU (divide lowers to reciprocal-multiply there),
+    a ~1-ulp/round difference in interpret mode.
+    """
     dtype = b.dtype
-    t_dim, _, ny = b.shape
+    lead = b.shape[:-2]
+    lanes = b.shape[-1]
 
     def sh(arr, s, fill):
-        pad = jnp.full((t_dim, abs(s), ny), fill, dtype)
+        pad = jnp.full(lead + (abs(s), lanes), fill, dtype)
         if s > 0:
-            return jnp.concatenate([arr[:, s:, :], pad], axis=1)
-        return jnp.concatenate([pad, arr[:, :s, :]], axis=1)
+            return jnp.concatenate([arr[..., s:, :], pad], axis=-2)
+        return jnp.concatenate([pad, arr[..., :s, :]], axis=-2)
 
     a_c, b_c, c_c, r_c = dl, d, du, b
     stride = 1
     while stride < nz:
-        alpha = -a_c / sh(b_c, -stride, 1.0)
-        gamma = -c_c / sh(b_c, stride, 1.0)
+        if recip:
+            rb = 1.0 / b_c
+            alpha = -a_c * sh(rb, -stride, 1.0)
+            gamma = -c_c * sh(rb, stride, 1.0)
+        else:
+            alpha = -a_c / sh(b_c, -stride, 1.0)
+            gamma = -c_c / sh(b_c, stride, 1.0)
         a_n = alpha * sh(a_c, -stride, 0.0)
         c_n = gamma * sh(c_c, stride, 0.0)
         b_c = b_c + alpha * sh(c_c, -stride, 0.0) + gamma * sh(a_c, stride, 0.0)
@@ -65,33 +77,16 @@ def _pcr_axis1(dl, d, du, b, nz):
         a_c, c_c = a_n, c_n
         stride *= 2
     return r_c / b_c
+
+
+def _pcr_axis1(dl, d, du, b, nz):
+    """divide-form PCR on (T, nz, ny) (kept for the reference kernel)"""
+    return _pcr_minor2(dl, d, du, b, nz, recip=False)
 
 
 def _pcr_axis1_recip(dl, d, du, b, nz):
-    """as _pcr_axis1 with one reciprocal per round instead of two divides
-    (bitwise identical on TPU, where divide lowers to reciprocal-multiply)"""
-    dtype = b.dtype
-    t_dim, _, ny = b.shape
-
-    def sh(arr, s, fill):
-        pad = jnp.full((t_dim, abs(s), ny), fill, dtype)
-        if s > 0:
-            return jnp.concatenate([arr[:, s:, :], pad], axis=1)
-        return jnp.concatenate([pad, arr[:, :s, :]], axis=1)
-
-    a_c, b_c, c_c, r_c = dl, d, du, b
-    stride = 1
-    while stride < nz:
-        rb = 1.0 / b_c
-        alpha = -a_c * sh(rb, -stride, 1.0)
-        gamma = -c_c * sh(rb, stride, 1.0)
-        a_n = alpha * sh(a_c, -stride, 0.0)
-        c_n = gamma * sh(c_c, stride, 0.0)
-        b_c = b_c + alpha * sh(c_c, -stride, 0.0) + gamma * sh(a_c, stride, 0.0)
-        r_c = r_c + alpha * sh(r_c, -stride, 0.0) + gamma * sh(r_c, stride, 0.0)
-        a_c, c_c = a_n, c_n
-        stride *= 2
-    return r_c / b_c
+    """reciprocal-form PCR on (T, nz, ny)"""
+    return _pcr_minor2(dl, d, du, b, nz, recip=True)
 
 
 def build_iage_year_pallas(grid, vert_diag, source, t_span, n_steps):
@@ -373,34 +368,8 @@ def build_iage_year_pallas_v2(grid, vert_diag, source, t_span, n_steps):
         zero_row = jnp.zeros((1, w_dim), dtype)
         zero_col = jnp.zeros((nz, 1), dtype)
 
-        def sh(arr, s, fill):
-            pad = jnp.full((abs(s), w_dim), fill, dtype)
-            if s > 0:
-                return jnp.concatenate([arr[s:, :], pad], axis=0)
-            return jnp.concatenate([pad, arr[:s, :]], axis=0)
-
         def pcr(dl, d, du, b):
-            a_c, b_c, c_c, r_c = dl, d, du, b
-            stride = 1
-            while stride < nz:
-                rb = 1.0 / b_c
-                alpha = -a_c * sh(rb, -stride, 1.0)
-                gamma = -c_c * sh(rb, stride, 1.0)
-                a_n = alpha * sh(a_c, -stride, 0.0)
-                c_n = gamma * sh(c_c, stride, 0.0)
-                b_c = (
-                    b_c
-                    + alpha * sh(c_c, -stride, 0.0)
-                    + gamma * sh(a_c, stride, 0.0)
-                )
-                r_c = (
-                    r_c
-                    + alpha * sh(r_c, -stride, 0.0)
-                    + gamma * sh(r_c, stride, 0.0)
-                )
-                a_c, c_c = a_n, c_n
-                stride *= 2
-            return r_c / b_c
+            return _pcr_minor2(dl, d, du, b, nz, recip=True)
 
         def cn_incr(kv, y, h):
             up = kv * dzr[: nz - 1, :]        # (nz-1, W)
@@ -474,10 +443,21 @@ def build_iage_year_pallas_v2(grid, vert_diag, source, t_span, n_steps):
     )
 
     # large channel batches (operator probing) and large grids need more
-    # than the default 16M scoped-vmem allowance; size to the working set
-    vmem_bytes = 4 * nz * w_dim * 32 + (2 << 20)
+    # than the default 16M scoped-vmem allowance; request the estimated
+    # working set (capped at the chip budget), and fail early with an
+    # actionable message when even the minimum live set cannot fit
+    field_bytes = 4 * nz * w_dim
+    vmem_cap = 110 << 20
+    if field_bytes * 10 > vmem_cap:  # in/out, 2 scratch, consts, temporaries
+        raise ValueError(
+            f"~{field_bytes * 10 >> 20} MiB minimum VMEM for {t_dim} "
+            f"channels of {nz}x{ny} exceeds the ~{vmem_cap >> 20} MiB "
+            "per-kernel budget; reduce the channel count (e.g. a smaller "
+            "col_chunk for operator probing) or shard the grid over a mesh"
+        )
+    vmem_bytes = min(field_bytes * 32 + (2 << 20), vmem_cap)
     compiler_params = (
-        pltpu.CompilerParams(vmem_limit_bytes=min(vmem_bytes, 110 << 20))
+        pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes)
         if vmem_bytes > (16 << 20)
         else None
     )

@@ -40,24 +40,24 @@ import jax.numpy as jnp
 
 
 def _matvec(b_mat, x):
-    """(n, n) @ (n,) at float32-faithful MXU precision"""
+    """(n, n) @ (n,) at operand-dtype-faithful MXU precision"""
     return jax.lax.dot_general(
         b_mat,
         x,
         (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=b_mat.dtype,
     )
 
 
 def _matmul(a, b):
-    """(n, n) @ (n, n) at float32-faithful MXU precision"""
+    """(n, n) @ (n, n) at operand-dtype-faithful MXU precision"""
     return jax.lax.dot_general(
         a,
         b,
         (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=a.dtype,
     )
 
 
@@ -111,38 +111,41 @@ class YearOperator:
         iteration X <- X (2I - A X) -- nothing but MXU matmuls, quadratically
         convergent from the standard A^T/(|A|_1 |A|_inf) start.  An inexact
         inverse only slows the polish steps, which use exact residuals."""
-
-        @partial(jax.jit, static_argnums=(2, 3))
-        def solve_all(b, c, polish, ns):
-            eye = jnp.eye(self.n, dtype=b.dtype)
-            a = eye[None] - b                               # (T, n, n)
-
-            def inv_one(a_t):
-                x0 = a_t.T / (
-                    jnp.abs(a_t).sum(axis=0).max()
-                    * jnp.abs(a_t).sum(axis=1).max()
-                )
-
-                def body(_i, x):
-                    return _matmul(x, 2.0 * eye - _matmul(a_t, x))
-
-                return jax.lax.fori_loop(0, ns, body, x0)
-
-            a_inv = jax.vmap(inv_one)(a)
-
-            flat_c = c.reshape(self.t_dim, self.n)
-            x = jax.vmap(_matvec)(a_inv, flat_c)
-            for _ in range(polish):
-                # exact residual of F(x) = Bx + c - x, corrected through the
-                # approximate inverse
-                resid = jax.vmap(_matvec)(b, x) + flat_c - x
-                x = x + jax.vmap(_matvec)(a_inv, resid)
-            return x.reshape(c.shape)
-
-        return solve_all(self.b_mats, self.const, polish_iters, ns_iters)
+        return _solve_all(self.b_mats, self.const, polish_iters, ns_iters)
 
 
-def probe_year_operator(make_year0, year_src_fn, vert_diag, col_chunk=128):
+@partial(jax.jit, static_argnums=(2, 3))
+def _solve_all(b, c, polish, ns):
+    """module-level (compiled once per shape): Newton-Schulz inverse of
+    I - B, initial solve, and `polish` exact-residual correction steps"""
+    t_dim, n, _ = b.shape
+    eye = jnp.eye(n, dtype=b.dtype)
+    a = eye[None] - b                                   # (T, n, n)
+
+    def inv_one(a_t):
+        x0 = a_t.T / (
+            jnp.abs(a_t).sum(axis=0).max() * jnp.abs(a_t).sum(axis=1).max()
+        )
+
+        def body(_i, x):
+            return _matmul(x, 2.0 * eye - _matmul(a_t, x))
+
+        return jax.lax.fori_loop(0, ns, body, x0)
+
+    a_inv = jax.vmap(inv_one)(a)
+
+    flat_c = c.reshape(t_dim, n)
+    x = jax.vmap(_matvec)(a_inv, flat_c)
+    for _ in range(polish):
+        # exact residual of F(x) = Bx + c - x, corrected through the
+        # approximate inverse
+        resid = jax.vmap(_matvec)(b, x) + flat_c - x
+        x = x + jax.vmap(_matvec)(a_inv, resid)
+    return x.reshape(c.shape)
+
+
+def probe_year_operator(make_year0, year_src_fn, vert_diag, col_chunk=128,
+                        dtype=np.float32):
     """probe the dense per-tracer year operators by basis-column batching
 
     make_year0(channel_diag: (C, nz, ny) ndarray) -> fn((C, nz, ny)) ->
@@ -152,11 +155,14 @@ def probe_year_operator(make_year0, year_src_fn, vert_diag, col_chunk=128):
     year_src_fn: fn((T, nz, ny)) -> (T, nz, ny): the full year map WITH
         sources, used once on zeros for the constant response.
     vert_diag: (T, nz, ny) per-tracer implicit local rates.
+    dtype: probe precision -- match the integrator's dtype (float32 for the
+        pallas path; pass the kernel dtype, e.g. float64, for scan paths).
 
     Returns a YearOperator.  Chunks are padded to col_chunk so one compiled
     kernel (fixed channel count) serves every probe batch.
     """
-    vert_diag = np.asarray(vert_diag, np.float32)
+    dtype = np.dtype(dtype)
+    vert_diag = np.asarray(vert_diag, dtype)
     t_dim, nz, ny = vert_diag.shape
     n = nz * ny
     col_chunk = int(min(col_chunk, n))
@@ -171,7 +177,7 @@ def probe_year_operator(make_year0, year_src_fn, vert_diag, col_chunk=128):
     # mode for the rest of the process
     col_blocks = []                                         # (T, n, chunk) each
     for start in range(0, n, col_chunk):
-        basis = np.zeros((col_chunk, n), np.float32)
+        basis = np.zeros((col_chunk, n), dtype)
         m = min(col_chunk, n - start)
         basis[np.arange(m), start + np.arange(m)] = 1.0
         y0 = np.tile(basis.reshape(col_chunk, nz, ny), (t_dim, 1, 1))
@@ -180,5 +186,5 @@ def probe_year_operator(make_year0, year_src_fn, vert_diag, col_chunk=128):
         col_blocks.append(jnp.swapaxes(cols, 1, 2))         # (T, n, chunk)
 
     b_mats = jnp.concatenate(col_blocks, axis=2)[:, :, :n]  # (T, n, n)
-    const = year_src_fn(jnp.zeros((t_dim, nz, ny), jnp.float32))
+    const = year_src_fn(jnp.zeros((t_dim, nz, ny), dtype))
     return YearOperator(b_mats, const, nz, ny)

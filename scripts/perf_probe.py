@@ -18,10 +18,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from newton_krylov_ooc_tpu.core.spatial_axis import (
-        spatial_axis_defn_dict,
-        spatial_axis_from_defn_dict,
-    )
     from newton_krylov_ooc_tpu.models.py_driver_2d import physics
     from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
         SURF_SLOW_FACTOR,
@@ -31,17 +27,9 @@ def main():
 
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8760
     nz, ny = 40, 50
-    depth = spatial_axis_from_defn_dict(
-        defn_dict=spatial_axis_defn_dict(
-            nlevs=nz, edge_end=4000.0, delta_ratio_max=19.0
-        )
-    )
-    ypos = spatial_axis_from_defn_dict(
-        defn_dict=spatial_axis_defn_dict(
-            axisname="ypos", nlevs=ny, edge_start=0.0, edge_end=50.0e5,
-            delta_ratio_max=1.0, units="m",
-        )
-    )
+    from __graft_entry__ import _axes
+
+    depth, ypos = _axes(nz, ny)
     modelinfo = {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"}
     grid = physics.make_grid(depth, ypos, modelinfo, jnp.float32)
     year = physics.SEC_PER_YEAR

@@ -19,7 +19,24 @@ from newton_krylov_ooc_tpu.core.spatial_axis import (
 from newton_krylov_ooc_tpu.models.py_driver_2d.incore import IageKernel
 
 
-def _kernel(nz=5, ny=4, n_steps=6):
+def test_year_operator_respects_float64_kernels():
+    """a float64 scan-path kernel must probe a float64 operator (no silent
+    demotion to float32)"""
+    kernel = _kernel(nz=4, ny=3, n_steps=4, dtype=jnp.float64)
+    op = kernel.build_year_operator(col_chunk=12)
+    assert op.b_mats.dtype == jnp.float64
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(
+        rng.standard_normal((2, kernel.nz, kernel.ny)), jnp.float64
+    )
+    fcn_op = np.asarray(op.fcn(x))
+    fcn_ts = np.asarray(kernel.comp_fcn(x))
+    scale = np.abs(fcn_ts).max()
+    assert np.abs(fcn_op - fcn_ts).max() / scale < 1e-12
+
+
+def _kernel(nz=5, ny=4, n_steps=6, dtype=jnp.float32):
     depth = spatial_axis_from_defn_dict(
         defn_dict=spatial_axis_defn_dict(
             nlevs=nz, edge_end=4000.0, delta_ratio_max=19.0
@@ -37,7 +54,7 @@ def _kernel(nz=5, ny=4, n_steps=6):
     )
     modelinfo = {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"}
     return IageKernel(
-        depth, ypos, modelinfo, dtype=jnp.float32, n_steps=n_steps,
+        depth, ypos, modelinfo, dtype=dtype, n_steps=n_steps,
         use_pallas=False,
     )
 

@@ -212,6 +212,107 @@ def main():
         "fn_evals_per_second": round(1.0 / tpu_time, 3),
         "step_halving_rel_err": rel_err,
     }
+
+    # secondary measured fields (best-effort; the primary metric above is
+    # complete even if these are skipped by budget or failure)
+    bench_t0 = time.time()
+    if os.environ.get("NK_BENCH_EXTRA", "1") != "0":
+        from newton_krylov_ooc_tpu.models.py_driver_2d import physics
+        from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
+            surf_restore_rate,
+        )
+
+        try:
+            from newton_krylov_ooc_tpu.models.py_driver_2d.phosphorus import (
+                DEFAULT_PARAMS,
+                light_lim_2d,
+            )
+            from newton_krylov_ooc_tpu.ops.imex_pallas import (
+                build_iage_year_pallas_v2,
+                build_phosphorus_year_pallas,
+            )
+
+            grid = physics.make_grid(depth, ypos, modelinfo, jnp.float32)
+
+            phos = build_phosphorus_year_pallas(
+                grid, DEFAULT_PARAMS, light_lim_2d(depth, ypos),
+                (0.0, year), N_STEPS,
+            )
+            p0 = jnp.asarray(np.full((3, GRID_NZ, GRID_NY), 0.5, np.float32))
+            phos(p0).block_until_ready()
+            times = []
+            for _ in range(3):
+                start = time.time()
+                phos(p0).block_until_ready()
+                times.append(time.time() - start)
+            result["phosphorus_year_seconds"] = round(min(times), 6)
+
+            batch = 32
+            rate = surf_restore_rate(depth)
+            bdiag = np.zeros((batch, GRID_NZ, GRID_NY), np.float32)
+            bdiag[:, 0, :] = -rate
+            bsrc = np.full((batch, 1, 1), 1.0 / year, np.float32)
+            bfn = build_iage_year_pallas_v2(
+                grid, bdiag, bsrc, (0.0, year), N_STEPS
+            )
+            b0 = jnp.asarray(
+                np.full((batch, GRID_NZ, GRID_NY), 0.5, np.float32)
+            )
+            bfn(b0).block_until_ready()
+            times = []
+            for _ in range(3):
+                start = time.time()
+                bfn(b0).block_until_ready()
+                times.append(time.time() - start)
+            result["module_year_seconds_batch32"] = round(min(times) / batch, 6)
+        except Exception as exc:  # noqa: BLE001
+            result["extra_bench_error"] = f"{type(exc).__name__}: {exc}"
+
+        # million-cell scaling point, only if there's budget left
+        if time.time() - bench_t0 < 240:
+            try:
+                from newton_krylov_ooc_tpu.core.spatial_axis import (
+                    spatial_axis_defn_dict as sdd,
+                    spatial_axis_from_defn_dict as sfd,
+                )
+                from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
+                    SURF_SLOW_FACTOR as ssf,
+                )
+                from newton_krylov_ooc_tpu.ops.imex_pallas import (
+                    build_iage_year_pallas_v2,
+                )
+
+                bz, by = 256, 2000
+                bdepth = sfd(defn_dict=sdd(
+                    nlevs=bz, edge_end=4000.0, delta_ratio_max=19.0))
+                bypos = sfd(defn_dict=sdd(
+                    axisname="ypos", nlevs=by, edge_start=0.0,
+                    edge_end=50.0e5, delta_ratio_max=1.0, units="m"))
+                bgrid = physics.make_grid(
+                    bdepth, bypos, modelinfo, jnp.float32
+                )
+                brate = surf_restore_rate(bdepth)
+                bdiag = np.zeros((2, bz, by), np.float32)
+                bdiag[0, 0, :] = -brate
+                bdiag[1, 0, :] = -ssf * brate
+                bsrc = np.full((2, 1, 1), 1.0 / year, np.float32)
+                bigfn = build_iage_year_pallas_v2(
+                    bgrid, bdiag, bsrc, (0.0, year), N_STEPS
+                )
+                big0 = jnp.asarray(np.full((2, bz, by), 0.5, np.float32))
+                bigfn(big0).block_until_ready()
+                times = []
+                for _ in range(2):
+                    start = time.time()
+                    bigfn(big0).block_until_ready()
+                    times.append(time.time() - start)
+                result["million_cell_year_seconds"] = round(min(times), 4)
+                result["cell_steps_per_second"] = round(
+                    2 * bz * by * N_STEPS / min(times)
+                )
+            except Exception as exc:  # noqa: BLE001
+                result["scale_bench_error"] = f"{type(exc).__name__}: {exc}"
+
     print(json.dumps(result))
 
 

@@ -65,6 +65,19 @@ def main():
         f"(|X*|_max = {scale:.1f}, relative {resid / scale:.1e})"
     )
 
+    # spectrum of the annual propagator: the slow modes ARE the spin-up
+    # problem -- their e-folding times say how many years a forward run
+    # would need (and how hard the Newton solve has to work)
+    t0 = time.time()
+    eigvals, timescales = op.spectrum(k=5)
+    print(f"propagator spectrum ({time.time() - t0:.1f} s):")
+    for t, name in enumerate(("iage", "iage_slow_rest")):
+        mags = ", ".join(
+            f"|l|={abs(v):.4f} (tau={tau:.1f} yr)"
+            for v, tau in zip(eigvals[t], timescales[t])
+        )
+        print(f"  {name}: {mags}")
+
 
 if __name__ == "__main__":
     main()

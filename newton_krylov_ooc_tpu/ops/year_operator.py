@@ -113,6 +113,56 @@ class YearOperator:
         inverse only slows the polish steps, which use exact residuals."""
         return _solve_all(self.b_mats, self.const, polish_iters, ns_iters)
 
+    def spectrum(self, k=8, iters=200, seed=0):
+        """leading eigenvalues of the annual propagator B per tracer.
+
+        Subspace (orthogonal) iteration runs on device -- batched MXU
+        matmuls + QR -- then the k x k projection q^T B q is
+        eigendecomposed on the host.  Returns (eigvals, timescales_years):
+        eigvals (T, k) complex, sorted by descending magnitude, and the
+        implied e-folding spin-up timescales -1/ln|lambda| in years (inf
+        for |lambda| >= 1).  The reference reaches for ARPACK shift-invert
+        in its phosphorus preconditioner (py_driver_2d/phosphorus.py
+        eigs); here the spectrum of the exact year map is available
+        directly."""
+        # pad the subspace: the trailing iterated eigenvalue converges
+        # slowest, so iterate with k+pad columns and report the top k
+        pad = max(4, k // 2)
+        kk = min(k + pad, self.n)
+        rng = np.random.default_rng(seed)
+        q0 = jnp.asarray(
+            rng.standard_normal((self.t_dim, self.n, kk)),
+            self.b_mats.dtype,
+        )
+        q0, _ = jnp.linalg.qr(q0)
+        _q, h = _subspace_project(self.b_mats, q0, int(iters))
+
+        eigvals = np.empty((self.t_dim, k), np.complex128)
+        for t in range(self.t_dim):
+            vals = np.linalg.eigvals(np.asarray(h[t], np.float64))
+            eigvals[t] = vals[np.argsort(-np.abs(vals))][:k]
+        mags = np.abs(eigvals)
+        with np.errstate(divide="ignore"):
+            log_mags = np.log(mags)
+        timescales = np.where(mags < 1.0, -1.0 / log_mags, np.inf)
+        return eigvals, timescales
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _subspace_project(b, q0, iters):
+    """orthogonal (subspace) iteration: returns (q, h) with h = q^T B q,
+    the k-dim projection of B onto its dominant invariant subspace"""
+
+    def body(_i, q):
+        z = jax.vmap(_matmul)(b, q)
+        q_new, _r = jnp.linalg.qr(z)
+        return q_new
+
+    q = jax.lax.fori_loop(0, iters, body, q0)
+    bq = jax.vmap(_matmul)(b, q)
+    h = jax.vmap(_matmul)(jnp.swapaxes(q, 1, 2), bq)
+    return q, h
+
 
 @partial(jax.jit, static_argnums=(2, 3))
 def _solve_all(b, c, polish, ns):

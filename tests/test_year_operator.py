@@ -86,3 +86,15 @@ def test_year_operator_probe_and_direct_spinup():
     resid = np.asarray(kernel.comp_fcn(x_star))
     scale = max(np.abs(np.asarray(x_star)).max(), 1.0)
     assert np.abs(resid).max() / scale < 1e-5
+
+    # spectrum: subspace iteration must recover the dominant eigenvalues
+    # of B (cross-checked against a dense host eigendecomposition)
+    k = 4
+    eigvals, timescales = op.spectrum(k=k, iters=300)
+    for t in range(2):
+        exact = np.linalg.eigvals(np.asarray(op.b_mats[t], np.float64))
+        exact = exact[np.argsort(-np.abs(exact))][:k]
+        assert np.allclose(
+            np.abs(eigvals[t]), np.abs(exact), rtol=1e-3, atol=1e-5
+        )
+    assert np.isfinite(timescales).all() or (timescales > 0).all()

@@ -92,6 +92,45 @@ def test_pallas_year_matches_xla_scan():
     assert float(jnp.abs(y_v2 - y_pl).max()) / scale < 5e-5
 
 
+def test_pallas_year_v2_vmem_guard():
+    """channel batches whose minimum live set cannot fit VMEM must fail at
+    build time with an actionable message, not a Mosaic compile error"""
+    import pytest
+
+    nz, ny = 64, 512
+    depth = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            nlevs=nz, edge_end=4000.0, delta_ratio_max=19.0
+        )
+    )
+    ypos = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            axisname="ypos",
+            nlevs=ny,
+            edge_start=0.0,
+            edge_end=50.0e5,
+            delta_ratio_max=1.0,
+            units="m",
+        )
+    )
+    grid = physics.make_grid(
+        depth,
+        ypos,
+        {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"},
+        jnp.float32,
+    )
+    t_dim = 256  # 64 x (256*512) f32 fields: far beyond the VMEM budget
+    diag = np.zeros((t_dim, nz, ny), np.float32)
+    source = np.zeros((t_dim, 1, 1), np.float32)
+
+    from newton_krylov_ooc_tpu.ops.imex_pallas import (
+        build_iage_year_pallas_v2,
+    )
+
+    with pytest.raises(ValueError, match="col_chunk"):
+        build_iage_year_pallas_v2(grid, diag, source, (0.0, 1.0), 4)
+
+
 def test_pallas_year_v2_three_tracers():
     """generic tracer-count packing: 3 modules with distinct sources/diags"""
     nz, ny, n_steps = 8, 6, 12

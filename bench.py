@@ -32,7 +32,7 @@ CPU_SPAN_FRAC = float(os.environ.get("NK_BENCH_CPU_SPAN", "1.0"))
 REPS = 3
 
 
-def build_axes():
+def build_axes(nz=None, ny=None):
     from newton_krylov_ooc_tpu.core.spatial_axis import (
         spatial_axis_defn_dict,
         spatial_axis_from_defn_dict,
@@ -40,13 +40,15 @@ def build_axes():
 
     depth = spatial_axis_from_defn_dict(
         defn_dict=spatial_axis_defn_dict(
-            nlevs=GRID_NZ, edge_end=4000.0, delta_ratio_max=19.0
+            nlevs=GRID_NZ if nz is None else nz,
+            edge_end=4000.0,
+            delta_ratio_max=19.0,
         )
     )
     ypos = spatial_axis_from_defn_dict(
         defn_dict=spatial_axis_defn_dict(
             axisname="ypos",
-            nlevs=GRID_NY,
+            nlevs=GRID_NY if ny is None else ny,
             edge_start=0.0,
             edge_end=50.0e5,
             delta_ratio_max=1.0,
@@ -271,10 +273,6 @@ def main():
         # million-cell scaling point, only if there's budget left
         if time.time() - bench_t0 < 240:
             try:
-                from newton_krylov_ooc_tpu.core.spatial_axis import (
-                    spatial_axis_defn_dict as sdd,
-                    spatial_axis_from_defn_dict as sfd,
-                )
                 from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
                     SURF_SLOW_FACTOR as ssf,
                 )
@@ -283,11 +281,7 @@ def main():
                 )
 
                 bz, by = 256, 2000
-                bdepth = sfd(defn_dict=sdd(
-                    nlevs=bz, edge_end=4000.0, delta_ratio_max=19.0))
-                bypos = sfd(defn_dict=sdd(
-                    axisname="ypos", nlevs=by, edge_start=0.0,
-                    edge_end=50.0e5, delta_ratio_max=1.0, units="m"))
+                bdepth, bypos = build_axes(bz, by)
                 bgrid = physics.make_grid(
                     bdepth, bypos, modelinfo, jnp.float32
                 )

@@ -282,6 +282,10 @@ class IageKernel:
 class PhosphorusKernel(IageKernel):
     """in-core kernel: py_driver_2d phosphorus (po4/dop/pop), IMEX year.
 
+    Nonlinear (Michaelis-Menten uptake), so the affine year-operator probe
+    does not apply -- `build_year_operator` raises rather than probing a
+    wrong linearization (see the override below).
+
     The only stiff term is vertical mixing, which the Crank-Nicolson half of
     the IMEX split absorbs; biogeochemistry (Michaelis-Menten uptake at a
     ~3 day timescale, remineralization at ~0.5 yr) and particulate sinking
@@ -421,6 +425,13 @@ class PhosphorusKernel(IageKernel):
 
     def precond_apply(self, data, r):
         return self._precond_solve(data, r)
+
+    def build_year_operator(self, col_chunk=128):
+        raise NotImplementedError(
+            "the phosphorus year map is nonlinear (Michaelis-Menten "
+            "uptake); the affine year-operator probe applies only to "
+            "linear modules such as iage"
+        )
 
     # -- conveniences -------------------------------------------------------------
 

@@ -80,27 +80,14 @@ class YearOperator:
         self.b_mats = jnp.asarray(b_mats)
         self.const = jnp.asarray(const)
 
-        n = self.n
+    def year(self, y):
+        return _year_apply(self.b_mats, self.const, y)
 
-        @jax.jit
-        def year(b, c, y):
-            flat = y.reshape(-1, n)
-            out = jax.vmap(_matvec)(b, flat)
-            return out.reshape(y.shape) + c
+    def fcn(self, y):
+        return _year_apply(self.b_mats, self.const, y) - y
 
-        @jax.jit
-        def fcn(b, c, y):
-            return year(b, c, y) - y
-
-        @jax.jit
-        def jvp(b, v):
-            flat = v.reshape(-1, n)
-            out = jax.vmap(_matvec)(b, flat)
-            return out.reshape(v.shape) - v
-
-        self.year = lambda y: year(self.b_mats, self.const, y)
-        self.fcn = lambda y: fcn(self.b_mats, self.const, y)
-        self.jvp = lambda v: jvp(self.b_mats, v)
+    def jvp(self, v):
+        return _jvp_apply(self.b_mats, v)
 
     def solve_cyclostationary(self, polish_iters=4, ns_iters=64):
         """direct spin-up: solve (I - B) X = c, then polish with exact
@@ -127,6 +114,7 @@ class YearOperator:
         directly."""
         # pad the subspace: the trailing iterated eigenvalue converges
         # slowest, so iterate with k+pad columns and report the top k
+        k = min(int(k), self.n)
         pad = max(4, k // 2)
         kk = min(k + pad, self.n)
         rng = np.random.default_rng(seed)
@@ -142,10 +130,27 @@ class YearOperator:
             vals = np.linalg.eigvals(np.asarray(h[t], np.float64))
             eigvals[t] = vals[np.argsort(-np.abs(vals))][:k]
         mags = np.abs(eigvals)
-        with np.errstate(divide="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore"):
             log_mags = np.log(mags)
-        timescales = np.where(mags < 1.0, -1.0 / log_mags, np.inf)
+            timescales = np.where(mags < 1.0, -1.0 / log_mags, np.inf)
         return eigvals, timescales
+
+
+@jax.jit
+def _year_apply(b, c, y):
+    """year(y) = B y + c, batched over tracers (module-level jit: compiled
+    once per shape, no per-instance retraces or self-reference cycles)"""
+    t_dim, n, _ = b.shape
+    flat = y.reshape(t_dim, n)
+    return jax.vmap(_matvec)(b, flat).reshape(y.shape) + c
+
+
+@jax.jit
+def _jvp_apply(b, v):
+    """(B - I) v, batched over tracers"""
+    t_dim, n, _ = b.shape
+    flat = v.reshape(t_dim, n)
+    return jax.vmap(_matvec)(b, flat).reshape(v.shape) - v
 
 
 @partial(jax.jit, static_argnums=(2,))

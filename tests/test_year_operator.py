@@ -97,4 +97,22 @@ def test_year_operator_probe_and_direct_spinup():
         assert np.allclose(
             np.abs(eigvals[t]), np.abs(exact), rtol=1e-3, atol=1e-5
         )
-    assert np.isfinite(timescales).all() or (timescales > 0).all()
+    # all probed modes decay (|lambda| < 1): timescales are positive finite
+    assert (np.abs(eigvals) < 1.0).all()
+    assert np.isfinite(timescales).all()
+    assert (timescales > 0).all()
+
+    # nonlinear kernels must refuse the probe up front
+    import pytest
+
+    from newton_krylov_ooc_tpu.models.py_driver_2d.incore import (
+        PhosphorusKernel,
+    )
+
+    phos = PhosphorusKernel(
+        kernel.depth, kernel.ypos,
+        {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"},
+        dtype=jnp.float32, n_steps=4, use_pallas=False,
+    )
+    with pytest.raises(NotImplementedError, match="nonlinear"):
+        phos.build_year_operator()

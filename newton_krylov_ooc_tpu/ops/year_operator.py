@@ -80,6 +80,19 @@ class YearOperator:
         self.b_mats = jnp.asarray(b_mats)
         self.const = jnp.asarray(const)
 
+    def with_source(self, year_src_fn):
+        """reuse the probed B under a different source/forcing configuration
+
+        The linear part of the year map (transport + restoring) is
+        forcing-independent, so a parameter study over sources only needs a
+        new constant response c = year(0) per configuration -- one forward
+        run each, not a re-probe.  year_src_fn: the full year map WITH the
+        new sources, evaluated once on zeros."""
+        zeros = jnp.zeros((self.t_dim, self.nz, self.ny), self.const.dtype)
+        return YearOperator(
+            self.b_mats, year_src_fn(zeros), self.nz, self.ny
+        )
+
     def year(self, y):
         return _year_apply(self.b_mats, self.const, y)
 

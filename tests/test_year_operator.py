@@ -19,6 +19,53 @@ from newton_krylov_ooc_tpu.core.spatial_axis import (
 from newton_krylov_ooc_tpu.models.py_driver_2d.incore import IageKernel
 
 
+def test_year_operator_with_source_parameter_study():
+    """with_source reuses the probed B: a doubled-source configuration's
+    operator must match a kernel built with the doubled source, without
+    re-probing"""
+    kernel = _kernel(nz=4, ny=3, n_steps=4)
+    op = kernel.build_year_operator(col_chunk=12)
+
+    # a second configuration: the aging source doubled; B is unchanged
+    import jax
+
+    from newton_krylov_ooc_tpu.models.py_driver_2d import physics
+    from newton_krylov_ooc_tpu.ops.imex import imex_year
+
+    grid, year = kernel.grid, kernel.year
+
+    def year2(y):
+        def explicit_tend(t, yy):
+            def one(v):
+                return physics.advection_tend(grid, v) + physics.horiz_mix_tend(
+                    grid, v
+                )
+
+            return jax.vmap(one)(yy) + 2.0 / year
+
+        return imex_year(
+            explicit_tend,
+            lambda t: physics.vert_mixing_coeff(grid, t),
+            kernel._vert_diag,
+            grid.dz_r,
+            y,
+            (0.0, year),
+            kernel.n_steps,
+        )
+
+    op2 = op.with_source(jax.jit(year2))
+    assert op2.b_mats is op.b_mats  # shared, not re-probed
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        rng.standard_normal((2, kernel.nz, kernel.ny)), jnp.float32
+    )
+    fcn_op = np.asarray(op2.fcn(x))
+    fcn_ts = np.asarray(year2(x) - x)
+    scale = np.abs(fcn_ts).max()
+    assert np.abs(fcn_op - fcn_ts).max() / scale < 1e-5
+
+
 def test_year_operator_respects_float64_kernels():
     """a float64 scan-path kernel must probe a float64 operator (no silent
     demotion to float32)"""

@@ -185,7 +185,9 @@ class forced(TracerModuleState):  # noqa: N801
                 )
             elif surf_restore_opt == "file":
                 times, table = tables["surf_restore"]
-                restore_to = interp_time_jnp(time, times, table)
+                # forcing tables are loaded float64; compute in the state's
+                # dtype so the float32 fast path stays float32
+                restore_to = interp_time_jnp(time, times, table).astype(res.dtype)
                 res = res.at[0, :].add(surf_restore_rate * (restore_to - v[0, :]))
 
             if sms_opt == "const":
@@ -194,7 +196,7 @@ class forced(TracerModuleState):  # noqa: N801
                 res = res - sms_decay_rate * v
             elif sms_opt == "file":
                 times, table = tables["sms"]
-                sms = interp_time_jnp(time, times, table)
+                sms = interp_time_jnp(time, times, table).astype(res.dtype)
                 if sink_thres is not None:
                     tmp = v / sink_thres
                     sms_scalef = jnp.where(

@@ -28,6 +28,9 @@ class iage(TracerModuleState):  # noqa: N801
     @staticmethod
     def build_tend(grid, static_args, params):
         (restore_rate,) = static_args
+        # python float (weak-typed): a np.float64 scalar would promote the
+        # float32 fast path's arithmetic to float64
+        restore_rate = float(restore_rate)
         nz = grid.depth_mid.shape[0]
         ny = grid.ypos_mid.shape[0]
 
@@ -86,6 +89,7 @@ class iage(TracerModuleState):  # noqa: N801
         """banded stage Jacobian, (2 tracer blocks, ncell, 2*bw+1) in the
         band_info cell ordering"""
         (restore_rate,) = static_args
+        restore_rate = float(restore_rate)  # weak-typed: see build_tend
         nz = grid.depth_mid.shape[0]
         ny = grid.ypos_mid.shape[0]
         ymajor = nz < ny

@@ -53,6 +53,7 @@ class NewtonKrylovInCore:
         post_newton_fp_iter=1,
         armijo_alpha=1e-4,
         armijo_max_ind=10,
+        jit_gmres=False,
     ):
         self.kernel = kernel
         self.newton_rel_tol = newton_rel_tol
@@ -64,6 +65,19 @@ class NewtonKrylovInCore:
         self.armijo_alpha = armijo_alpha
         self.armijo_max_ind = armijo_max_ind
         self.stats = []
+        # jit_gmres: run the whole Krylov iteration as ONE jitted
+        # lax.while_loop (ops/gmres.py) instead of one host round-trip per
+        # Arnoldi step -- same per-(module, region) least squares, so the
+        # iterates agree to roundoff; requires kernel.region_broadcast.
+        # Essential when matvecs are microseconds (year-operator solves):
+        # the ~25 ms host-dispatch floor would otherwise dominate.
+        self._jit_gmres = None
+        if jit_gmres:
+            from ..ops.gmres import JittedGMRES
+
+            self._jit_gmres = JittedGMRES(
+                kernel, krylov_max_dim, krylov_rel_tol
+            )
 
     def solve(self, x0, checkpoint_dir=None):
         """run Newton to convergence; returns (x, fcn, info)
@@ -169,6 +183,12 @@ class NewtonKrylovInCore:
         """left-preconditioned GMRES (on-device basis, Saad alg. 9.4)"""
         kernel = self.kernel
         precond_data = kernel.precond_setup(x)
+
+        if self._jit_gmres is not None:
+            increment, its, _resid, _beta = self._jit_gmres(
+                x, fcn, precond_data
+            )
+            return increment, int(its)
 
         r0 = kernel.precond_apply(precond_data, fcn)
         beta = np.asarray(kernel.norm(r0))

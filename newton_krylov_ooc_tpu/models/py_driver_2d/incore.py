@@ -158,28 +158,34 @@ class IageKernel:
                 )
         else:
 
+            def explicit_tend0(t, y):
+                def one(v):
+                    return physics.advection_tend(
+                        grid, v
+                    ) + physics.horiz_mix_tend(grid, v)
+
+                return jax.vmap(one)(y)
+
+            # channel_diag is a jit OPERAND (not a closure capture): the probe
+            # calls make_year0 once per chunk, and captured arrays become
+            # program literals re-uploaded every call on remote backends --
+            # one jitted fn also means one compile across all equal-shape
+            # chunks (same operand-form rule as ops/sparse.py, year_operator)
+            @jax.jit
+            def year0_op(y, channel_diag):
+                return imex_year(
+                    explicit_tend0,
+                    lambda t: physics.vert_mixing_coeff(grid, t),
+                    channel_diag,
+                    grid.dz_r,
+                    y,
+                    (0.0, year),
+                    n_steps,
+                )
+
             def make_year0(channel_diag):
                 channel_diag = jnp.asarray(channel_diag, self.dtype)
-
-                def explicit_tend0(t, y):
-                    def one(v):
-                        return physics.advection_tend(
-                            grid, v
-                        ) + physics.horiz_mix_tend(grid, v)
-
-                    return jax.vmap(one)(y)
-
-                return jax.jit(
-                    lambda y: imex_year(
-                        explicit_tend0,
-                        lambda t: physics.vert_mixing_coeff(grid, t),
-                        channel_diag,
-                        grid.dz_r,
-                        y,
-                        (0.0, year),
-                        n_steps,
-                    )
-                )
+                return lambda y: year0_op(y, channel_diag)
 
         return probe_year_operator(
             make_year0, self._year_fn, vert_diag, col_chunk=col_chunk,
@@ -210,6 +216,11 @@ class IageKernel:
             return v * float(factor)
         # broadcast per-region scalars onto the grid (single module here)
         return v * self._region_broadcast(jnp.asarray(factor[0], self.dtype))
+
+    def region_broadcast(self, scalars):
+        """(module=1, region) scalars -> (nz, ny) field (traceable; the
+        jitted-GMRES hook)"""
+        return self._region_broadcast(scalars[0])
 
     @partial(jax.jit, static_argnums=0)
     def _region_broadcast(self, region_vals):

@@ -76,8 +76,15 @@ def comp_horiz_mix_coeff(depth, ypos, vvel, horiz_mix_coeff):
     return res
 
 
-def make_grid(depth, ypos, modelinfo, dtype=jnp.float64):
-    """build the static Grid2D from SpatialAxis objects + modelinfo"""
+def make_grid(depth, ypos, modelinfo, dtype=None):
+    """build the static Grid2D from SpatialAxis objects + modelinfo
+
+    dtype=None resolves to the process's canonical float dtype (float64 under
+    x64, float32 otherwise) so the fast path never requests an unavailable
+    dtype; pass jnp.float32 explicitly to force the fast path under x64.
+    """
+    if dtype is None:
+        dtype = jnp.result_type(float)
     max_abs_vvel = float(modelinfo["max_abs_vvel"])
     horiz_mix = float(modelinfo["horiz_mix_coeff"])
     stream, vvel, wvel = gen_vel_field(depth, ypos, max_abs_vvel)

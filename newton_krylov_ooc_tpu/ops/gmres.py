@@ -1,0 +1,198 @@
+"""fully-jitted left-preconditioned GMRES (one device call per solve).
+
+The host-driven GMRES in core/incore.py mirrors the reference's control flow
+(nk_ooc/krylov_solver.py:103-165): one device round-trip per Arnoldi step to
+read convergence scalars.  That is fine when each matvec is a 40 ms model
+year, but a year-operator matvec is ~22 us and the remote-dispatch floor is
+~25 ms -- the solve is then 100% host latency.  This module runs the whole
+iteration as ONE jitted lax.while_loop:
+
+  * the Krylov basis is preallocated at the static maximum dimension and
+    masked (XLA needs static shapes; SURVEY.md section 7 "dynamic shapes"),
+  * the Hessenberg least squares min ||beta e1 - H y|| is maintained
+    incrementally by Givens rotations per (tracer module, region) -- the
+    rotated last element of the rhs IS the preconditioned residual norm, so
+    convergence costs nothing extra (vs. the host path's per-iteration
+    lstsq),
+  * every scalar carries a (module, region) axis: block independence over
+    tracer modules and regions (SURVEY.md section 2.6 P1/P2) batches through
+    the same rotations,
+  * the final y solves the triangular system by masked back-substitution on
+    device; the increment is a basis contraction.
+
+The least-squares solution is identical to the host path's per-(module,
+region) numpy lstsq (QR by rotations of the same Hessenberg), so the two
+paths agree to roundoff -- tests/test_gmres.py pins that.
+
+Sharding: everything here is plain jax ops on the caller's arrays, so a
+state sharded over a (module, space) mesh propagates through unchanged --
+the dot products become psums over ICI, the basis stays sharded.  This is
+the on-device counterpart of the reference's distributed solver story
+(MPI solve_ABdist, nk_ooc/cime_pop/model_state.py:317-337).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def build_gmres(jvp_fn, precond_fn, dot_fn, broadcast_fn, max_dim, rel_tol):
+    """build a jitted GMRES solve for a kernel's linear algebra.
+
+    jvp_fn(x, fcn, v) -> J v            (the model-year Jacobian action)
+    precond_fn(precond_data, r) -> M^-1 r
+    dot_fn(a, b) -> (module, region) weighted dot products
+    broadcast_fn(scalars (module, region)) -> state-shaped per-region field
+        (regions a state cell belongs to get that region's scalar; the
+        kernel's region_broadcast)
+    max_dim: static maximum Krylov dimension (preallocated basis)
+    rel_tol: stop when the preconditioned residual norm < rel_tol * beta
+        for every (module, region)
+
+    Returns gmres(x, fcn, precond_data) -> (increment, iterations,
+    resid_norm, beta); `iterations` is the number of Arnoldi steps taken,
+    resid_norm/beta are (module, region) device arrays.
+    """
+    max_dim = int(max_dim)
+
+    def norm(v):
+        return jnp.sqrt(dot_fn(v, v))
+
+    @jax.jit
+    def gmres(x, fcn, precond_data):
+        r0 = precond_fn(precond_data, fcn)
+        beta = norm(r0)                                   # (M, R)
+        safe_beta = _nonzero(beta)
+        basis0 = -r0 * broadcast_fn(1.0 / safe_beta)
+
+        mr_shape = beta.shape
+        dtype = r0.dtype
+        basis = (
+            jnp.zeros((max_dim + 1,) + r0.shape, dtype)
+            .at[0]
+            .set(basis0)
+        )
+        # Givens-rotated upper-triangular factor of the Hessenberg, its
+        # rotation pairs, and the rotated rhs g = Q^T (beta e1); all per
+        # (module, region)
+        r_mat = jnp.zeros((max_dim, max_dim) + mr_shape, dtype)
+        cs = jnp.zeros((max_dim,) + mr_shape, dtype)
+        sn = jnp.zeros((max_dim,) + mr_shape, dtype)
+        g = jnp.zeros((max_dim + 1,) + mr_shape, dtype).at[0].set(beta)
+
+        def cond(state):
+            j, _basis, _r, _cs, _sn, g_vec = state
+            resid = jnp.abs(g_vec[j])
+            return (j < max_dim) & jnp.any(resid >= rel_tol * beta)
+
+        def body(state):
+            j, basis, r_mat, cs, sn, g_vec = state
+
+            w = precond_fn(precond_data, jvp_fn(x, fcn, basis[j]))
+
+            # modified Gram-Schmidt against columns 0..j (masked full sweep:
+            # untouched basis slots are zero, so their dot products vanish)
+            def mgs_step(i, carry):
+                w, h_col = carry
+                hij = dot_fn(w, basis[i])
+                hij = jnp.where(i <= j, hij, jnp.zeros_like(hij))
+                w = w - basis[i] * broadcast_fn(hij)
+                return w, h_col.at[i].set(hij)
+
+            h_col0 = jnp.zeros((max_dim + 1,) + mr_shape, dtype)
+            w, h_col = jax.lax.fori_loop(
+                0, max_dim + 1, mgs_step, (w, h_col0)
+            )
+            h_last = norm(w)
+            h_col = h_col.at[j + 1].set(h_last)
+            basis = basis.at[j + 1].set(w * broadcast_fn(1.0 / _nonzero(h_last)))
+
+            # apply the accumulated rotations to the new column, then the new
+            # rotation eliminating h[j+1, j]
+            def rot_step(i, col):
+                active = i < j
+                ci = jnp.where(active, cs[i], jnp.ones_like(cs[i]))
+                si = jnp.where(active, sn[i], jnp.zeros_like(sn[i]))
+                top = ci * col[i] + si * col[i + 1]
+                bot = -si * col[i] + ci * col[i + 1]
+                return col.at[i].set(top).at[i + 1].set(bot)
+
+            h_col = jax.lax.fori_loop(0, max_dim, rot_step, h_col)
+
+            denom = _nonzero(jnp.sqrt(h_col[j] ** 2 + h_col[j + 1] ** 2))
+            c_new = h_col[j] / denom
+            s_new = h_col[j + 1] / denom
+            r_jj = c_new * h_col[j] + s_new * h_col[j + 1]
+            h_col = h_col.at[j].set(r_jj).at[j + 1].set(jnp.zeros_like(r_jj))
+
+            r_mat = r_mat.at[:, j].set(h_col[:max_dim])
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            g_j = g_vec[j]
+            g_vec = (
+                g_vec.at[j].set(c_new * g_j).at[j + 1].set(-s_new * g_j)
+            )
+            return j + 1, basis, r_mat, cs, sn, g_vec
+
+        j_fin, basis, r_mat, _cs, _sn, g_vec = jax.lax.while_loop(
+            cond, body, (0, basis, r_mat, cs, sn, g)
+        )
+
+        # back-substitution of R[:jf, :jf] y = g[:jf], masked to the columns
+        # actually built
+        def back_step(step, y):
+            i = max_dim - 1 - step
+            active = i < j_fin
+            contrib = jnp.sum(r_mat[i] * y, axis=0)          # (M, R)
+            denom = _nonzero(r_mat[i, i])
+            yi = jnp.where(active, (g_vec[i] - contrib) / denom,
+                           jnp.zeros(mr_shape, dtype))
+            return y.at[i].set(yi)
+
+        y = jax.lax.fori_loop(
+            0, max_dim, back_step, jnp.zeros((max_dim,) + mr_shape, dtype)
+        )
+
+        # increment = sum_k y_k basis_k with per-(module, region) coefficients
+        def contract(k, acc):
+            return acc + basis[k] * broadcast_fn(y[k])
+
+        increment = jax.lax.fori_loop(
+            0, max_dim, contract, jnp.zeros_like(basis0)
+        )
+        return increment, j_fin, jnp.abs(g_vec[j_fin]), beta
+
+    return gmres
+
+
+def _nonzero(x):
+    """guard exact zeros (converged/inactive blocks) against division"""
+    tiny = jnp.finfo(x.dtype).tiny
+    return jnp.where(jnp.abs(x) > tiny, x, jnp.ones_like(x))
+
+
+class JittedGMRES:
+    """adapter: run build_gmres from a NewtonKrylovInCore kernel.
+
+    Drop-in for the host-loop path: NewtonKrylovInCore(kernel,
+    gmres_impl=JittedGMRES(kernel, max_dim, rel_tol)) replaces the
+    per-iteration host round-trips with one device call.
+    """
+
+    def __init__(self, kernel, max_dim, rel_tol):
+        def broadcast_fn(scalars):
+            return kernel.region_broadcast(scalars)
+
+        self._gmres = build_gmres(
+            kernel.jvp, kernel.precond_apply, kernel.dot, broadcast_fn,
+            max_dim, rel_tol,
+        )
+
+    def __call__(self, x, fcn, precond_data):
+        return self._gmres(x, fcn, precond_data)
+
+
+__all__ = ["build_gmres", "JittedGMRES"]

@@ -102,7 +102,7 @@ class YearOperator:
     def jvp(self, v):
         return _jvp_apply(self.b_mats, v)
 
-    def solve_cyclostationary(self, polish_iters=4, ns_iters=64):
+    def solve_cyclostationary(self, polish_iters=4, ns_iters=64, rtol=1e-4):
         """direct spin-up: solve (I - B) X = c, then polish with exact
         Newton-Richardson steps.
 
@@ -110,8 +110,29 @@ class YearOperator:
         n=2000); instead the inverse of A = I - B is built by Newton-Schulz
         iteration X <- X (2I - A X) -- nothing but MXU matmuls, quadratically
         convergent from the standard A^T/(|A|_1 |A|_inf) start.  An inexact
-        inverse only slows the polish steps, which use exact residuals."""
-        return _solve_all(self.b_mats, self.const, polish_iters, ns_iters)
+        inverse only slows the polish steps, which use exact residuals.
+
+        When I - B is nearly singular (propagator eigenvalues approaching 1,
+        e.g. weak restoring or fine grids) the fixed iteration budget may not
+        converge; the final affine-model residual ||F(X)|| is checked per
+        tracer against rtol * ||X|| and a warning is logged on violation
+        (rtol=None skips the readback entirely)."""
+        x = _solve_all(self.b_mats, self.const, polish_iters, ns_iters)
+        if rtol is not None:
+            import logging
+
+            resid = np.asarray(_rel_resid(self.b_mats, self.const, x))
+            bad = resid > rtol
+            if bad.any():
+                logging.getLogger(__name__).warning(
+                    "solve_cyclostationary did not converge for tracer(s) %s: "
+                    "rel resid %s exceeds rtol=%g -- raise ns_iters/"
+                    "polish_iters or check the propagator spectrum",
+                    np.nonzero(bad)[0].tolist(),
+                    resid[bad].tolist(),
+                    rtol,
+                )
+        return x
 
     def spectrum(self, k=8, iters=200, seed=0):
         """leading eigenvalues of the annual propagator B per tracer.
@@ -156,6 +177,17 @@ def _year_apply(b, c, y):
     t_dim, n, _ = b.shape
     flat = y.reshape(t_dim, n)
     return jax.vmap(_matvec)(b, flat).reshape(y.shape) + c
+
+
+@jax.jit
+def _rel_resid(b, c, x):
+    """per-tracer ||B x + c - x|| / max(||x||, tiny) of the affine model"""
+    t_dim, n, _ = b.shape
+    flat = x.reshape(t_dim, n)
+    resid = jax.vmap(_matvec)(b, flat) + c.reshape(t_dim, n) - flat
+    x_norm = jnp.sqrt(jnp.sum(flat * flat, axis=1))
+    r_norm = jnp.sqrt(jnp.sum(resid * resid, axis=1))
+    return r_norm / jnp.maximum(x_norm, jnp.finfo(b.dtype).tiny)
 
 
 @jax.jit

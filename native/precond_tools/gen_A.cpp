@@ -19,8 +19,33 @@
  *   tracer_fname FILE          source of surface-flux derivative fields
  *   sf VAR                     surface-flux derivative d(SF)/d(tracer) from
  *                              tracer_fname applied to the surface layer
- *   adv_type ... / hmix_type ...   accepted and ignored with a warning
- *                              (full POP advection assembly: external tool)
+ *   adv_type upwind3|centered [UVAR VVAR WVAR]
+ *                              lateral+vertical advection assembled from
+ *                              face volume transports in circ_fname
+ *                              (default var names UET, VNT, WTT)
+ *   hmix_type file|isop_file [EVAR NVAR]
+ *                              lateral diffusion from face conductances in
+ *                              circ_fname (default HDIFF_E, HDIFF_N)
+ *
+ * Circulation-file conventions for the transport terms (the IRF mean file;
+ * reference spec: docs/source/users-guide/tracer-module-defn-file.rst:70-105,
+ * applied at nk_ooc/cime_pop/model_state.py:84-87).  Grid (nz, nlat, nlon),
+ * zonally periodic:
+ *   UET[k,j,i]  volume transport across the EAST face of cell (k,j,i)
+ *               [cm^3/s], positive eastward; east of i=nlon-1 wraps to i=0
+ *   VNT[k,j,i]  volume transport across the NORTH face [cm^3/s], positive
+ *               northward; the north face of j=nlat-1 is closed
+ *   WTT[k,j,i]  volume transport across the TOP face [cm^3/s], positive UP
+ *               (POP convention); the surface face k=0 is closed
+ *   HDIFF_E/N   diffusive conductances kappa*A/dx across the east/north
+ *               faces [cm^3/s]
+ *   TAREA[j,i]  cell horizontal area [cm^2]; with dz[k] [cm] gives volumes
+ * Faces touching a masked (region<=0) cell carry no flux.  upwind3 uses the
+ * 3rd-order upwind-biased face value (-T_uu + 5 T_up + 2 T_down)/6 and falls
+ * back to 1st-order upwind where the far-upwind cell is masked or absent;
+ * the assembly is in flux form, so volume-weighted column sums of the
+ * advection+diffusion part vanish identically (tracer conservation) -- the
+ * property tests/test_native.py pins.
  */
 
 #include "nc3.h"
@@ -42,6 +67,10 @@ struct Options {
     double day_cnt = 365.0;
     std::string reg_fname, circ_fname, csr_fname, tracer_fname;
     std::string vmix_type = "none", vmix_var = "VDC";
+    std::string adv_type = "none";
+    std::string adv_uvar = "UET", adv_vvar = "VNT", adv_wvar = "WTT";
+    std::string hmix_type = "none";
+    std::string hmix_evar = "HDIFF_E", hmix_nvar = "HDIFF_N";
     std::string sink_type = "none";
     double sink_rate = 0.0, sink_hours = 0.0, sink_depth_cm = 0.0;
     std::vector<std::string> sf_vars;
@@ -62,6 +91,16 @@ Options parse_opts(const std::string &fname) {
         else if (key == "csr_fname") ss >> o.csr_fname;
         else if (key == "tracer_fname") ss >> o.tracer_fname;
         else if (key == "vmix_type") { ss >> o.vmix_type; if (o.vmix_type == "file") ss >> o.vmix_var; }
+        else if (key == "adv_type") {
+            ss >> o.adv_type;
+            std::string v;
+            if (ss >> v) { o.adv_uvar = v; ss >> o.adv_vvar >> o.adv_wvar; }
+        }
+        else if (key == "hmix_type") {
+            ss >> o.hmix_type;
+            std::string v;
+            if (ss >> v) { o.hmix_evar = v; ss >> o.hmix_nvar; }
+        }
         else if (key == "sink_type") {
             ss >> o.sink_type;
             if (o.sink_type == "const") ss >> o.sink_rate;
@@ -146,6 +185,157 @@ int main(int argc, char **argv) {
                     trips.push_back({r1, r0, delta_t * coup / dz_k1});
                     trips.push_back({r1, r1, -delta_t * coup / dz_k1});
                 }
+            }
+        }
+
+        /* lateral + vertical advection and lateral diffusion from face
+         * transports/conductances in the circulation (IRF mean) file */
+        if (opt.adv_type != "none" || opt.hmix_type != "none") {
+            if (opt.circ_fname.empty())
+                throw std::runtime_error(
+                    "adv_type/hmix_type require circ_fname");
+            if (mask->shape.size() != 3)
+                throw std::runtime_error(
+                    "adv_type/hmix_type require a 3D (nz, nlat, nlon) grid");
+            const long lnz = static_cast<long>(mask->shape[0]);
+            const long nlat = static_cast<long>(mask->shape[1]);
+            const long nlon = static_cast<long>(mask->shape[2]);
+
+            nc3::File circ = nc3::read(opt.circ_fname);
+            const nc3::Var *tarea = circ.find("TAREA");
+            const nc3::Var *dz = circ.find("dz");
+            if (!tarea || !dz)
+                throw std::runtime_error("circ file lacks TAREA/dz");
+
+            /* cell volumes [cm^3] */
+            auto volume = [&](long k, long j, long i) {
+                return dz->data[static_cast<size_t>(k)] *
+                       tarea->data[static_cast<size_t>(j * nlon + i)];
+            };
+            /* matrix row of cell (k, j, i); zonal wrap in i; -1 off-grid or
+             * masked */
+            auto row_at = [&](long k, long j, long i) -> int64_t {
+                if (k < 0 || k >= lnz || j < 0 || j >= nlat) return -1;
+                long ii = ((i % nlon) + nlon) % nlon;
+                return cell_to_row[static_cast<size_t>(
+                    (k * nlat + j) * nlon + ii)];
+            };
+
+            if (opt.adv_type != "none") {
+                if (opt.adv_type != "upwind3" && opt.adv_type != "centered")
+                    throw std::runtime_error(
+                        "adv_type must be upwind3 or centered");
+                const bool upwind3 = opt.adv_type == "upwind3";
+                const nc3::Var *ut = circ.find(opt.adv_uvar);
+                const nc3::Var *vt = circ.find(opt.adv_vvar);
+                const nc3::Var *wt = circ.find(opt.adv_wvar);
+                if (!ut || !vt || !wt)
+                    throw std::runtime_error(
+                        "circ file lacks " + opt.adv_uvar + "/" +
+                        opt.adv_vvar + "/" + opt.adv_wvar);
+
+                /* one face: transport trans from cell c to cell d (both
+                 * in-grid); u = far-upwind behind c, dd = far-upwind beyond
+                 * d.  The face tracer value's stencil weights become flux-
+                 * form Jacobian entries on both rows. */
+                auto add_face = [&](int64_t rc, int64_t rd, int64_t ru,
+                                    int64_t rdd, double trans, double vol_c,
+                                    double vol_d) {
+                    if (rc < 0 || rd < 0 || trans == 0.0) return;
+                    int64_t cols[3];
+                    double wgts[3];
+                    int ncoef;
+                    if (!upwind3) {
+                        cols[0] = rc; wgts[0] = 0.5;
+                        cols[1] = rd; wgts[1] = 0.5;
+                        ncoef = 2;
+                    } else if (trans > 0.0) {
+                        if (ru >= 0) {
+                            cols[0] = ru; wgts[0] = -1.0 / 6.0;
+                            cols[1] = rc; wgts[1] = 5.0 / 6.0;
+                            cols[2] = rd; wgts[2] = 2.0 / 6.0;
+                            ncoef = 3;
+                        } else {
+                            cols[0] = rc; wgts[0] = 1.0;
+                            ncoef = 1;
+                        }
+                    } else {
+                        if (rdd >= 0) {
+                            cols[0] = rc; wgts[0] = 2.0 / 6.0;
+                            cols[1] = rd; wgts[1] = 5.0 / 6.0;
+                            cols[2] = rdd; wgts[2] = -1.0 / 6.0;
+                            ncoef = 3;
+                        } else {
+                            cols[0] = rd; wgts[0] = 1.0;
+                            ncoef = 1;
+                        }
+                    }
+                    for (int p = 0; p < ncoef; ++p) {
+                        trips.push_back(
+                            {rc, cols[p], -delta_t * trans * wgts[p] / vol_c});
+                        trips.push_back(
+                            {rd, cols[p], delta_t * trans * wgts[p] / vol_d});
+                    }
+                };
+
+                for (long k = 0; k < lnz; ++k)
+                    for (long j = 0; j < nlat; ++j)
+                        for (long i = 0; i < nlon; ++i) {
+                            const size_t c =
+                                static_cast<size_t>((k * nlat + j) * nlon + i);
+                            /* east face: (k,j,i) -> (k,j,i+1), zonal wrap */
+                            add_face(row_at(k, j, i), row_at(k, j, i + 1),
+                                     row_at(k, j, i - 1), row_at(k, j, i + 2),
+                                     ut->data[c], volume(k, j, i),
+                                     volume(k, j, (i + 1) % nlon));
+                            /* north face: (k,j,i) -> (k,j+1,i) */
+                            if (j + 1 < nlat)
+                                add_face(row_at(k, j, i), row_at(k, j + 1, i),
+                                         row_at(k, j - 1, i),
+                                         row_at(k, j + 2, i), vt->data[c],
+                                         volume(k, j, i), volume(k, j + 1, i));
+                            /* top face: (k,j,i) -> (k-1,j,i), positive up */
+                            if (k >= 1)
+                                add_face(row_at(k, j, i), row_at(k - 1, j, i),
+                                         row_at(k + 1, j, i),
+                                         row_at(k - 2, j, i), wt->data[c],
+                                         volume(k, j, i), volume(k - 1, j, i));
+                        }
+            }
+
+            if (opt.hmix_type != "none") {
+                if (opt.hmix_type != "file" && opt.hmix_type != "isop_file")
+                    throw std::runtime_error(
+                        "hmix_type must be file or isop_file");
+                const nc3::Var *ge = circ.find(opt.hmix_evar);
+                const nc3::Var *gn = circ.find(opt.hmix_nvar);
+                if (!ge || !gn)
+                    throw std::runtime_error(
+                        "circ file lacks " + opt.hmix_evar + "/" +
+                        opt.hmix_nvar);
+
+                auto add_diff = [&](int64_t rc, int64_t rd, double cond,
+                                    double vol_c, double vol_d) {
+                    if (rc < 0 || rd < 0 || cond == 0.0) return;
+                    trips.push_back({rc, rd, delta_t * cond / vol_c});
+                    trips.push_back({rc, rc, -delta_t * cond / vol_c});
+                    trips.push_back({rd, rc, delta_t * cond / vol_d});
+                    trips.push_back({rd, rd, -delta_t * cond / vol_d});
+                };
+
+                for (long k = 0; k < lnz; ++k)
+                    for (long j = 0; j < nlat; ++j)
+                        for (long i = 0; i < nlon; ++i) {
+                            const size_t c =
+                                static_cast<size_t>((k * nlat + j) * nlon + i);
+                            add_diff(row_at(k, j, i), row_at(k, j, i + 1),
+                                     ge->data[c], volume(k, j, i),
+                                     volume(k, j, (i + 1) % nlon));
+                            if (j + 1 < nlat)
+                                add_diff(row_at(k, j, i), row_at(k, j + 1, i),
+                                         gn->data[c], volume(k, j, i),
+                                         volume(k, j + 1, i));
+                        }
             }
         }
 

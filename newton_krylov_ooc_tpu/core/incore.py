@@ -220,7 +220,9 @@ class NewtonKrylovInCore:
                 break
             basis.append(w)
 
-        res = kernel.lin_comb(basis, coeff)
+        # basis may hold one more vector than coefficient rows when the
+        # dimension cap was hit without convergence
+        res = kernel.lin_comb(basis[: len(coeff)], coeff)
         return res, j + 1
 
 

@@ -19,8 +19,6 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
-from scipy.sparse import csc_matrix
-from scipy.sparse import linalg as sp_linalg
 
 from ...utils.helpers import eval_expr
 from ...utils.ncio import NCFile
@@ -176,8 +174,12 @@ class phosphorus(TracerModuleState):  # noqa: N801
         Returns (bandwidth, perm) with perm mapping banded index ->
         tracer-major flat index.
         """
-        nz = grid.depth_mid.shape[0]
-        ny = grid.ypos_mid.shape[0]
+        return cls._band_layout(
+            grid.depth_mid.shape[0], grid.ypos_mid.shape[0]
+        )
+
+    @staticmethod
+    def _band_layout(nz, ny):
         n = nz * ny
         if nz < ny:
             # ypos-major cells: cell' = y*nz + z; flat z-major cell = z*ny + y
@@ -342,35 +344,48 @@ class phosphorus(TracerModuleState):  # noqa: N801
             mat = mat @ (eye - time_delta * jac)
         mat = eye - mat
 
-        sparse_mat = csc_matrix(mat)
+        # banded tracer-innermost layout: the eigen iterations and shifted
+        # solves run on device through the pivot-free banded LU
+        # (ops/eigen.py) -- the deterministic accelerator replacement for
+        # the reference's host ARPACK shift-invert
+        # (nk_ooc/py_driver_2d/phosphorus.py:197-274)
+        from ...ops.banded import dense_to_bands
+        from ...ops.eigen import (
+            banded_extreme_eigs,
+            banded_shift_solve,
+            banded_smallest_eigs,
+        )
+
+        bw, perm = self._band_layout(shape[1], shape[2])
+        bands = jnp.asarray(dense_to_bands(mat[np.ix_(perm, perm)], bw))
+
         e_cnt = 5
-        e_vals, _ = sp_linalg.eigs(sparse_mat, k=e_cnt)
+        e_vals = banded_extreme_eigs(bands, k=e_cnt)
         for k in range(e_cnt):
             logger.info(
                 "large e_val[%d] = %e + %e j", k, e_vals[k].real, e_vals[k].imag
             )
-        e_vals, e_vects = sp_linalg.eigs(sparse_mat, k=e_cnt, sigma=0.0)
+        # inverse iteration shifted marginally off the (exactly singular)
+        # null eigenvalue: roundoff keeps the pivot-free LU viable, and the
+        # tiny shift leaves the null mode overwhelmingly dominant
+        sigma = 1.0e-8 * float(np.abs(np.diag(mat)).max())
+        e_vals, e_vects = banded_smallest_eigs(bands, sigma, k=e_cnt)
         for k in range(e_cnt):
             logger.info(
                 "small e_val[%d] = %e + %e j", k, e_vals[k].real, e_vals[k].imag
             )
 
-        null_vect_comp = e_vects[:, 0]
-        if np.max(np.abs(null_vect_comp.imag)) > 1.0e-10 * np.max(
-            np.abs(null_vect_comp.real)
-        ):
-            raise RuntimeError("1st eigenvector has non-trivial imaginary part")
-        null_vect = null_vect_comp.real
+        null_vect = np.empty(self_vals.size)
+        null_vect[perm] = e_vects[:, 0]
+        null_vect /= np.linalg.norm(null_vect)
 
         # shift-regularize + Richardson-extrapolate to zero shift
         shift = 0.5 * e_vals[1].real
-        solve_tmp = sp_linalg.spsolve(
-            csc_matrix(mat - shift * eye), self_vals
-        )
-        solve_vals = sp_linalg.spsolve(
-            csc_matrix(mat - (0.5 * shift) * eye), self_vals
-        )
-        solve_vals = 2.0 * solve_vals - solve_tmp
+        rhs_p = jnp.asarray(self_vals[perm])
+        solve_tmp = np.asarray(banded_shift_solve(bands, shift, rhs_p))
+        solve_half = np.asarray(banded_shift_solve(bands, 0.5 * shift, rhs_p))
+        solve_vals = np.empty(self_vals.size)
+        solve_vals[perm] = 2.0 * solve_half - solve_tmp
 
         # normalize the null vector so its weighted mean is 1 per region
         e_vect_tms = copy.copy(self)

@@ -154,10 +154,26 @@ def vert_mixing_coeff(grid: Grid2D, time):
     column -> (nz-1, ny); conservative log-space remap of the boundary-layer
     ramp, Peclet-limited against wvel
     """
-    bld = bldepth(grid, time)  # (ny,)
+    return vert_mixing_coeff_arrays(
+        grid.depth_mid, grid.dz_mid, grid.dz_mid_r, grid.ypos_mid, grid.wvel,
+        time,
+    )
+
+
+def vert_mixing_coeff_arrays(depth_mid, dz_mid, dz_mid_r, ypos_mid, wvel, time):
+    """vert_mixing_coeff from explicit arrays: column-local, so spatial
+    shards evaluate it on their own ypos slice (parallel/sharded_year.py)"""
+    dtype = ypos_mid.dtype
+    bld_max = jnp.interp(
+        ypos_mid, jnp.asarray(_BLD_YPOS, dtype), jnp.asarray(_BLD_MAX, dtype)
+    )
+    frac = jnp.interp(
+        time, jnp.asarray(_BLD_TFRAC, dtype), jnp.asarray(_BLD_FRAC, dtype)
+    )
+    bld = BLD_MIN + (bld_max - BLD_MIN) * frac  # (ny,)
     # remap onto layers of the "depth_edges axis" whose edges are depth.mid,
     # vectorized over ypos columns
-    edges = grid.depth_mid  # (nz,) -> nz-1 layers
+    edges = depth_mid  # (nz,) -> nz-1 layers
     log_coeff = _clamped_ramp_layer_mean(
         edges[:, None],
         bld[None, :] - 20.0,
@@ -167,9 +183,9 @@ def vert_mixing_coeff(grid: Grid2D, time):
     )
     coeff = jnp.exp(log_coeff)  # (nz-1, ny)
 
-    peclet_p5 = 0.5 * grid.dz_mid[:, None] * jnp.abs(grid.wvel[1:-1, :]) / coeff
+    peclet_p5 = 0.5 * dz_mid[:, None] * jnp.abs(wvel[1:-1, :]) / coeff
     coeff = coeff * jnp.where(peclet_p5 > 1.0, peclet_p5, 1.0)
-    return coeff * grid.dz_mid_r[:, None]
+    return coeff * dz_mid_r[:, None]
 
 
 # -- process tendencies (single tracer, (nz, ny) field) -------------------------

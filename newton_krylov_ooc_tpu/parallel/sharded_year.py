@@ -1,0 +1,394 @@
+"""shard_map spatial decomposition of the IMEX model year.
+
+The single-device year kernels (ops/imex.py scan, ops/imex_pallas.py
+megakernel) top out at one chip's HBM/VMEM.  Past that, the grid must shard:
+this module runs the SAME IMEX year (identical arithmetic, Kahan compensation
+included) with the ypos dimension split over the mesh's 'space' axis and a
+parameterized-module batch split over 'module' (SURVEY.md section 2.6 P1/P2/
+P4; the reference's counterpart is the 2D MPI process grid of solve_ABdist,
+nk_ooc/cime_pop/model_state.py:439-450).
+
+Decomposition contract (the design parallel/mesh.py promises):
+  * implicit vertical solves are COLUMN-LOCAL -- the Crank-Nicolson
+    tridiagonal systems run entirely inside a shard, no communication;
+  * the lateral stencils (centered-flux advection, horizontal mixing) need
+    one ypos halo column per side per step: exactly two lax.ppermute
+    collectives per explicit stage, riding ICI on real hardware;
+  * face arrays (edge velocities, mixing coefficients) are precomputed per
+    shard at setup with ZERO at physical domain boundaries, so the halo
+    value is multiplied by zero there and boundary shards need no special
+    cases -- the same zero-flux arithmetic as the unsharded stencils.
+
+Equality: tests/test_sharded_year.py pins the sharded year against the
+single-device `imex_year` to float64 roundoff, and a full sharded Newton
+solve against the unsharded solve of the same kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.py_driver_2d import physics
+from ..models.py_driver_2d.iage import SURF_SLOW_FACTOR, surf_restore_rate
+from ..ops.banded import banded_lu_factor_blocks, banded_lu_solve_blocks
+from ..ops.imex import imex_year
+
+
+class ShardedYearData:
+    """per-shard static arrays for the decomposed year, stacked on a leading
+    'space' axis so shard_map hands each shard its own block"""
+
+    def __init__(self, depth, ypos, modelinfo, n_space, dtype=None):
+        if dtype is None:
+            dtype = jnp.result_type(float)
+        nz, ny = len(depth), len(ypos)
+        if ny % n_space != 0:
+            raise ValueError(
+                f"ypos size {ny} does not split over {n_space} shards"
+            )
+        ny_loc = ny // n_space
+        self.nz, self.ny, self.n_space, self.ny_loc = nz, ny, n_space, ny_loc
+        self.dtype = dtype
+
+        grid = physics.make_grid(depth, ypos, modelinfo, dtype)
+        self.grid = grid
+
+        vvel = np.asarray(grid.vvel)    # (nz, ny+1) velocities at ypos faces
+        hmc = np.asarray(grid.horiz_mix_coeff)  # (nz, ny-1) interior faces
+        # effective face arrays with zero flux at the physical boundaries
+        vfaces_g = vvel.copy()
+        vfaces_g[:, 0] = 0.0
+        vfaces_g[:, -1] = 0.0
+        hfaces_g = np.zeros((nz, ny + 1), vvel.dtype)
+        hfaces_g[:, 1:-1] = hmc
+
+        # shard s covers global columns [s*ny_loc, (s+1)*ny_loc) and the
+        # ny_loc+1 faces bounding them
+        self.vfaces = np.stack(
+            [vfaces_g[:, s * ny_loc : s * ny_loc + ny_loc + 1]
+             for s in range(n_space)]
+        )
+        self.hfaces = np.stack(
+            [hfaces_g[:, s * ny_loc : s * ny_loc + ny_loc + 1]
+             for s in range(n_space)]
+        )
+        dy_r = np.asarray(grid.dy_r)
+        wvel = np.asarray(grid.wvel)
+        ypos_mid = np.asarray(grid.ypos_mid)
+        self.dy_r = dy_r.reshape(n_space, ny_loc)
+        self.wvel = np.stack(
+            [wvel[:, s * ny_loc : (s + 1) * ny_loc] for s in range(n_space)]
+        )
+        self.ypos_mid = ypos_mid.reshape(n_space, ny_loc)
+
+        # replicated depth-axis arrays
+        self.depth_mid = np.asarray(grid.depth_mid)
+        self.dz_r = np.asarray(grid.dz_r)
+        self.dz_mid = np.asarray(grid.dz_mid)
+        self.dz_mid_r = np.asarray(grid.dz_mid_r)
+
+
+def build_sharded_year(mesh, data: ShardedYearData, diag, aging, t_span,
+                       n_steps, unroll=8):
+    """build the jitted sharded year map.
+
+    mesh: ('module', 'space') Mesh (n_module may be 1)
+    data: ShardedYearData for the grid
+    diag: (module_batch, tracer, nz, ny) stiff local linear rates (e.g.
+        surface restoring), folded into the implicit solve
+    aging: (module_batch, tracer, 1, 1) per-module explicit source rates
+        (the parameterized-module family axis); zeros for the source-free
+        (Jacobian) map
+    Returns fn(y) -> y_end for y (module_batch, tracer, nz, ny) sharded
+    P('module', None, None, 'space'); the result keeps the sharding.
+    """
+    n_space = data.n_space
+    dtype = data.dtype
+    dz_r = jnp.asarray(data.dz_r, dtype)
+    depth_mid = jnp.asarray(data.depth_mid, dtype)
+    dz_mid = jnp.asarray(data.dz_mid, dtype)
+    dz_mid_r = jnp.asarray(data.dz_mid_r, dtype)
+
+    fwd_perm = [(i, i + 1) for i in range(n_space - 1)]
+    bwd_perm = [(i, i - 1) for i in range(1, n_space)]
+
+    def local_year(y, diag_l, aging_l, vfaces, hfaces, dy_r_l, wvel_l,
+                   ypos_mid_l):
+        # shard blocks arrive with the leading stack axis of size 1
+        vfaces = vfaces[0]
+        hfaces = hfaces[0]
+        dy_r_l = dy_r_l[0]
+        wvel_l = wvel_l[0]
+        ypos_mid_l = ypos_mid_l[0]
+
+        def halo_ext(v):
+            """one halo column per side: ppermute along 'space'; boundary
+            shards receive zeros, which the zeroed boundary faces annul"""
+            left = jax.lax.ppermute(v[..., -1:], "space", fwd_perm)
+            right = jax.lax.ppermute(v[..., :1], "space", bwd_perm)
+            return jnp.concatenate([left, v, right], axis=-1)
+
+        def explicit_tend(t, y):
+            v_ext = halo_ext(y)                       # (..., nz, nyl+2)
+            favg = 0.5 * (v_ext[..., 1:] + v_ext[..., :-1])
+            wy = favg * vfaces                        # (..., nz, nyl+1)
+            res = dy_r_l * (wy[..., :-1] - wy[..., 1:])
+            dflux = hfaces * (v_ext[..., 1:] - v_ext[..., :-1])
+            res = res + dy_r_l * (dflux[..., 1:] - dflux[..., :-1])
+
+            # vertical advection: column-local centered flux
+            wz_int = 0.5 * (y[..., 1:, :] + y[..., :-1, :]) * wvel_l[1:-1, :]
+            zshape = y.shape[:-2] + (1, y.shape[-1])
+            zero = jnp.zeros(zshape, y.dtype)
+            wz = jnp.concatenate([zero, wz_int, zero], axis=-2)
+            res = res + dz_r[:, None] * (wz[..., 1:, :] - wz[..., :-1, :])
+            return res + aging_l
+
+        def vert_coeff(t):
+            return physics.vert_mixing_coeff_arrays(
+                depth_mid, dz_mid, dz_mid_r, ypos_mid_l, wvel_l, t
+            )
+
+        return imex_year(
+            explicit_tend, vert_coeff, diag_l, dz_r, y, t_span, n_steps,
+            unroll=unroll,
+        )
+
+    state_spec = P("module", None, None, "space")
+    shard_spec = P("space", None, None)
+
+    sharded = shard_map(
+        local_year,
+        mesh=mesh,
+        in_specs=(
+            state_spec,                    # y
+            state_spec,                    # diag
+            P("module", None, None, None),  # aging
+            shard_spec,                    # vfaces
+            shard_spec,                    # hfaces
+            P("space", None),              # dy_r
+            shard_spec,                    # wvel
+            P("space", None),              # ypos_mid
+        ),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+
+    diag_dev = jax.device_put(
+        jnp.asarray(diag, dtype), NamedSharding(mesh, state_spec)
+    )
+    aging_dev = jax.device_put(
+        jnp.asarray(aging, dtype),
+        NamedSharding(mesh, P("module", None, None, None)),
+    )
+    shard_args = tuple(
+        jax.device_put(jnp.asarray(arr, dtype), NamedSharding(mesh, spec))
+        for arr, spec in (
+            (data.vfaces, shard_spec),
+            (data.hfaces, shard_spec),
+            (data.dy_r, P("space", None)),
+            (data.wvel, shard_spec),
+            (data.ypos_mid, P("space", None)),
+        )
+    )
+
+    @jax.jit
+    def year(y):
+        return sharded(y, diag_dev, aging_dev, *shard_args)
+
+    return year
+
+
+class ShardedIageKernel:
+    """in-core solver kernel over a (module, space) mesh: a batch of
+    parameterized iage-family modules (per-module aging rates), the sharded
+    IMEX year, exact linear-model JVPs, and a column-local vertical-implicit
+    preconditioner.
+
+    Every solver operation (GMRES dots, region broadcasts, preconditioner
+    tridiagonals) is plain jax on the sharded arrays -- XLA turns the
+    reductions into psums over the mesh; nothing here ever gathers the state
+    to one device.  The preconditioner is column-local BY CONSTRUCTION
+    (vertical-only implicit solve), so the sharded and unsharded solves
+    perform identical mathematics and their iterates agree to roundoff --
+    the property tests/test_sharded_year.py pins.
+
+    state layout: (module_batch, 2 tracers, nz, ny), sharded
+    P('module', None, None, 'space').
+    """
+
+    def __init__(self, mesh, depth, ypos, modelinfo, module_rates,
+                 dtype=None, n_steps=365):
+        if dtype is None:
+            dtype = jnp.result_type(float)
+        n_module, n_space = mesh.shape["module"], mesh.shape["space"]
+        self.mesh = mesh
+        self.depth, self.ypos = depth, ypos
+        self.dtype = dtype
+        self.data = ShardedYearData(depth, ypos, modelinfo, n_space, dtype)
+        nz, ny = self.data.nz, self.data.ny
+        self.nz, self.ny = nz, ny
+        self.module_batch = len(module_rates)
+        if self.module_batch % n_module != 0:
+            raise ValueError(
+                f"module batch {self.module_batch} does not split over "
+                f"{n_module} mesh blocks"
+            )
+        self.year = physics.SEC_PER_YEAR
+
+        rate = surf_restore_rate(depth)
+        diag = np.zeros((self.module_batch, 2, nz, ny))
+        diag[:, 0, 0, :] = -rate
+        diag[:, 1, 0, :] = -SURF_SLOW_FACTOR * rate
+        aging = np.asarray(module_rates, np.float64).reshape(-1, 1, 1, 1)
+        aging = np.broadcast_to(aging, (self.module_batch, 2, 1, 1))
+
+        t_span = (0.0, self.year)
+        self._year = build_sharded_year(
+            mesh, self.data, diag, aging, t_span, n_steps
+        )
+        self._year0 = build_sharded_year(
+            mesh, self.data, diag, np.zeros_like(aging), t_span, n_steps
+        )
+
+        self.state_sharding = NamedSharding(
+            mesh, P("module", None, None, "space")
+        )
+        weight = np.outer(depth.delta, ypos.delta)
+        weight = weight / weight.sum()
+        self._weight = jax.device_put(
+            jnp.asarray(weight, dtype),
+            NamedSharding(mesh, P(None, "space")),
+        )
+
+        # column-local preconditioner: the implicit-Euler-product operator
+        # M = I - prod_i (I - dt T(t_i)) restricted to the VERTICAL part of
+        # the Jacobian (mixing + restoring; the reference's iage precond,
+        # nk_ooc/py_driver_2d/iage.py:66-93, uses the full Jacobian -- the
+        # vertical restriction keeps it column-local, hence shard-local and
+        # mesh-shape-independent).  The product of 3 tridiagonals is
+        # 7-banded per column; factor once per Newton iteration with the
+        # pivot-free banded LU, batched over (tracer, column) blocks.
+        tracer_diag = jnp.asarray(diag[0], dtype)  # (T, nz, ny); B-invariant
+
+        @jax.jit
+        def precond_factor():
+            grid = self.data.grid
+            dz_r = jnp.asarray(self.data.dz_r, dtype)
+            time_n = 3
+            dt = self.year / time_n
+            eye = jnp.eye(nz, dtype=dtype)
+            prod = jnp.broadcast_to(eye, (2, ny, nz, nz))
+            for i in range(time_n):
+                t_mid = (i + 0.5) * dt
+                kv = physics.vert_mixing_coeff(grid, t_mid)  # (nz-1, ny)
+                up = kv * dz_r[:-1, None]
+                lo = kv * dz_r[1:, None]
+                zero = jnp.zeros((1, ny), dtype)
+                du = jnp.concatenate([up, zero], axis=0)   # (nz, ny)
+                dl = jnp.concatenate([zero, lo], axis=0)
+                dmain = -(du + dl) + tracer_diag           # (T, nz, ny)
+                t_mat = jnp.zeros((2, ny, nz, nz), dtype)
+                rows = jnp.arange(nz)
+                t_mat = t_mat.at[:, :, rows, rows].set(
+                    jnp.swapaxes(dmain, -1, -2)
+                )
+                t_mat = t_mat.at[:, :, rows[1:], rows[:-1]].set(
+                    jnp.swapaxes(dl, -1, -2)[None, :, 1:]
+                )
+                t_mat = t_mat.at[:, :, rows[:-1], rows[1:]].set(
+                    jnp.swapaxes(du, -1, -2)[None, :, :-1]
+                )
+                prod = prod @ (eye - dt * t_mat)
+            m_mat = eye - prod                             # (T, ny, nz, nz)
+            bw = min(time_n, nz - 1)
+            bands = jnp.zeros((2, ny, nz, 2 * bw + 1), dtype)
+            for d in range(2 * bw + 1):
+                off = d - bw
+                dvals = jnp.diagonal(m_mat, offset=off, axis1=-2, axis2=-1)
+                rows = jnp.arange(max(0, -off), min(nz, nz - off))
+                bands = bands.at[:, :, rows, d].set(dvals)
+            return banded_lu_factor_blocks(bands.reshape(2 * ny, nz, -1))
+
+        @jax.jit
+        def precond_apply(lu, r):
+            # r: (B, T, nz, ny) -> per-(tracer, column) blocks along depth
+            rb = jnp.swapaxes(r, -1, -2).reshape(r.shape[0], 2 * ny, nz)
+            sol = jax.vmap(lambda rr: banded_lu_solve_blocks(lu, rr))(rb)
+            sol = jnp.swapaxes(sol.reshape(r.shape[0], 2, ny, nz), -1, -2)
+            return sol - r
+
+        self._precond_factor = precond_factor
+        self._precond_apply = precond_apply
+
+        @jax.jit
+        def dot(a, b):
+            return jnp.sum(
+                a * b * self._weight, axis=(1, 2, 3), keepdims=False
+            )[:, None]
+
+        self._dot = dot
+        self._comp_fcn = jax.jit(lambda y: self._year(y) - y)
+        self._jvp = jax.jit(lambda v: self._year0(v) - v)
+
+    # -- solver interface ----------------------------------------------------
+
+    def init_iterate(self):
+        column = np.interp(self.depth.mid, [55.0, 200.0], [0.0, 2.0])
+        field = np.broadcast_to(
+            column[None, None, :, None],
+            (self.module_batch, 2, self.nz, self.ny),
+        )
+        return jax.device_put(
+            jnp.asarray(field, self.dtype), self.state_sharding
+        )
+
+    def comp_fcn(self, x):
+        return self._comp_fcn(x)
+
+    def jvp(self, x, fcn, v):
+        """exact: the module family is linear, so J v = year0(v) - v"""
+        return self._jvp(v)
+
+    def dot(self, a, b):
+        return self._dot(a, b)
+
+    def norm(self, v):
+        return jnp.sqrt(self._dot(v, v))
+
+    @staticmethod
+    def add(a, b):
+        return a + b
+
+    def scale(self, v, factor):
+        factor = np.asarray(factor)
+        if factor.ndim == 0:
+            return v * float(factor)
+        return v * jnp.asarray(factor, self.dtype)[:, 0, None, None, None]
+
+    def region_broadcast(self, scalars):
+        """(module, region=1) -> broadcastable (module, 1, 1, 1) field"""
+        return scalars[:, 0, None, None, None]
+
+    def apply_limiter(self, x, increment):
+        return np.ones((self.module_batch, 1))
+
+    def lin_comb(self, basis, coeff):
+        res = self.scale(basis[0], coeff[0])
+        for j in range(1, len(basis)):
+            res = res + self.scale(basis[j], coeff[j])
+        return res
+
+    def precond_setup(self, x):
+        return self._precond_factor()
+
+    def precond_apply(self, data, r):
+        return self._precond_apply(data, r)
+
+
+__all__ = ["ShardedYearData", "build_sharded_year", "ShardedIageKernel"]

@@ -266,3 +266,184 @@ def test_device_sparse_solve_matches_native(tmp_path):
     assert np.allclose(
         x, np.linalg.solve(a_dense, rhs2.T).T, rtol=1e-8, atol=1e-11
     )
+
+
+def _assemble_transport_reference(mask, dz, tarea, uet, vnt, wtt, hde, hdn,
+                                  delta_t, upwind3=True):
+    """independent numpy assembly of the documented gen_A transport spec:
+    flux-form upwind3 advection + lateral diffusion, zonal wrap, first-order
+    fallback at masked/absent far-upwind cells (native/precond_tools/
+    gen_A.cpp header comment)"""
+    nz, nlat, nlon = mask.shape
+    cell_to_row = -np.ones(mask.size, np.int64)
+    row_to_cell = np.nonzero(mask.reshape(-1) > 0)[0]
+    cell_to_row[row_to_cell] = np.arange(len(row_to_cell))
+    n = len(row_to_cell)
+    jac = np.zeros((n, n))
+
+    def row(k, j, i):
+        if k < 0 or k >= nz or j < 0 or j >= nlat:
+            return -1
+        return cell_to_row[(k * nlat + j) * nlon + i % nlon]
+
+    def vol(k, j, i):
+        return dz[k] * tarea[j, i % nlon]
+
+    def face(rc, rd, ru, rdd, trans, vc, vd):
+        if rc < 0 or rd < 0 or trans == 0.0:
+            return
+        if not upwind3:
+            coefs = [(rc, 0.5), (rd, 0.5)]
+        elif trans > 0:
+            coefs = (
+                [(ru, -1 / 6), (rc, 5 / 6), (rd, 2 / 6)]
+                if ru >= 0
+                else [(rc, 1.0)]
+            )
+        else:
+            coefs = (
+                [(rc, 2 / 6), (rd, 5 / 6), (rdd, -1 / 6)]
+                if rdd >= 0
+                else [(rd, 1.0)]
+            )
+        for col, w in coefs:
+            jac[rc, col] -= delta_t * trans * w / vc
+            jac[rd, col] += delta_t * trans * w / vd
+
+    def diff(rc, rd, cond, vc, vd):
+        if rc < 0 or rd < 0 or cond == 0.0:
+            return
+        jac[rc, rd] += delta_t * cond / vc
+        jac[rc, rc] -= delta_t * cond / vc
+        jac[rd, rc] += delta_t * cond / vd
+        jac[rd, rd] -= delta_t * cond / vd
+
+    for k in range(nz):
+        for j in range(nlat):
+            for i in range(nlon):
+                c = (k, j, i)
+                face(row(*c), row(k, j, i + 1), row(k, j, i - 1),
+                     row(k, j, i + 2), uet[c], vol(*c), vol(k, j, i + 1))
+                if j + 1 < nlat:
+                    face(row(*c), row(k, j + 1, i), row(k, j - 1, i),
+                         row(k, j + 2, i), vnt[c], vol(*c), vol(k, j + 1, i))
+                if k >= 1:
+                    face(row(*c), row(k - 1, j, i), row(k + 1, j, i),
+                         row(k - 2, j, i), wtt[c], vol(*c), vol(k - 1, j, i))
+                diff(row(*c), row(k, j, i + 1), hde[c], vol(*c),
+                     vol(k, j, i + 1))
+                if j + 1 < nlat:
+                    diff(row(*c), row(k, j + 1, i), hdn[c], vol(*c),
+                         vol(k, j + 1, i))
+    return jac, row_to_cell
+
+
+@needs_native
+def test_gen_a_transport_assembly(tmp_path):
+    """gen_A's upwind3 advection + hmix assembly from a synthetic IRF file
+    matches the independent numpy spec, conserves volume-weighted tracer,
+    and solves to the same answer through solve_ABdist and the device path"""
+    nz, nlat, nlon = 4, 5, 6
+    rng = np.random.default_rng(11)
+    mask = np.ones((nz, nlat, nlon), np.int32)
+    mask[2:, 1, 2] = 0  # a seamount of masked cells
+    mask[:, 3, 4] = 0   # a full masked column
+    dz = rng.uniform(50.0e2, 200.0e2, nz)
+    tarea = rng.uniform(0.8e14, 1.2e14, (nlat, nlon))
+    uet = rng.normal(0.0, 1.0e12, (nz, nlat, nlon))
+    vnt = rng.normal(0.0, 1.0e12, (nz, nlat, nlon))
+    wtt = rng.normal(0.0, 1.0e11, (nz, nlat, nlon))
+    hde = rng.uniform(0.0, 1.0e12, (nz, nlat, nlon))
+    hdn = rng.uniform(0.0, 1.0e12, (nz, nlat, nlon))
+    day_cnt = 365.0
+    delta_t = day_cnt * 86400.0
+
+    reg_fname = tmp_path / "grid_vars.nc"
+    with NCFile(str(reg_fname), mode="w") as fptr:
+        fptr.create_dimensions_verify({"z_t": nz, "nlat": nlat, "nlon": nlon})
+        var = fptr.create_variable("region_mask", "i4", ("z_t", "nlat", "nlon"))
+        var[:] = mask
+
+    circ_fname = tmp_path / "irf.nc"
+    with NCFile(str(circ_fname), mode="w") as fptr:
+        fptr.create_dimensions_verify({"z_t": nz, "nlat": nlat, "nlon": nlon})
+        fptr.create_variable("dz", "f8", ("z_t",))[:] = dz
+        fptr.create_variable("TAREA", "f8", ("nlat", "nlon"))[:] = tarea
+        for name, vals in [("UET", uet), ("VNT", vnt), ("WTT", wtt),
+                           ("HDIFF_E", hde), ("HDIFF_N", hdn)]:
+            fptr.create_variable(name, "f8", ("z_t", "nlat", "nlon"))[:] = vals
+
+    opts = tmp_path / "matrix.opts"
+    opts.write_text(
+        f"day_cnt {day_cnt}\n"
+        f"reg_fname {reg_fname}\n"
+        f"circ_fname {circ_fname}\n"
+        "adv_type upwind3\n"
+        "hmix_type isop_file\n"
+    )
+    matrix_fname = tmp_path / "matrix.nc"
+    subprocess.run(
+        [GEN_A, "-D1", "-o", str(opts), str(matrix_fname)], check=True
+    )
+
+    with NCFile(str(matrix_fname)) as fptr:
+        row_ptr = fptr.var("row_ptr")[:].astype(np.int64)
+        col_ind = fptr.var("col_ind")[:].astype(np.int64)
+        data = fptr.var("data")[:]
+        row_to_cell = fptr.var("row_to_cell")[:].astype(np.int64)
+    n = len(row_ptr) - 1
+    a_dense = np.zeros((n, n))
+    for r in range(n):
+        for p in range(int(row_ptr[r]), int(row_ptr[r + 1])):
+            a_dense[r, int(col_ind[p])] = data[p]
+
+    jac_ref, r2c_ref = _assemble_transport_reference(
+        mask, dz, tarea, uet, vnt, wtt, hde, hdn, delta_t
+    )
+    assert np.array_equal(row_to_cell, r2c_ref)
+    a_ref = jac_ref - np.eye(n)  # A = delta_t * J - I
+    scale = np.abs(a_ref).max()
+    assert np.abs(a_dense - a_ref).max() < 1e-12 * scale
+
+    # flux form conserves tracer: volume-weighted column sums of the
+    # transport part (A + I) vanish identically
+    vols = np.empty(n)
+    for r, c in enumerate(row_to_cell):
+        k, rem = divmod(int(c), nlat * nlon)
+        j, i = divmod(rem, nlon)
+        vols[r] = dz[k] * tarea[j, i]
+    colsums = vols @ (a_dense + np.eye(n))
+    assert np.abs(colsums).max() < 1e-12 * np.abs(vols @ a_dense).max()
+
+    # both solver paths agree with the dense solve
+    rhs = rng.normal(size=(nz, nlat, nlon))
+    expected = np.linalg.solve(a_dense, rhs.reshape(-1)[row_to_cell])
+    for solver in ["native", "device"]:
+        state_fname = tmp_path / f"state_{solver}.nc"
+        with NCFile(str(state_fname), mode="w") as fptr:
+            fptr.create_dimensions_verify(
+                {"z_t": nz, "nlat": nlat, "nlon": nlon}
+            )
+            var = fptr.create_variable(
+                "IAGE_CUR", "f8", ("z_t", "nlat", "nlon")
+            )
+            var[:] = rhs
+        if solver == "native":
+            subprocess.run(
+                [SOLVE, "-D1", "-n", "2,2", "-v", "IAGE_CUR",
+                 str(matrix_fname), str(state_fname)],
+                check=True,
+            )
+        else:
+            from newton_krylov_ooc_tpu.models.cime_pop.model_state import (
+                _device_solve_matrix,
+            )
+
+            _device_solve_matrix(
+                str(matrix_fname), str(state_fname), ["IAGE_CUR"]
+            )
+        with NCFile(str(state_fname)) as fptr:
+            solution = fptr.var("IAGE_CUR")[:].reshape(-1)
+        assert np.allclose(
+            solution[row_to_cell], expected, rtol=1e-7, atol=1e-10
+        ), solver

@@ -1,0 +1,174 @@
+"""sharded (shard_map) IMEX year + sharded Newton solve vs single-device.
+
+The decomposed year performs the same arithmetic as the unsharded scan
+(halo columns replace in-array neighbors; boundary faces are zeroed), so the
+results must agree to float64 roundoff, and full solver runs on different
+mesh shapes must produce the same iterates.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+from newton_krylov_ooc_tpu.core.spatial_axis import (
+    spatial_axis_defn_dict,
+    spatial_axis_from_defn_dict,
+)
+from newton_krylov_ooc_tpu.models.py_driver_2d import physics
+from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
+    SURF_SLOW_FACTOR,
+    surf_restore_rate,
+)
+from newton_krylov_ooc_tpu.ops.imex import imex_year
+from newton_krylov_ooc_tpu.parallel.mesh import make_mesh
+from newton_krylov_ooc_tpu.parallel.sharded_year import (
+    ShardedIageKernel,
+    ShardedYearData,
+    build_sharded_year,
+)
+
+MODELINFO = {"max_abs_vvel": "0.1", "horiz_mix_coeff": "1000.0"}
+
+
+def _axes(nz, ny):
+    depth = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            nlevs=nz, edge_end=4000.0, delta_ratio_max=19.0
+        )
+    )
+    ypos = spatial_axis_from_defn_dict(
+        defn_dict=spatial_axis_defn_dict(
+            axisname="ypos",
+            nlevs=ny,
+            edge_start=0.0,
+            edge_end=50.0e5,
+            delta_ratio_max=1.0,
+            units="m",
+        )
+    )
+    return depth, ypos
+
+
+def _global_year(depth, ypos, diag, aging, t_span, n_steps):
+    """unsharded reference: the same model year through plain imex_year"""
+    grid = physics.make_grid(depth, ypos, MODELINFO, jnp.float64)
+
+    def explicit_tend(t, y):
+        def one(v):
+            return physics.advection_tend(grid, v) + physics.horiz_mix_tend(
+                grid, v
+            )
+
+        flat = y.reshape((-1,) + y.shape[-2:])
+        out = jax.vmap(one)(flat).reshape(y.shape)
+        return out + jnp.asarray(aging)
+
+    return jax.jit(
+        lambda y: imex_year(
+            explicit_tend,
+            lambda t: physics.vert_mixing_coeff(grid, t),
+            jnp.asarray(diag),
+            grid.dz_r,
+            y,
+            t_span,
+            n_steps,
+        )
+    )
+
+
+def test_sharded_year_matches_unsharded():
+    """8-device (2 module x 4 space) year == single-device year, f64"""
+    nz, ny, batch, n_steps = 10, 8, 4, 48
+    depth, ypos = _axes(nz, ny)
+    year = physics.SEC_PER_YEAR
+
+    rate = surf_restore_rate(depth)
+    diag = np.zeros((batch, 2, nz, ny))
+    diag[:, 0, 0, :] = -rate
+    diag[:, 1, 0, :] = -SURF_SLOW_FACTOR * rate
+    aging = np.broadcast_to(
+        ((1.0 + 0.2 * np.arange(batch)) / year)[:, None, None, None],
+        (batch, 2, 1, 1),
+    )
+
+    mesh = make_mesh(n_module=2, n_space=4)
+    data = ShardedYearData(depth, ypos, MODELINFO, n_space=4)
+    sharded = build_sharded_year(
+        mesh, data, diag, aging, (0.0, year), n_steps
+    )
+
+    rng = np.random.default_rng(7)
+    y0 = np.maximum(rng.normal(1.0, 0.5, (batch, 2, nz, ny)), 0.0)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    y0_dev = jax.device_put(
+        jnp.asarray(y0),
+        NamedSharding(mesh, P("module", None, None, "space")),
+    )
+    out_sharded = np.asarray(sharded(y0_dev))
+    out_ref = np.asarray(
+        _global_year(depth, ypos, diag, aging, (0.0, year), n_steps)(
+            jnp.asarray(y0)
+        )
+    )
+    denom = np.abs(out_ref).max()
+    assert np.abs(out_sharded - out_ref).max() < 1e-12 * denom
+
+
+def test_sharded_solve_matches_single_device():
+    """full Newton-Krylov (jitted GMRES) on a 2x4 mesh == 1-device mesh"""
+    nz, ny, n_steps = 8, 8, 36
+    depth, ypos = _axes(nz, ny)
+    year = physics.SEC_PER_YEAR
+    rates = (1.0 + 0.25 * np.arange(4)) / year
+
+    mesh8 = make_mesh(n_module=2, n_space=4)
+    mesh1 = make_mesh(n_module=1, n_space=1, devices=jax.devices()[:1])
+
+    results = []
+    for mesh in (mesh8, mesh1):
+        kernel = ShardedIageKernel(
+            mesh, depth, ypos, MODELINFO, rates, n_steps=n_steps
+        )
+        solver = NewtonKrylovInCore(
+            kernel,
+            newton_rel_tol=1e-5,
+            krylov_rel_tol=1e-2,
+            newton_max_iter=8,
+            krylov_max_dim=20,
+            jit_gmres=True,
+        )
+        x, fcn, info = solver.solve(kernel.init_iterate())
+        rel = np.asarray(info["fcn_norm"]) / np.asarray(info["x_norm"])
+        assert (rel < 1e-5).all()
+        results.append((np.asarray(x), info["iterations"]))
+
+    (x8, it8), (x1, it1) = results
+    assert it8 == it1
+    assert np.abs(x8 - x1).max() < 1e-9 * np.abs(x1).max()
+
+
+def test_sharded_kernel_gmres_matches_host_loop():
+    """the sharded kernel through jitted GMRES == host-loop GMRES"""
+    nz, ny, n_steps = 8, 8, 36
+    depth, ypos = _axes(nz, ny)
+    year = physics.SEC_PER_YEAR
+    rates = (1.0 + 0.25 * np.arange(4)) / year
+    mesh = make_mesh(n_module=2, n_space=4)
+    kernel = ShardedIageKernel(
+        mesh, depth, ypos, MODELINFO, rates, n_steps=n_steps
+    )
+
+    x = kernel.init_iterate()
+    fcn = kernel.comp_fcn(x)
+    host = NewtonKrylovInCore(kernel, krylov_rel_tol=1e-2, krylov_max_dim=20)
+    jit = NewtonKrylovInCore(
+        kernel, krylov_rel_tol=1e-2, krylov_max_dim=20, jit_gmres=True
+    )
+    inc_host, its_host = host._gmres(x, fcn)
+    inc_jit, its_jit = jit._gmres(x, fcn)
+    assert its_host == its_jit
+    a, b = np.asarray(inc_host), np.asarray(inc_jit)
+    assert np.abs(a - b).max() < 1e-9 * max(np.abs(a).max(), 1e-300)

@@ -213,7 +213,53 @@ def main():
         "n_steps": N_STEPS,
         "fn_evals_per_second": round(1.0 / tpu_time, 3),
         "step_halving_rel_err": rel_err,
+        "device_ms_per_step": round(tpu_time / N_STEPS * 1.0e3, 6),
     }
+
+    # device-utilization observability: XLA's own cost model for the SAME
+    # mathematics (the scan-path year; the pallas megakernel is opaque to
+    # cost_analysis) paired with the measured wall-clock.  bf16 peak of one
+    # v5e chip is 197 TFLOP/s (public spec) -- a stencil/VPU workload is
+    # nowhere near it by design; the number contextualizes, the achieved
+    # figures are the measurement.
+    try:
+        def _cost(n_steps):
+            kern = IageKernel(
+                depth, ypos, modelinfo, dtype=jnp.float32, n_steps=n_steps,
+                use_pallas=False,
+            )
+            cost = kern._year_fn.lower(y0_dev).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return (
+                float(cost.get("flops", 0.0)),
+                float(cost.get("bytes accessed", 0.0)),
+            )
+
+        # XLA cost_analysis counts a lax.scan body ONCE regardless of trip
+        # count, so n_steps=1 (no scan) vs n_steps=2 (scan of exactly one
+        # interior step) differ by precisely one step's cost: one Heun pair
+        # + one Crank-Nicolson solve.  Scale that to the benchmarked count.
+        f1, b1 = _cost(1)
+        f2, b2 = _cost(2)
+        flops = (f2 - f1) * N_STEPS
+        bytes_acc = (b2 - b1) * N_STEPS
+        if flops > 0:
+            result["est_flops_per_fn_eval"] = round(flops)
+            result["achieved_gflops_per_second"] = round(
+                flops / tpu_time / 1.0e9, 2
+            )
+            result["flops_utilization_of_bf16_peak"] = round(
+                flops / tpu_time / 197.0e12, 6
+            )
+        if bytes_acc > 0:
+            # the megakernel holds state in VMEM, so this is the rate the
+            # EQUIVALENT XLA scan would demand of HBM -- an upper bound on
+            # what the pallas path actually moves
+            result["est_bytes_per_fn_eval"] = round(bytes_acc)
+            result["equiv_hbm_gbps"] = round(bytes_acc / tpu_time / 1.0e9, 2)
+    except Exception as exc:  # noqa: BLE001
+        result["cost_analysis_error"] = f"{type(exc).__name__}: {exc}"
 
     # secondary measured fields (best-effort; the primary metric above is
     # complete even if these are skipped by budget or failure)
@@ -306,6 +352,56 @@ def main():
                 )
             except Exception as exc:  # noqa: BLE001
                 result["scale_bench_error"] = f"{type(exc).__name__}: {exc}"
+
+        # sharded (shard_map) million-cell year: the spatial-decomposition
+        # path that scales past one chip (parallel/sharded_year.py), timed
+        # here on a 1-device mesh -- per-step halo ppermutes and shard-local
+        # vertical solves included, so multi-chip runs inherit a measured
+        # single-chip baseline
+        if time.time() - bench_t0 < 420:
+            try:
+                from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
+                    SURF_SLOW_FACTOR as ssf2,
+                )
+                from newton_krylov_ooc_tpu.parallel.mesh import make_mesh
+                from newton_krylov_ooc_tpu.parallel.sharded_year import (
+                    ShardedYearData,
+                    build_sharded_year,
+                )
+
+                sz, sy = 256, 2000
+                s_steps = min(N_STEPS, 2920)  # 3-hourly keeps compile sane
+                sdepth, sypos = build_axes(sz, sy)
+                mesh1 = make_mesh(
+                    n_module=1, n_space=1, devices=[jax.devices()[0]]
+                )
+                sdata = ShardedYearData(
+                    sdepth, sypos, modelinfo, n_space=1, dtype=jnp.float32
+                )
+                srate = surf_restore_rate(sdepth)
+                sdiag = np.zeros((1, 2, sz, sy), np.float32)
+                sdiag[:, 0, 0, :] = -srate
+                sdiag[:, 1, 0, :] = -ssf2 * srate
+                saging = np.full((1, 2, 1, 1), 1.0 / year, np.float32)
+                sfn = build_sharded_year(
+                    mesh1, sdata, sdiag, saging, (0.0, year), s_steps
+                )
+                s0 = jax.device_put(
+                    jnp.asarray(np.full((1, 2, sz, sy), 0.5, np.float32)),
+                    jax.sharding.NamedSharding(
+                        mesh1,
+                        jax.sharding.PartitionSpec(
+                            "module", None, None, "space"
+                        ),
+                    ),
+                )
+                sfn(s0).block_until_ready()
+                start = time.time()
+                sfn(s0).block_until_ready()
+                elapsed = (time.time() - start) * N_STEPS / s_steps
+                result["sharded_million_cell_year_seconds"] = round(elapsed, 4)
+            except Exception as exc:  # noqa: BLE001
+                result["sharded_bench_error"] = f"{type(exc).__name__}: {exc}"
 
     print(json.dumps(result))
 

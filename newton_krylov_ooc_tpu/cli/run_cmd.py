@@ -23,6 +23,12 @@ ARG_SPECS = [
     ("--precond_fname", "name of precond file", None),
     ("--in_fname", "name of file with input", None),
     ("--res_fname", "name of file for result", None),
+    (
+        "--profile_dir",
+        "write a jax profiler trace of the command to this directory "
+        "(inspect with tensorboard or xprof; device-time observability)",
+        None,
+    ),
 ]
 
 
@@ -57,6 +63,37 @@ def main(args):
 
     ms_in = model_state_class(resolve(args.in_fname))
 
+    if args.profile_dir is not None:
+        import contextlib
+        import time
+
+        import jax
+
+        @contextlib.contextmanager
+        def profiled():
+            start = time.time()
+            with jax.profiler.trace(args.profile_dir):
+                yield
+            logger.info(
+                'cmd="%s" wall-clock %.6f s; profiler trace in %s',
+                args.cmd,
+                time.time() - start,
+                args.profile_dir,
+            )
+
+        profile_ctx = profiled
+    else:
+        import contextlib
+
+        profile_ctx = contextlib.nullcontext
+
+    with profile_ctx():
+        _dispatch(args, ms_in, resolve)
+
+    logger.info("done")
+
+
+def _dispatch(args, ms_in, resolve):
     if args.cmd == "comp_fcn":
         ms_in.log("state_in")
         result = ms_in.comp_fcn(
@@ -79,8 +116,6 @@ def main(args):
             solver_state=None,
         )
         result.log("precond_res")
-
-    logger.info("done")
 
 
 if __name__ == "__main__":

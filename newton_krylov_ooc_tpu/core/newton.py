@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 
 import numpy as np
 
@@ -63,10 +64,15 @@ class NewtonSolver(SolverBase):
             self.gen_stats_vars_metadata(), self._iterate.tracer_modules
         )
 
+        fcn_start = time.time()
         self._fcn = self._iterate.comp_fcn(
             self._fname("fcn"), self._solver_state, self._fname("hist")
         )
-        self._put_solver_stats_vars(iterate=self._iterate, fcn=self._fcn)
+        self._put_solver_stats_vars(
+            iterate=self._iterate,
+            fcn=self._fcn,
+            comp_fcn_seconds=time.time() - fcn_start,
+        )
         self._init_model_stats_vars()
 
     def _init_iterate_state(self, model_state_class):
@@ -124,6 +130,16 @@ class NewtonSolver(SolverBase):
             "attrs": {
                 "long_name": "number of iterations in Krylov solver",
                 "units": "1",
+            },
+        }
+        vars_metadata["comp_fcn_seconds"] = {
+            "category": "tracer_module_independent",
+            "dimensions": ("iteration",),
+            "attrs": {
+                "long_name": "wall-clock of the iteration's final function "
+                "evaluation in this process (device time for in-core "
+                "models; ~0 when replayed from the step log on resume)",
+                "units": "seconds",
             },
         }
         return vars_metadata
@@ -355,7 +371,15 @@ class NewtonSolver(SolverBase):
             else:
                 res_fname = self._fname(f"prov_fcn_fp_{(fp_iter + 1):02}")
                 hist_fname = self._fname(f"prov_hist_fp_{(fp_iter + 1):02}")
+            fcn_start = time.time()
             prov_fcn = prov.comp_fcn(res_fname, state, hist_fname)
+            if final:
+                # per-step device-time observability: for in-core models
+                # this wall-clock IS the model-year device time (plus
+                # dispatch); logged-and-replayed evaluations record ~0
+                self._put_solver_stats_vars(
+                    comp_fcn_seconds=time.time() - fcn_start
+                )
             fp_iter += 1
             state.set_value_saved_state(key="fp_iter", value=fp_iter)
             self.log(prov, prov_fcn, f"fp_iter={fp_iter:02}")

@@ -353,6 +353,42 @@ def main():
             except Exception as exc:  # noqa: BLE001
                 result["scale_bench_error"] = f"{type(exc).__name__}: {exc}"
 
+        # jitted while-loop GMRES vs the host-driven Krylov loop: with fast
+        # matvecs the host path pays one ~25 ms dispatch round-trip per
+        # Arnoldi step while the jitted path is ONE device call -- the
+        # wall-clock gap is the recorded delta (ops/gmres.py)
+        if time.time() - bench_t0 < 300:
+            try:
+                from newton_krylov_ooc_tpu.core.incore import (
+                    NewtonKrylovInCore,
+                )
+
+                gdepth, gypos = build_axes(16, 12)
+                gkern = IageKernel(
+                    gdepth, gypos, modelinfo, dtype=jnp.float32, n_steps=32,
+                    use_pallas=False,
+                )
+                gx = gkern.init_iterate()
+                gf = gkern.comp_fcn(gx)
+                host_solver = NewtonKrylovInCore(gkern, krylov_rel_tol=1e-2)
+                jit_solver = NewtonKrylovInCore(
+                    gkern, krylov_rel_tol=1e-2, jit_gmres=True
+                )
+                jit_solver._gmres(gx, gf)  # compile
+                host_solver._gmres(gx, gf)  # warm
+                start = time.time()
+                _, host_its = host_solver._gmres(gx, gf)
+                host_s = time.time() - start
+                start = time.time()
+                inc, jit_its = jit_solver._gmres(gx, gf)
+                jax.block_until_ready(inc)
+                jit_s = time.time() - start
+                result["gmres_host_loop_seconds"] = round(host_s, 4)
+                result["gmres_jitted_seconds"] = round(jit_s, 4)
+                result["gmres_iterations"] = int(jit_its)
+            except Exception as exc:  # noqa: BLE001
+                result["gmres_bench_error"] = f"{type(exc).__name__}: {exc}"
+
         # sharded (shard_map) million-cell year: the spatial-decomposition
         # path that scales past one chip (parallel/sharded_year.py), timed
         # here on a 1-device mesh -- per-step halo ppermutes and shard-local

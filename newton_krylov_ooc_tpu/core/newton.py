@@ -68,11 +68,8 @@ class NewtonSolver(SolverBase):
         self._fcn = self._iterate.comp_fcn(
             self._fname("fcn"), self._solver_state, self._fname("hist")
         )
-        self._put_solver_stats_vars(
-            iterate=self._iterate,
-            fcn=self._fcn,
-            comp_fcn_seconds=time.time() - fcn_start,
-        )
+        self._put_solver_stats_vars(iterate=self._iterate, fcn=self._fcn)
+        self._put_observability_vars(comp_fcn_seconds=time.time() - fcn_start)
         self._init_model_stats_vars()
 
     def _init_iterate_state(self, model_state_class):
@@ -377,7 +374,7 @@ class NewtonSolver(SolverBase):
                 # per-step device-time observability: for in-core models
                 # this wall-clock IS the model-year device time (plus
                 # dispatch); logged-and-replayed evaluations record ~0
-                self._put_solver_stats_vars(
+                self._put_observability_vars(
                     comp_fcn_seconds=time.time() - fcn_start
                 )
             fp_iter += 1

@@ -166,3 +166,11 @@ class SolverBase:
         """write values of per-iteration vars at the current iteration"""
         vals_dict = self._collect_stats_vals(kwargs, per_iteration=True)
         self._stats_file.put_vars(self.get_iteration(), vals_dict)
+
+    def _put_observability_vars(self, **kwargs):
+        """write per-iteration observability scalars (timings etc.) WITHOUT
+        step-logging: these values are not replayable (a resumed run would
+        measure something different anyway) and must not perturb the step
+        log, whose byte-identity against committed baselines is load-bearing
+        (scripts/ci_*.sh diff Newton_state.json)"""
+        self._stats_file.put_vars(self.get_iteration(), kwargs)

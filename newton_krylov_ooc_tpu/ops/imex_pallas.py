@@ -20,7 +20,7 @@ with merged interior half-steps and Kahan-compensated accumulation.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache as _functools_lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -677,3 +677,294 @@ def build_phosphorus_year_pallas(grid, params, light_lim, t_span, n_steps):
         )(y0.astype(dtype), *consts)
 
     return year
+
+
+def build_iage_step_block_pallas(
+    vfaces, hfaces, wvel, diag, source, bld_max, dy_r, dz_r, dz_mid,
+    dz_mid_r, depth_mid, dt, j_steps,
+):
+    """j_steps interior IMEX steps [Heun; CN(dt)] as ONE pallas kernel, with
+    the block's start time as a runtime scalar -- the building block of the
+    sharded VMEM-resident year (parallel/sharded_year.py).
+
+    The year decomposes as CNh, [Heun CNf]x(n-1), Heun, CNh (interior Strang
+    half-steps merged); a spatial shard runs the (n-1) interior steps in
+    blocks of j_steps between halo exchanges, each block VMEM-resident like
+    the single-device megakernel (build_iage_year_pallas_v2, whose packed
+    layout and arithmetic this reuses).  Each Heun consumes two ghost
+    columns per side, so a caller exchanging h halo columns may take
+    h//2 steps per block; the kernel itself is oblivious -- it treats its
+    width as a closed domain (zero flux at the outer edges), which is
+    exactly the erosion the validity analysis accounts for.
+
+    Arguments (single shard, C = module*tracer channels, width nx columns,
+    typically nx = ny_local + 2*halo):
+      vfaces, hfaces: (nz, nx+1) face velocity / diffusive conductance per
+          column face, ZERO at physical domain boundaries and beyond
+      wvel: (nz+1, nx) vertical velocity columns
+      diag: (C, nz, nx) per-channel implicit local rates
+      source: (C,) per-channel explicit source rates
+      bld_max: (nx,) boundary-layer depth maxima (ypos-interpolated)
+      dy_r, dz_r, dz_mid, dz_mid_r, depth_mid: metric arrays
+      dt: step size [s]; j_steps: static step count per call
+
+    Returns fn(y, comp, t_start, interpret=False) with y, comp (C, nz, nx)
+    float32 -> (y, comp); t_start is a float32 scalar (traced operand).
+    """
+    nz = int(np.asarray(depth_mid).shape[0])
+    nx = int(np.asarray(dy_r).shape[0])
+    c_dim = int(np.asarray(diag).shape[0])
+    w_dim = c_dim * nx
+    dtype = jnp.float32
+    dt = float(dt)
+    j_steps = int(j_steps)
+
+    bld_min = float(physics.BLD_MIN)
+    log_shallow = float(physics.VERT_MIX_LOG_SHALLOW)
+    log_deep = float(physics.VERT_MIX_LOG_DEEP)
+    tfrac = np.asarray(physics._BLD_TFRAC, np.float64)
+    ffrac = np.asarray(physics._BLD_FRAC, np.float64)
+
+    vf = np.asarray(vfaces, np.float32)
+    hf = np.asarray(hfaces, np.float32)
+    # fused lateral flux G = ca*y_left + cb*y_right over interior faces,
+    # with a zero seam column between channel blocks
+    ca_int = 0.5 * vf[:, 1:-1] + hf[:, 1:-1]
+    cb_int = 0.5 * vf[:, 1:-1] - hf[:, 1:-1]
+    seam = np.zeros((nz, 1), np.float32)
+    ca = np.concatenate(([ca_int, seam] * c_dim)[:-1], axis=1)
+    cb = np.concatenate(([cb_int, seam] * c_dim)[:-1], axis=1)
+
+    wvel_p = np.tile(np.asarray(wvel, np.float32)[1:-1, :], (1, c_dim))
+    dy_r_p = np.tile(np.asarray(dy_r, np.float32).reshape(-1), c_dim)[None, :]
+    diag_p = (
+        np.asarray(diag, np.float32).transpose(1, 0, 2).reshape(nz, w_dim)
+    )
+    src_p = np.repeat(np.asarray(source, np.float32).reshape(c_dim), nx)[
+        None, :
+    ]
+    bld_max_p = np.tile(np.asarray(bld_max, np.float32), c_dim)[None, :]
+    dz_r_c = np.asarray(dz_r, np.float32)[:, None]
+    dz_mid_c = np.asarray(dz_mid, np.float32)[:, None]
+    dz_mid_r_c = np.asarray(dz_mid_r, np.float32)[:, None]
+    edges_c = np.asarray(depth_mid, np.float32)[:, None]
+
+
+@_functools_lru_cache(maxsize=None)
+def _block_callable(nz, nx, c_dim, dt, j_steps):
+    """shape-parameterized j_steps-interior-step block kernel in OPERAND form:
+    per-shard static arrays arrive as pallas inputs (required under
+    shard_map, where one traced function serves every shard)"""
+    w_dim = c_dim * nx
+    dtype = jnp.float32
+    dt = float(dt)
+
+    bld_min = float(physics.BLD_MIN)
+    log_shallow = float(physics.VERT_MIX_LOG_SHALLOW)
+    log_deep = float(physics.VERT_MIX_LOG_DEEP)
+    tfrac = np.asarray(physics._BLD_TFRAC, np.float64)
+    ffrac = np.asarray(physics._BLD_FRAC, np.float64)
+
+    def kernel(t_ref, y0_ref, c0_ref, ca_ref, wvel_ref, diag_ref, src_ref,
+               bldmax_ref, dzr_ref, dzm_ref, dzmr_ref, edges_ref, dyr_ref,
+               cb_ref, y_out_ref, c_out_ref, y_scr, c_scr):
+        t_start = t_ref[0]
+        diag = diag_ref[:]
+        src = src_ref[:]
+        dzr = dzr_ref[:]
+        wv = wvel_ref[:]
+        cav = ca_ref[:]
+        cbv = cb_ref[:]
+        dy_rv = dyr_ref[:]
+        abs_wv = jnp.abs(wvel_ref[:, 0:nx])
+        e_lo = edges_ref[0 : nz - 1, :]
+        e_hi = edges_ref[1:nz, :]
+        e_delta = e_hi - e_lo
+        bldmax = bldmax_ref[:, 0:nx]
+
+        def kv_of(t):
+            frac = _piecewise_frac(t, tfrac, ffrac)
+            bld = bld_min + (bldmax - bld_min) * frac
+            x0 = bld - 20.0
+            x1 = bld + 20.0
+            slope = (log_deep - log_shallow) / (x1 - x0)
+
+            def antider(x):
+                c = jnp.clip(x, x0, x1) - x0
+                return 0.5 * c * c + (x1 - x0) * jnp.maximum(x - x1, 0.0)
+
+            num = log_shallow * e_delta + slope * (antider(e_hi) - antider(e_lo))
+            coeff = jnp.exp(num / e_delta)
+            peclet = 0.5 * dzm_ref[:] * abs_wv / coeff
+            coeff = coeff * jnp.maximum(peclet, 1.0)
+            kv = coeff * dzmr_ref[:]
+            return jnp.concatenate([kv] * c_dim, axis=1)
+
+        zero_row = jnp.zeros((1, w_dim), dtype)
+        zero_col = jnp.zeros((nz, 1), dtype)
+
+        def cn_incr(kv, y, h):
+            up = kv * dzr[: nz - 1, :]
+            lo = kv * dzr[1:, :]
+            du = jnp.concatenate([up, zero_row], axis=0)
+            dl = jnp.concatenate([zero_row, lo], axis=0)
+            dmain = -(du + dl) + diag
+            flux = kv * (y[1:, :] - y[:-1, :])
+            m_v = dzr * (
+                jnp.concatenate([flux, zero_row], axis=0)
+                - jnp.concatenate([zero_row, flux], axis=0)
+            ) + diag * y
+            rhs = h * m_v
+            half = 0.5 * h
+            return _pcr_minor2(
+                -half * dl, 1.0 - half * dmain, -half * du, rhs, nz,
+                recip=True,
+            )
+
+        def tend(y):
+            g_int = cav * y[:, :-1] + cbv * y[:, 1:]
+            g = jnp.concatenate([zero_col, g_int, zero_col], axis=1)
+            res = dy_rv * (g[:, :-1] - g[:, 1:])
+            wz_int = 0.5 * (y[1:, :] + y[:-1, :]) * wv
+            wz = jnp.concatenate([zero_row, wz_int, zero_row], axis=0)
+            res = res + dzr * (wz[1:, :] - wz[:-1, :])
+            return res + src
+
+        def kahan(delta):
+            adj = delta + c_scr[:]
+            y_old = y_scr[:]
+            y_new = y_old + adj
+            c_scr[:] = adj - (y_new - y_old)
+            y_scr[:] = y_new
+
+        y_scr[:] = y0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+        def body(i, _):
+            t = t_start + i.astype(dtype) * dt
+            y = y_scr[:]
+            f1 = tend(y)
+            f2 = tend(y + dt * f1)
+            kahan(0.5 * dt * (f1 + f2))
+            kahan(cn_incr(kv_of(t + dt), y_scr[:], dt))
+            return _
+
+        jax.lax.fori_loop(0, j_steps, body, 0)
+        y_out_ref[:] = y_scr[:]
+        c_out_ref[:] = c_scr[:]
+
+
+    field_bytes = 4 * nz * w_dim
+    vmem_cap = 110 << 20
+    if field_bytes * 12 > vmem_cap:
+        raise ValueError(
+            f"~{field_bytes * 12 >> 20} MiB minimum VMEM for {c_dim} "
+            f"channels of {nz}x{nx} exceeds the ~{vmem_cap >> 20} MiB "
+            "per-kernel budget; use more spatial shards"
+        )
+    vmem_bytes = min(field_bytes * 32 + (2 << 20), vmem_cap)
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes)
+        if vmem_bytes > (16 << 20)
+        else None
+    )
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def block(y_p, c_p, t_start, consts, interpret=False):
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+        y_out, c_out = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((nz, w_dim), dtype),
+                jax.ShapeDtypeStruct((nz, w_dim), dtype),
+            ),
+            in_specs=[smem] + [vmem() for _ in range(13)],
+            out_specs=(vmem(), vmem()),
+            scratch_shapes=[
+                pltpu.VMEM((nz, w_dim), dtype),
+                pltpu.VMEM((nz, w_dim), dtype),
+            ],
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(jnp.asarray(t_start, dtype).reshape(1), y_p, c_p, *consts)
+        return y_out, c_out
+
+    return block
+
+
+def pack_block_consts(vfaces, hfaces, wvel, diag, source, bld_max, dy_r,
+                      dz_r, dz_mid, dz_mid_r, depth_mid):
+    """numpy packing of one shard's static arrays into the lane-packed
+    operand tuple _block_callable expects (channel-seamed fused-flux
+    coefficients first; see build_iage_year_pallas_v2 for the layout)"""
+    diag = np.asarray(diag, np.float32)
+    c_dim, nz, nx = diag.shape
+    w_dim = c_dim * nx
+
+    vf = np.asarray(vfaces, np.float32)
+    hf = np.asarray(hfaces, np.float32)
+    ca_int = 0.5 * vf[:, 1:-1] + hf[:, 1:-1]
+    cb_int = 0.5 * vf[:, 1:-1] - hf[:, 1:-1]
+    seam = np.zeros((nz, 1), np.float32)
+    ca = np.concatenate(([ca_int, seam] * c_dim)[:-1], axis=1)
+    cb = np.concatenate(([cb_int, seam] * c_dim)[:-1], axis=1)
+
+    wvel_p = np.tile(np.asarray(wvel, np.float32)[1:-1, :], (1, c_dim))
+    dy_r_p = np.tile(np.asarray(dy_r, np.float32).reshape(-1), c_dim)[None, :]
+    diag_p = diag.transpose(1, 0, 2).reshape(nz, w_dim)
+    src_p = np.repeat(np.asarray(source, np.float32).reshape(c_dim), nx)[
+        None, :
+    ]
+    bld_max_p = np.tile(np.asarray(bld_max, np.float32), c_dim)[None, :]
+    return (
+        ca,
+        wvel_p,
+        diag_p,
+        src_p,
+        bld_max_p,
+        np.asarray(dz_r, np.float32)[:, None],
+        np.asarray(dz_mid, np.float32)[:, None],
+        np.asarray(dz_mid_r, np.float32)[:, None],
+        np.asarray(depth_mid, np.float32)[:, None],
+        dy_r_p,
+        cb,
+    )
+
+
+def build_iage_step_block_pallas(
+    vfaces, hfaces, wvel, diag, source, bld_max, dy_r, dz_r, dz_mid,
+    dz_mid_r, depth_mid, dt, j_steps,
+):
+    """single-shard convenience wrapper: pack the static arrays once and
+    return fn(y, comp, t_start, interpret=False) over (C, nz, nx) arrays.
+    See _block_callable for the kernel and pack_block_consts for layout."""
+    diag = np.asarray(diag, np.float32)
+    c_dim, nz, nx = diag.shape
+    consts_np = pack_block_consts(
+        vfaces, hfaces, wvel, diag, source, bld_max, dy_r, dz_r, dz_mid,
+        dz_mid_r, depth_mid,
+    )
+    consts = tuple(jnp.asarray(a) for a in consts_np)
+    callable_ = _block_callable(nz, nx, c_dim, float(dt), int(j_steps))
+    w_dim = c_dim * nx
+    dtype = jnp.float32
+
+    def pack(arr):
+        return (
+            arr.astype(dtype)
+            .reshape(c_dim, nz, nx)
+            .transpose(1, 0, 2)
+            .reshape(nz, w_dim)
+        )
+
+    def unpack(arr):
+        return arr.reshape(nz, c_dim, nx).transpose(1, 0, 2)
+
+    def block(y, comp, t_start, interpret=False):
+        y_p, c_p = callable_(
+            pack(y), pack(comp), t_start, consts, interpret=interpret
+        )
+        return unpack(y_p), unpack(c_p)
+
+    return block

@@ -392,3 +392,315 @@ class ShardedIageKernel:
 
 
 __all__ = ["ShardedYearData", "build_sharded_year", "ShardedIageKernel"]
+
+
+def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
+                              t_span, n_steps, block_steps=8,
+                              interpret=False):
+    """VMEM-resident sharded IMEX year: pallas step-block kernels between
+    halo exchanges.
+
+    The per-step shard_map year (build_sharded_year) pays the XLA scan's
+    per-step cadence; this path runs blocks of `block_steps` interior steps
+    as ONE pallas kernel per shard (state VMEM-resident within a block, the
+    megakernel's arithmetic -- ops/imex_pallas._block_callable), exchanging
+    2*block_steps ghost columns per side between blocks.  Each Heun stage
+    pair consumes two ghost columns, so a depth-2k halo sustains exactly k
+    steps; the ghost region's arithmetic is identical to its owner's, so
+    owned columns see the same operations on the same values regardless of
+    the mesh shape.  Agreement across mesh shapes is float32-roundoff-level,
+    not bitwise: XLA's shape-dependent codegen can differ by an ulp in the
+    mixing-profile chain, and the exponential there amplifies ulps by
+    ~1e3 into the diffusivity (shrinking with step count as the implicit
+    solves get less stiff; ~5e-6 relative at 97 steps, ~1e-6 at hourly
+    steps) -- tests pin 8-shard vs 1-shard agreement at these levels.
+
+    The year decomposes as the megakernel does (interior Strang half-steps
+    merged): a leading CN(dt/2), (n_steps-1) x [Heun; CN(dt)] in pallas
+    blocks, a final Heun (one-column halo) and trailing CN(dt/2) in plain
+    jax.  float32 only (the pallas path's dtype).
+
+    diag: (module_batch, tracer, nz, ny) implicit local rates
+    aging: (module_batch, tracer) explicit source rates
+    Returns fn(y) for y (module_batch, tracer, nz, ny) float32 sharded
+    P('module', None, None, 'space').
+    """
+    from ..ops.imex_pallas import _block_callable, pack_block_consts
+
+    n_module, n_space = mesh.shape["module"], mesh.shape["space"]
+    nz, ny = len(depth), len(ypos)
+    diag = np.asarray(diag, np.float32)
+    aging = np.asarray(aging, np.float32).reshape(diag.shape[0], diag.shape[1])
+    module_batch, t_dim = aging.shape
+    if module_batch % n_module != 0 or ny % n_space != 0:
+        raise ValueError("batch/grid do not split over the mesh")
+    b_loc = module_batch // n_module
+    nyl = ny // n_space
+    c_dim = b_loc * t_dim
+    k = int(block_steps)
+    h = 2 * k
+    if nyl < 1 or h < 1:
+        raise ValueError("degenerate decomposition")
+    if h > nyl and n_space > 1:
+        raise ValueError(
+            f"halo depth 2*block_steps={h} exceeds the shard width "
+            f"{nyl}; the slab exchange is single-neighbor -- use "
+            f"block_steps <= {nyl // 2} (or fewer spatial shards)"
+        )
+    nx = nyl + 2 * h
+
+    dtype = jnp.float32
+    t0 = float(t_span[0])
+    dt = float((t_span[1] - t_span[0]) / n_steps)
+    n_inner = int(n_steps) - 1
+    m_blocks, r_steps = divmod(n_inner, k)
+
+    grid = physics.make_grid(depth, ypos, modelinfo, dtype)
+    vfaces_g = np.asarray(grid.vvel, np.float32).copy()
+    vfaces_g[:, 0] = 0.0
+    vfaces_g[:, -1] = 0.0
+    hfaces_g = np.zeros((nz, ny + 1), np.float32)
+    hfaces_g[:, 1:-1] = np.asarray(grid.horiz_mix_coeff, np.float32)
+    wvel_g = np.asarray(grid.wvel, np.float32)
+    dy_r_g = np.asarray(grid.dy_r, np.float32)
+    ypos_mid_g = np.asarray(grid.ypos_mid, np.float64)
+    bld_max_g = np.interp(ypos_mid_g, physics._BLD_YPOS, physics._BLD_MAX)
+    dz_r = np.asarray(grid.dz_r, np.float32)
+    dz_mid = np.asarray(grid.dz_mid, np.float32)
+    dz_mid_r = np.asarray(grid.dz_mid_r, np.float32)
+    depth_mid = np.asarray(grid.depth_mid, np.float32)
+
+    def col_clamp(idx):
+        return np.clip(idx, 0, ny - 1)
+
+    def face_at(faces, idx):
+        """face array sampled at global indices; zero outside the domain"""
+        out = np.zeros((faces.shape[0], len(idx)), np.float32)
+        inside = (idx >= 0) & (idx <= ny)
+        out[:, inside] = faces[:, idx[inside]]
+        return out
+
+    # stacked per-(module-block, space-block) packed consts + edge arrays
+    consts_stack = None
+    diag_own = np.empty((n_module, n_space, c_dim, nz, nyl), np.float32)
+    src_stack = np.empty((n_module, n_space, c_dim), np.float32)
+    for mi in range(n_module):
+        diag_mb = diag[mi * b_loc : (mi + 1) * b_loc].reshape(
+            c_dim, nz, ny
+        )
+        src_mb = aging[mi * b_loc : (mi + 1) * b_loc].reshape(c_dim)
+        for sj in range(n_space):
+            c0 = sj * nyl
+            cols = col_clamp(np.arange(c0 - h, c0 + nyl + h))
+            faces_idx = np.arange(c0 - h, c0 + nyl + h + 1)
+            consts = pack_block_consts(
+                face_at(vfaces_g, faces_idx),
+                face_at(hfaces_g, faces_idx),
+                wvel_g[:, cols],
+                diag_mb[:, :, cols],
+                src_mb,
+                bld_max_g[cols],
+                dy_r_g[cols],
+                dz_r,
+                dz_mid,
+                dz_mid_r,
+                depth_mid,
+            )
+            if consts_stack is None:
+                consts_stack = [
+                    np.empty((n_module, n_space) + c.shape, np.float32)
+                    for c in consts
+                ]
+            for arr, c in zip(consts_stack, consts):
+                arr[mi, sj] = c
+            diag_own[mi, sj] = diag_mb[:, :, c0 : c0 + nyl]
+            src_stack[mi, sj] = src_mb
+
+    # owned-column edge arrays (leading CN half, final Heun + CN half)
+    vfaces_own = np.stack(
+        [vfaces_g[:, s * nyl : s * nyl + nyl + 1] for s in range(n_space)]
+    )
+    hfaces_own = np.stack(
+        [hfaces_g[:, s * nyl : s * nyl + nyl + 1] for s in range(n_space)]
+    )
+    wvel_own = np.stack(
+        [wvel_g[:, s * nyl : (s + 1) * nyl] for s in range(n_space)]
+    )
+    dy_r_own = dy_r_g.reshape(n_space, nyl)
+    ypos_own = ypos_mid_g.reshape(n_space, nyl).astype(np.float32)
+
+    blk_k = _block_callable(nz, nx, c_dim, dt, k) if m_blocks else None
+    blk_r = _block_callable(nz, nx, c_dim, dt, r_steps) if r_steps else None
+
+    t_starts = (t0 + dt * k * np.arange(m_blocks)).astype(np.float32)
+
+    fwd_perm = [(i, i + 1) for i in range(n_space - 1)]
+    bwd_perm = [(i, i - 1) for i in range(1, n_space)]
+
+    dz_r_j = jnp.asarray(dz_r)
+    dz_mid_j = jnp.asarray(dz_mid)
+    dz_mid_r_j = jnp.asarray(dz_mid_r)
+    depth_mid_j = jnp.asarray(depth_mid)
+    w_dim = c_dim * nx
+
+    def local_year(y, diag_l, src_l, vfo, hfo, wvo, dyo, ypo, *cst):
+        diag_l = diag_l[0, 0]                  # (C, nz, nyl)
+        src_l = src_l[0, 0][:, None, None]     # (C, 1, 1)
+        vfo = vfo[0]                           # (nz, nyl+1)
+        hfo = hfo[0]
+        wvo = wvo[0]                           # (nz+1, nyl)
+        dyo = dyo[0]                           # (nyl,)
+        ypo = ypo[0]
+        consts = tuple(c[0, 0] for c in cst)
+
+        y = y.reshape(c_dim, nz, nyl).astype(dtype)
+
+        def kv_own(t):
+            return physics.vert_mixing_coeff_arrays(
+                depth_mid_j, dz_mid_j, dz_mid_r_j, ypo, wvo, t
+            ).astype(dtype)
+
+        zero_row = jnp.zeros((c_dim, 1, nyl), dtype)
+
+        def cn_incr(kv, y, half_dt):
+            up = kv * dz_r_j[:-1, None]
+            lo = kv * dz_r_j[1:, None]
+            zr = jnp.zeros((1, nyl), dtype)
+            du = jnp.concatenate([up, zr], axis=0)
+            dl = jnp.concatenate([zr, lo], axis=0)
+            dmain = -(du + dl)[None] + diag_l
+            flux = kv[None] * (y[:, 1:, :] - y[:, :-1, :])
+            m_v = dz_r_j[None, :, None] * (
+                jnp.concatenate([flux, zero_row], axis=1)
+                - jnp.concatenate([zero_row, flux], axis=1)
+            ) + diag_l * y
+            rhs = half_dt * m_v
+            q = 0.5 * half_dt
+            from ..ops.imex_pallas import _pcr_minor2
+
+            return _pcr_minor2(
+                -q * jnp.broadcast_to(dl[None], y.shape),
+                1.0 - q * dmain,
+                -q * jnp.broadcast_to(du[None], y.shape),
+                rhs,
+                nz,
+                recip=True,
+            )
+
+        def kahan(y, c, delta):
+            adj = delta + c
+            y_new = y + adj
+            return y_new, adj - (y_new - y)
+
+        def halo_cat(v, width, perms_only_state=True):
+            left = jax.lax.ppermute(v[..., -width:], "space", fwd_perm)
+            right = jax.lax.ppermute(v[..., :width], "space", bwd_perm)
+            return jnp.concatenate([left, v, right], axis=-1)
+
+        def pack(arr):
+            return (
+                arr.reshape(c_dim, nz, nx)
+                .transpose(1, 0, 2)
+                .reshape(nz, w_dim)
+            )
+
+        def unpack(arr):
+            return arr.reshape(nz, c_dim, nx).transpose(1, 0, 2)
+
+        def run_block(callable_, carry, tb):
+            y, c = carry
+            y_ext = halo_cat(y, h)
+            c_ext = halo_cat(c, h)
+            y_p, c_p = callable_(
+                pack(y_ext), pack(c_ext), tb, consts, interpret=interpret
+            )
+            y_ext, c_ext = unpack(y_p), unpack(c_p)
+            return y_ext[..., h:-h], c_ext[..., h:-h]
+
+        # leading CN half-step (column-local)
+        y, comp = kahan(
+            y, jnp.zeros_like(y), cn_incr(kv_own(t0), y, 0.5 * dt)
+        )
+
+        if m_blocks:
+            def scan_body(carry, tb):
+                return run_block(blk_k, carry, tb), None
+
+            (y, comp), _ = jax.lax.scan(
+                scan_body, (y, comp), jnp.asarray(t_starts)
+            )
+        if r_steps:
+            y, comp = run_block(
+                blk_r, (y, comp),
+                jnp.asarray(t0 + dt * k * m_blocks, dtype),
+            )
+
+        # final Heun (one halo column per side) + trailing CN half-step
+        ca_own = 0.5 * jnp.asarray(vfo) + jnp.asarray(hfo)
+        cb_own = 0.5 * jnp.asarray(vfo) - jnp.asarray(hfo)
+        wv_int = jnp.asarray(wvo)[1:-1, :]
+
+        def tend1(y_ext):
+            g = ca_own[None] * y_ext[..., :-1] + cb_own[None] * y_ext[..., 1:]
+            res = jnp.asarray(dyo)[None, None, :] * (
+                g[..., :-1] - g[..., 1:]
+            )
+            wz_int = 0.5 * (y_ext[:, 1:, 1:-1] + y_ext[:, :-1, 1:-1]) * wv_int[None]
+            wz = jnp.concatenate([zero_row, wz_int, zero_row], axis=1)
+            res = res + dz_r_j[None, :, None] * (wz[:, 1:, :] - wz[:, :-1, :])
+            return res + src_l
+
+        t_last = t0 + (n_steps - 1) * dt
+        y1 = halo_cat(y, 1)
+        f1 = tend1(y1)
+        y_mid = y + dt * f1
+        f2 = tend1(halo_cat(y_mid, 1))
+        y, comp = kahan(y, comp, 0.5 * dt * (f1 + f2))
+        y, comp = kahan(y, comp, cn_incr(kv_own(t_last + dt), y, 0.5 * dt))
+        return y.reshape(b_loc, t_dim, nz, nyl)
+
+    state_spec = P("module", None, None, "space")
+    mod_space = P("module", "space")
+
+    in_specs = (
+        state_spec,
+        P("module", "space", None, None, None),   # diag_own
+        P("module", "space", None),               # src
+        P("space", None, None),                   # vfaces_own
+        P("space", None, None),                   # hfaces_own
+        P("space", None, None),                   # wvel_own
+        P("space", None),                         # dy_r_own
+        P("space", None),                         # ypos_own
+    ) + tuple(
+        P("module", "space", *([None] * (arr.ndim - 2)))
+        for arr in consts_stack
+    )
+
+    sharded = shard_map(
+        local_year,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=state_spec,
+        check_vma=False,
+    )
+
+    dev_args = []
+    for arr, spec in zip(
+        (diag_own, src_stack, vfaces_own, hfaces_own, wvel_own, dy_r_own,
+         ypos_own),
+        in_specs[1:8],
+    ):
+        dev_args.append(
+            jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+        )
+    for arr, spec in zip(consts_stack, in_specs[8:]):
+        dev_args.append(
+            jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+        )
+    dev_args = tuple(dev_args)
+
+    @jax.jit
+    def year(y):
+        return sharded(y, *dev_args)
+
+    return year

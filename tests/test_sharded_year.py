@@ -7,6 +7,7 @@ mesh shapes must produce the same iterates.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -172,3 +173,88 @@ def test_sharded_kernel_gmres_matches_host_loop():
     assert its_host == its_jit
     a, b = np.asarray(inc_host), np.asarray(inc_jit)
     assert np.abs(a - b).max() < 1e-9 * max(np.abs(a).max(), 1e-300)
+
+
+def test_sharded_pallas_year_blocked():
+    """the VMEM-resident blocked pallas year (interpret mode on the CPU
+    mesh): 8-shard vs 1-shard agreement at float32 roundoff, and agreement
+    with the single-device megakernel within the expected quantization"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
+        surf_restore_rate as srr,
+    )
+    from newton_krylov_ooc_tpu.ops.imex_pallas import (
+        build_iage_year_pallas_v2,
+    )
+    from newton_krylov_ooc_tpu.parallel.sharded_year import (
+        build_sharded_year_pallas,
+    )
+
+    nz, ny, batch, n_steps, k = 10, 16, 4, 25, 2
+    depth, ypos = _axes(nz, ny)
+    grid = physics.make_grid(depth, ypos, MODELINFO, jnp.float32)
+    year = physics.SEC_PER_YEAR
+    rate = srr(depth)
+    diag = np.zeros((batch, 2, nz, ny), np.float32)
+    diag[:, 0, 0, :] = -rate
+    diag[:, 1, 0, :] = -SURF_SLOW_FACTOR * rate
+    aging = np.broadcast_to(
+        ((1.0 + 0.2 * np.arange(batch)) / year)[:, None], (batch, 2)
+    ).astype(np.float32)
+    column = np.interp(depth.mid, [55.0, 200.0], [0.0, 2.0]).astype(np.float32)
+    rng = np.random.default_rng(3)
+    y0 = (
+        np.broadcast_to(column[None, None, :, None], (batch, 2, nz, ny))
+        + rng.uniform(0, 0.3, (batch, 2, nz, ny))
+    ).astype(np.float32)
+
+    mesh8 = make_mesh(n_module=2, n_space=4)
+    fn8 = build_sharded_year_pallas(
+        mesh8, depth, ypos, MODELINFO, diag, aging, (0.0, year), n_steps,
+        block_steps=k, interpret=True,
+    )
+    y8 = jax.device_put(
+        jnp.asarray(y0),
+        NamedSharding(mesh8, P("module", None, None, "space")),
+    )
+    out8 = np.asarray(fn8(y8))
+
+    mesh1 = make_mesh(n_module=1, n_space=1, devices=jax.devices()[:1])
+    fn1 = build_sharded_year_pallas(
+        mesh1, depth, ypos, MODELINFO, diag, aging, (0.0, year), n_steps,
+        block_steps=k, interpret=True,
+    )
+    out1 = np.asarray(fn1(jnp.asarray(y0)))
+
+    scale = np.abs(out1).max()
+    # float32-roundoff agreement across mesh shapes (ulp differences in the
+    # mixing profile are amplified ~1e3 by its exponential; see docstring)
+    assert np.abs(out8 - out1).max() < 5e-5 * scale
+
+    # agreement with the single-device megakernel (same arithmetic, edge
+    # half-steps computed in plain jax)
+    mega_out = np.empty_like(y0)
+    for b in range(batch):
+        mega = build_iage_year_pallas_v2(
+            grid, diag[b], np.full((2, 1, 1), aging[b, 0], np.float32),
+            (0.0, year), n_steps,
+        )
+        mega_out[b] = np.asarray(mega(jnp.asarray(y0[b]), interpret=True))
+    assert np.abs(out1 - mega_out).max() < 1e-4 * scale
+
+
+def test_sharded_pallas_rejects_oversized_halo():
+    from newton_krylov_ooc_tpu.parallel.sharded_year import (
+        build_sharded_year_pallas,
+    )
+
+    depth, ypos = _axes(8, 16)
+    mesh = make_mesh(n_module=2, n_space=4)
+    diag = np.zeros((4, 2, 8, 16), np.float32)
+    aging = np.zeros((4, 2), np.float32)
+    with pytest.raises(ValueError, match="halo depth"):
+        build_sharded_year_pallas(
+            mesh, depth, ypos, MODELINFO, diag, aging,
+            (0.0, physics.SEC_PER_YEAR), 25, block_steps=8, interpret=True,
+        )

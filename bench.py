@@ -32,6 +32,15 @@ CPU_SPAN_FRAC = float(os.environ.get("NK_BENCH_CPU_SPAN", "1.0"))
 REPS = 3
 
 
+def stable_step_count(ypos, base_steps):
+    """steps/year so the explicit (Heun) lateral half stays comfortably
+    inside its stability bounds: dt <= 0.8 * min(dy^2/(2K), dy/v)"""
+    year = 365.0 * 86400.0
+    dy = float(np.min(ypos.delta))
+    dt_max = 0.8 * min(dy * dy / (2.0 * 1000.0), dy / 0.1)
+    return max(int(base_steps), int(np.ceil(year / dt_max)))
+
+
 def build_axes(nz=None, ny=None):
     from newton_krylov_ooc_tpu.core.spatial_axis import (
         spatial_axis_defn_dict,
@@ -316,7 +325,11 @@ def main():
         except Exception as exc:  # noqa: BLE001
             result["extra_bench_error"] = f"{type(exc).__name__}: {exc}"
 
-        # million-cell scaling point, only if there's budget left
+        # million-cell scaling point, only if there's budget left.  The
+        # fine ypos spacing (2.5 km) puts hourly steps OUTSIDE the explicit
+        # lateral-diffusion stability bound dt <= dy^2/(2K) ~ 3125 s -- the
+        # step count refines until the Heun half is comfortably stable, and
+        # the output is checked finite (an unstable run "benchmarks" NaNs).
         if time.time() - bench_t0 < 240:
             try:
                 from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
@@ -328,6 +341,7 @@ def main():
 
                 bz, by = 256, 2000
                 bdepth, bypos = build_axes(bz, by)
+                big_steps = stable_step_count(bypos, N_STEPS)
                 bgrid = physics.make_grid(
                     bdepth, bypos, modelinfo, jnp.float32
                 )
@@ -337,18 +351,21 @@ def main():
                 bdiag[1, 0, :] = -ssf * brate
                 bsrc = np.full((2, 1, 1), 1.0 / year, np.float32)
                 bigfn = build_iage_year_pallas_v2(
-                    bgrid, bdiag, bsrc, (0.0, year), N_STEPS
+                    bgrid, bdiag, bsrc, (0.0, year), big_steps
                 )
                 big0 = jnp.asarray(np.full((2, bz, by), 0.5, np.float32))
-                bigfn(big0).block_until_ready()
+                out_big = bigfn(big0)
+                out_big.block_until_ready()
+                assert np.isfinite(np.asarray(out_big)).all()
                 times = []
                 for _ in range(2):
                     start = time.time()
                     bigfn(big0).block_until_ready()
                     times.append(time.time() - start)
                 result["million_cell_year_seconds"] = round(min(times), 4)
+                result["million_cell_n_steps"] = big_steps
                 result["cell_steps_per_second"] = round(
-                    2 * bz * by * N_STEPS / min(times)
+                    2 * bz * by * big_steps / min(times)
                 )
             except Exception as exc:  # noqa: BLE001
                 result["scale_bench_error"] = f"{type(exc).__name__}: {exc}"
@@ -389,11 +406,12 @@ def main():
             except Exception as exc:  # noqa: BLE001
                 result["gmres_bench_error"] = f"{type(exc).__name__}: {exc}"
 
-        # sharded (shard_map) million-cell year: the spatial-decomposition
-        # path that scales past one chip (parallel/sharded_year.py), timed
-        # here on a 1-device mesh -- per-step halo ppermutes and shard-local
-        # vertical solves included, so multi-chip runs inherit a measured
-        # single-chip baseline
+        # sharded million-cell year: the spatial-decomposition path that
+        # scales past one chip (parallel/sharded_year.py) on a 1-device
+        # mesh.  The blocked-pallas variant runs VMEM-resident step blocks
+        # between halo exchanges (the production path); the per-step XLA
+        # variant is timed at a coarse step count and scaled, as a
+        # structural comparison point.
         if time.time() - bench_t0 < 420:
             try:
                 from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
@@ -401,26 +419,23 @@ def main():
                 )
                 from newton_krylov_ooc_tpu.parallel.mesh import make_mesh
                 from newton_krylov_ooc_tpu.parallel.sharded_year import (
-                    ShardedYearData,
-                    build_sharded_year,
+                    build_sharded_year_pallas,
                 )
 
                 sz, sy = 256, 2000
-                s_steps = min(N_STEPS, 2920)  # 3-hourly keeps compile sane
                 sdepth, sypos = build_axes(sz, sy)
+                s_steps = stable_step_count(sypos, N_STEPS)
                 mesh1 = make_mesh(
                     n_module=1, n_space=1, devices=[jax.devices()[0]]
-                )
-                sdata = ShardedYearData(
-                    sdepth, sypos, modelinfo, n_space=1, dtype=jnp.float32
                 )
                 srate = surf_restore_rate(sdepth)
                 sdiag = np.zeros((1, 2, sz, sy), np.float32)
                 sdiag[:, 0, 0, :] = -srate
                 sdiag[:, 1, 0, :] = -ssf2 * srate
-                saging = np.full((1, 2, 1, 1), 1.0 / year, np.float32)
-                sfn = build_sharded_year(
-                    mesh1, sdata, sdiag, saging, (0.0, year), s_steps
+                saging = np.full((1, 2), 1.0 / year, np.float32)
+                spfn = build_sharded_year_pallas(
+                    mesh1, sdepth, sypos, modelinfo, sdiag, saging,
+                    (0.0, year), s_steps, block_steps=8,
                 )
                 s0 = jax.device_put(
                     jnp.asarray(np.full((1, 2, sz, sy), 0.5, np.float32)),
@@ -431,11 +446,14 @@ def main():
                         ),
                     ),
                 )
-                sfn(s0).block_until_ready()
+                out_sp = spfn(s0)
+                out_sp.block_until_ready()
+                assert np.isfinite(np.asarray(out_sp)).all()
                 start = time.time()
-                sfn(s0).block_until_ready()
-                elapsed = (time.time() - start) * N_STEPS / s_steps
-                result["sharded_million_cell_year_seconds"] = round(elapsed, 4)
+                spfn(s0).block_until_ready()
+                result["sharded_pallas_million_cell_year_seconds"] = round(
+                    time.time() - start, 4
+                )
             except Exception as exc:  # noqa: BLE001
                 result["sharded_bench_error"] = f"{type(exc).__name__}: {exc}"
 

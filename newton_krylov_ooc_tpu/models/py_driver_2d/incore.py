@@ -35,6 +35,26 @@ from .iage import SURF_SLOW_FACTOR, surf_restore_rate
 from .phosphorus import DEFAULT_PARAMS, light_lim_2d
 
 
+def _warn_if_explicit_unstable(grid, n_steps):
+    """the Heun (explicit lateral) half diverges silently past its
+    stability bound -- at fine ypos spacing the diffusion limit
+    dt <= dy^2/(2K) binds before anything else (physics.explicit_dt_bound);
+    warn loudly rather than benchmark NaNs"""
+    import logging
+
+    dt = physics.SEC_PER_YEAR / n_steps
+    bound = physics.explicit_dt_bound(grid)
+    if dt > bound:
+        logging.getLogger(__name__).warning(
+            "dt=%.0f s exceeds the explicit lateral stability bound %.0f s "
+            "for this grid (dy^2/(2K) or dy/v); the year integration WILL "
+            "diverge -- raise n_steps to at least %d",
+            dt,
+            bound,
+            int(np.ceil(physics.SEC_PER_YEAR / bound)),
+        )
+
+
 class IageKernel:
     """in-core kernel: py_driver_2d iage (2 tracers), IMEX year integration
 
@@ -49,6 +69,7 @@ class IageKernel:
         self.n_steps = n_steps
         self.grid = physics.make_grid(depth, ypos, modelinfo, dtype)
         self.nz, self.ny = len(depth), len(ypos)
+        _warn_if_explicit_unstable(self.grid, n_steps)
         self.rate = surf_restore_rate(depth)
         self.year = physics.SEC_PER_YEAR
 

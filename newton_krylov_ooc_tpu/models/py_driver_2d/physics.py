@@ -104,6 +104,30 @@ def make_grid(depth, ypos, modelinfo, dtype=None):
     )
 
 
+def explicit_dt_bound(grid: Grid2D):
+    """largest stable step for the EXPLICIT (Heun) lateral half of the IMEX
+    split: min over faces of dy^2/(2K) (diffusion) and dy/|v| (advection).
+
+    The implicit Crank-Nicolson vertical half is unconditionally stable, so
+    this lateral bound is the scheme's only step restriction; fine ypos
+    grids (small dy) hit the quadratic diffusion bound first -- exceeding
+    it diverges the whole year (silently, to NaN), so year kernels warn
+    when configured past it.
+    """
+    dy = float(1.0 / np.max(np.asarray(grid.dy_r)))  # smallest cell width
+    # horiz_mix_coeff is stored as K / dy_mid at interior faces, so the
+    # worst diffusive eigenvalue is ~4 * hmc / dy and dt <= dy / (2 * hmc)
+    # (the uniform-grid dy^2/(2K) in stored units)
+    hmc = np.asarray(grid.horiz_mix_coeff, np.float64)
+    bounds = [np.inf]
+    if hmc.size:
+        bounds.append(float(dy / (2.0 * hmc.max())))
+    vmax = float(np.abs(np.asarray(grid.vvel)).max())
+    if vmax > 0:
+        bounds.append(dy / vmax)
+    return min(bounds)
+
+
 # -- vertical mixing --------------------------------------------------------------
 
 BLD_MIN = 35.0

@@ -456,6 +456,9 @@ def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
     m_blocks, r_steps = divmod(n_inner, k)
 
     grid = physics.make_grid(depth, ypos, modelinfo, dtype)
+    from ..models.py_driver_2d.incore import _warn_if_explicit_unstable
+
+    _warn_if_explicit_unstable(grid, n_steps)
     vfaces_g = np.asarray(grid.vvel, np.float32).copy()
     vfaces_g[:, 0] = 0.0
     vfaces_g[:, -1] = 0.0

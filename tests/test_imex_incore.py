@@ -209,3 +209,34 @@ def test_incore_column_regions():
     assert np.allclose(scaled[:, :, 2], 3.0 * base[:, :, 2])
     others = [0, 1, 3]
     assert np.allclose(scaled[:, :, others], base[:, :, others])
+
+
+def test_explicit_dt_bound_uniform_grid():
+    """uniform grid: the bound reduces to min(dy^2/(2K), dy/v)"""
+    depth, ypos = _axes(8, 10)
+    grid = physics.make_grid(depth, ypos, MODELINFO, jnp.float64)
+    dy = float(np.diff(np.asarray(ypos.edges)).min())
+    expected = min(dy * dy / (2.0 * 1000.0), dy / 0.1)
+    bound = physics.explicit_dt_bound(grid)
+    assert abs(bound - expected) < 1e-6 * expected
+
+
+def test_unstable_step_count_warns(caplog):
+    """configuring a year kernel past the explicit stability bound warns
+    (a silent configuration diverges the whole year to NaN)"""
+    import logging
+
+    depth, ypos = _axes(8, 10)
+    grid = physics.make_grid(depth, ypos, MODELINFO, jnp.float64)
+    bound = physics.explicit_dt_bound(grid)
+    bad_steps = max(1, int(physics.SEC_PER_YEAR / bound / 2))  # dt ~ 2x bound
+    with caplog.at_level(logging.WARNING):
+        IageKernel(
+            depth, ypos, MODELINFO, dtype=jnp.float64, n_steps=bad_steps
+        )
+    assert any("stability bound" in rec.message for rec in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        IageKernel(depth, ypos, MODELINFO, dtype=jnp.float64, n_steps=8760)
+    assert not any("stability bound" in rec.message for rec in caplog.records)

@@ -14,3 +14,9 @@ from .mesh import (  # noqa: F401
     space_sharding_2d,
     state_sharding,
 )
+from .sharded_year import (  # noqa: F401
+    ShardedIageKernel,
+    ShardedYearData,
+    build_sharded_year,
+    build_sharded_year_pallas,
+)

@@ -94,7 +94,8 @@ class ShardedYearData:
 
 
 def build_sharded_year(mesh, data: ShardedYearData, diag, aging, t_span,
-                       n_steps, unroll=8):
+                       n_steps, unroll=8, local_tend=None,
+                       local_data=None):
     """build the jitted sharded year map.
 
     mesh: ('module', 'space') Mesh (n_module may be 1)
@@ -104,6 +105,14 @@ def build_sharded_year(mesh, data: ShardedYearData, diag, aging, t_span,
     aging: (module_batch, tracer, 1, 1) per-module explicit source rates
         (the parameterized-module family axis); zeros for the source-free
         (Jacobian) map
+    local_tend: optional COLUMN-LOCAL extra tendency hook
+        local_tend(t, y_local, data_local) -> same shape as y_local --
+        nonlinear biogeochemistry (uptake/remineralization), particulate
+        sinking, and any other term with no lateral stencil plug in here
+        and need no halo; data_local receives each entry of local_data
+        sliced to the shard
+    local_data: dict name -> (n_space, nz, ny_loc)-stacked arrays handed
+        shard-local to local_tend (e.g. light limitation fields)
     Returns fn(y) -> y_end for y (module_batch, tracer, nz, ny) sharded
     P('module', None, None, 'space'); the result keeps the sharding.
     """
@@ -117,14 +126,19 @@ def build_sharded_year(mesh, data: ShardedYearData, diag, aging, t_span,
     fwd_perm = [(i, i + 1) for i in range(n_space - 1)]
     bwd_perm = [(i, i - 1) for i in range(1, n_space)]
 
+    local_names = sorted(local_data) if local_data else []
+
     def local_year(y, diag_l, aging_l, vfaces, hfaces, dy_r_l, wvel_l,
-                   ypos_mid_l):
+                   ypos_mid_l, *extra):
         # shard blocks arrive with the leading stack axis of size 1
         vfaces = vfaces[0]
         hfaces = hfaces[0]
         dy_r_l = dy_r_l[0]
         wvel_l = wvel_l[0]
         ypos_mid_l = ypos_mid_l[0]
+        data_local = {
+            name: arr[0] for name, arr in zip(local_names, extra)
+        }
 
         def halo_ext(v):
             """one halo column per side: ppermute along 'space'; boundary
@@ -147,7 +161,10 @@ def build_sharded_year(mesh, data: ShardedYearData, diag, aging, t_span,
             zero = jnp.zeros(zshape, y.dtype)
             wz = jnp.concatenate([zero, wz_int, zero], axis=-2)
             res = res + dz_r[:, None] * (wz[..., 1:, :] - wz[..., :-1, :])
-            return res + aging_l
+            res = res + aging_l
+            if local_tend is not None:
+                res = res + local_tend(t, y, data_local)
+            return res
 
         def vert_coeff(t):
             return physics.vert_mixing_coeff_arrays(
@@ -174,7 +191,7 @@ def build_sharded_year(mesh, data: ShardedYearData, diag, aging, t_span,
             P("space", None),              # dy_r
             shard_spec,                    # wvel
             P("space", None),              # ypos_mid
-        ),
+        ) + tuple(shard_spec for _ in local_names),
         out_specs=state_spec,
         check_vma=False,
     )
@@ -197,9 +214,17 @@ def build_sharded_year(mesh, data: ShardedYearData, diag, aging, t_span,
         )
     )
 
+    extra_dev = tuple(
+        jax.device_put(
+            jnp.asarray(local_data[name], dtype),
+            NamedSharding(mesh, shard_spec),
+        )
+        for name in local_names
+    )
+
     @jax.jit
     def year(y):
-        return sharded(y, diag_dev, aging_dev, *shard_args)
+        return sharded(y, diag_dev, aging_dev, *shard_args, *extra_dev)
 
     return year
 
@@ -223,9 +248,10 @@ class ShardedIageKernel:
     """
 
     def __init__(self, mesh, depth, ypos, modelinfo, module_rates,
-                 dtype=None, n_steps=365):
+                 dtype=None, n_steps=365, use_pallas=False, block_steps=8,
+                 pallas_interpret=False):
         if dtype is None:
-            dtype = jnp.result_type(float)
+            dtype = jnp.float32 if use_pallas else jnp.result_type(float)
         n_module, n_space = mesh.shape["module"], mesh.shape["space"]
         self.mesh = mesh
         self.depth, self.ypos = depth, ypos
@@ -249,12 +275,33 @@ class ShardedIageKernel:
         aging = np.broadcast_to(aging, (self.module_batch, 2, 1, 1))
 
         t_span = (0.0, self.year)
-        self._year = build_sharded_year(
-            mesh, self.data, diag, aging, t_span, n_steps
-        )
-        self._year0 = build_sharded_year(
-            mesh, self.data, diag, np.zeros_like(aging), t_span, n_steps
-        )
+        if use_pallas:
+            # production fast path: VMEM-resident pallas step blocks between
+            # halo exchanges (float32 by construction); the model is linear,
+            # so the source-free map supplies exact JVPs just like the
+            # single-device megakernel path
+            if np.dtype(dtype) != np.float32:
+                raise ValueError("use_pallas requires float32")
+            rates_bt = np.broadcast_to(
+                np.asarray(module_rates, np.float32).reshape(-1, 1),
+                (self.module_batch, 2),
+            )
+            self._year = build_sharded_year_pallas(
+                mesh, depth, ypos, modelinfo, diag, rates_bt, t_span,
+                n_steps, block_steps=block_steps, interpret=pallas_interpret,
+            )
+            self._year0 = build_sharded_year_pallas(
+                mesh, depth, ypos, modelinfo, diag,
+                np.zeros_like(rates_bt), t_span, n_steps,
+                block_steps=block_steps, interpret=pallas_interpret,
+            )
+        else:
+            self._year = build_sharded_year(
+                mesh, self.data, diag, aging, t_span, n_steps
+            )
+            self._year0 = build_sharded_year(
+                mesh, self.data, diag, np.zeros_like(aging), t_span, n_steps
+            )
 
         self.state_sharding = NamedSharding(
             mesh, P("module", None, None, "space")

@@ -258,3 +258,162 @@ def test_sharded_pallas_rejects_oversized_halo():
             mesh, depth, ypos, MODELINFO, diag, aging,
             (0.0, physics.SEC_PER_YEAR), 25, block_steps=8, interpret=True,
         )
+
+
+@pytest.mark.slow
+def test_sharded_solve_with_pallas_kernels():
+    """the full sharded Newton solve through the blocked-pallas year
+    (interpret mode on the CPU mesh) reaches the same state as the XLA-scan
+    sharded kernel at float32 tolerance"""
+    nz, ny, n_steps = 8, 8, 36
+    depth, ypos = _axes(nz, ny)
+    year = physics.SEC_PER_YEAR
+    rates = (1.0 + 0.25 * np.arange(4)) / year
+    mesh = make_mesh(n_module=2, n_space=2, devices=jax.devices()[:4])
+
+    kern_pl = ShardedIageKernel(
+        mesh, depth, ypos, MODELINFO, rates, n_steps=n_steps,
+        use_pallas=True, block_steps=2, pallas_interpret=True,
+    )
+    solver = NewtonKrylovInCore(
+        kern_pl,
+        newton_rel_tol=1e-4,
+        krylov_rel_tol=1e-2,
+        newton_max_iter=8,
+        krylov_max_dim=20,
+        jit_gmres=True,
+    )
+    x_pl, fcn_pl, info_pl = solver.solve(kern_pl.init_iterate())
+    rel = np.asarray(info_pl["fcn_norm"]) / np.asarray(info_pl["x_norm"])
+    assert (rel < 1e-4).all()
+
+    kern_xla = ShardedIageKernel(
+        mesh, depth, ypos, MODELINFO, rates, dtype=jnp.float64,
+        n_steps=n_steps,
+    )
+    x_ref, _, _ = NewtonKrylovInCore(
+        kern_xla,
+        newton_rel_tol=1e-4,
+        krylov_rel_tol=1e-2,
+        newton_max_iter=8,
+        krylov_max_dim=20,
+        jit_gmres=True,
+    ).solve(kern_xla.init_iterate())
+
+    a, b = np.asarray(x_pl, np.float64), np.asarray(x_ref)
+    assert np.abs(a - b).max() < 1e-3 * np.abs(b).max()
+
+
+def test_sharded_nonlinear_phosphorus_year_and_jvp():
+    """the column-local extra-tendency hook: the sharded NONLINEAR
+    phosphorus year (Michaelis-Menten uptake, remineralization, sinking)
+    matches the unsharded scan at f64 roundoff, and exact jax.jvp through
+    the sharded year (collectives included) matches the unsharded JVP"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from newton_krylov_ooc_tpu.models.py_driver_2d.phosphorus import (
+        DEFAULT_PARAMS,
+        light_lim_2d,
+    )
+
+    nz, ny, n_steps, n_space = 8, 8, 24, 4
+    depth, ypos = _axes(nz, ny)
+    year = physics.SEC_PER_YEAR
+    p = DEFAULT_PARAMS
+    light = light_lim_2d(depth, ypos)  # (nz, ny)
+    grid = physics.make_grid(depth, ypos, MODELINFO, jnp.float64)
+    dz_r = np.asarray(grid.dz_r)
+
+    def phos_terms(y, light_arr, dz_r_arr):
+        """biogeochemistry + sinking for y (..., 3, nz, ncol)"""
+        po4, dop, pop = y[..., 0, :, :], y[..., 1, :, :], y[..., 2, :, :]
+        uptake = (
+            p["max_uptake_rate"] * light_arr * po4 / (po4 + p["po4_halfsat"])
+        )
+        dop_remin = p["dop_remin_rate"] * dop
+        pop_remin = p["pop_remin_rate"] * pop
+        d_po4 = -uptake + dop_remin + pop_remin
+        d_dop = p["sigma"] * uptake - dop_remin
+        d_pop = (1.0 - p["sigma"]) * uptake - pop_remin
+        sink_int = p["pop_sink_vel"] * pop[..., :-1, :]
+        zero = jnp.zeros(pop.shape[:-2] + (1,) + pop.shape[-1:], y.dtype)
+        sink = jnp.concatenate([zero, sink_int, zero], axis=-2)
+        d_pop = d_pop + dz_r_arr[:, None] * (
+            sink[..., :-1, :] - sink[..., 1:, :]
+        )
+        return jnp.stack([d_po4, d_dop, d_pop], axis=-3)
+
+    mesh = make_mesh(n_module=1, n_space=n_space,
+                     devices=jax.devices()[:n_space])
+    data = ShardedYearData(depth, ypos, MODELINFO, n_space=n_space)
+    diag = np.zeros((1, 3, nz, ny))
+    aging = np.zeros((1, 3, 1, 1))
+    nyl = ny // n_space
+    light_stack = np.stack(
+        [light[:, s * nyl : (s + 1) * nyl] for s in range(n_space)]
+    )
+    dz_r_j = jnp.asarray(dz_r)
+
+    def local_tend(t, y, dl):
+        return phos_terms(y, dl["light"], dz_r_j)
+
+    sharded = build_sharded_year(
+        mesh, data, diag, aging, (0.0, year), n_steps,
+        local_tend=local_tend, local_data={"light": light_stack},
+    )
+
+    # unsharded reference through plain imex_year
+    light_j = jnp.asarray(light)
+
+    def explicit_tend(t, y):
+        def transport(v):
+            return physics.advection_tend(grid, v) + physics.horiz_mix_tend(
+                grid, v
+            )
+
+        flat = y.reshape((-1, nz, ny))
+        d = jax.vmap(transport)(flat).reshape(y.shape)
+        return d + phos_terms(y, light_j, jnp.asarray(grid.dz_r))
+
+    ref_year = jax.jit(
+        lambda y: imex_year(
+            explicit_tend,
+            lambda t: physics.vert_mixing_coeff(grid, t),
+            jnp.asarray(diag),
+            grid.dz_r,
+            y,
+            (0.0, year),
+            n_steps,
+        )
+    )
+
+    dm = np.asarray(grid.depth_mid)
+    profiles = (
+        ([130.0, 260.0], [5.5e-3, 4.1]),
+        ([95.0, 140.0], [7.1e-2, 1.5e-4]),
+        ([170.0, 250.0], [1.8e-2, 7.9e-4]),
+    )
+    cols = [np.interp(dm, d, v) for d, v in profiles]
+    y0 = np.stack(
+        [np.broadcast_to(c[:, None], (nz, ny)) for c in cols]
+    )[None]
+
+    y0_dev = jax.device_put(
+        jnp.asarray(y0),
+        NamedSharding(mesh, P("module", None, None, "space")),
+    )
+    out_sh = np.asarray(sharded(y0_dev))
+    out_ref = np.asarray(ref_year(jnp.asarray(y0)))
+    scale = np.abs(out_ref).max()
+    assert np.abs(out_sh - out_ref).max() < 1e-12 * scale
+
+    # exact forward-mode JVP through the sharded nonlinear year
+    rng = np.random.default_rng(5)
+    v = rng.normal(0, 1e-3, y0.shape)
+    v_dev = jax.device_put(
+        jnp.asarray(v), NamedSharding(mesh, P("module", None, None, "space"))
+    )
+    _, jv_sh = jax.jvp(sharded, (y0_dev,), (v_dev,))
+    _, jv_ref = jax.jvp(ref_year, (jnp.asarray(y0),), (jnp.asarray(v),))
+    jv_sh, jv_ref = np.asarray(jv_sh), np.asarray(jv_ref)
+    assert np.abs(jv_sh - jv_ref).max() < 1e-12 * np.abs(jv_ref).max()

@@ -120,7 +120,7 @@ def explicit_dt_bound(grid: Grid2D):
     # (the uniform-grid dy^2/(2K) in stored units)
     hmc = np.asarray(grid.horiz_mix_coeff, np.float64)
     bounds = [np.inf]
-    if hmc.size:
+    if hmc.size and hmc.max() > 0.0:
         bounds.append(float(dy / (2.0 * hmc.max())))
     vmax = float(np.abs(np.asarray(grid.vvel)).max())
     if vmax > 0:

@@ -362,10 +362,56 @@ class ShardedIageKernel:
                 bands = bands.at[:, :, rows, d].set(dvals)
             return banded_lu_factor_blocks(bands.reshape(2 * ny, nz, -1))
 
+        # ADI-style lateral sweep: before the vertical product solve, apply
+        # (I - dt L_y)^{-1} where L_y is the ypos tridiagonal of advection +
+        # lateral diffusion per (tracer, depth row).  Without it GMRES must
+        # resolve the weakly-damped lateral modes itself and stalls at the
+        # dimension cap.  The solve runs as PCR along the SHARDED ypos axis
+        # in plain jax on the sharded arrays -- XLA turns the shifted adds
+        # into collective permutes, and the arithmetic is mesh-shape
+        # independent (same equality property as the rest of the kernel).
+        vfaces_g = np.asarray(self.data.vfaces, np.float64)  # per-shard stacks
+        hfaces_g = np.asarray(self.data.hfaces, np.float64)
+        # reassemble the global face arrays from the per-shard stacks
+        vf_glob = np.concatenate(
+            [vfaces_g[s, :, :-1] for s in range(n_space)]
+            + [vfaces_g[-1, :, -1:]], axis=1
+        )
+        hf_glob = np.concatenate(
+            [hfaces_g[s, :, :-1] for s in range(n_space)]
+            + [hfaces_g[-1, :, -1:]], axis=1
+        )
+        ca_g = 0.5 * vf_glob + hf_glob                  # (nz, ny+1)
+        cb_g = 0.5 * vf_glob - hf_glob
+        dy_r_glob = np.asarray(ypos.delta_r, np.float64)[None, :]
+        lat_dl = dy_r_glob * ca_g[:, :-1]               # y_{j-1} coefficient
+        lat_d = dy_r_glob * (cb_g[:, :-1] - ca_g[:, 1:])
+        lat_du = -dy_r_glob * cb_g[:, 1:]               # y_{j+1} coefficient
+        dt_lat = self.year
+        lat_sharding = NamedSharding(mesh, P(None, "space"))
+        self._lat_dl = jax.device_put(
+            jnp.asarray(-dt_lat * lat_dl, dtype), lat_sharding
+        )
+        self._lat_d = jax.device_put(
+            jnp.asarray(1.0 - dt_lat * lat_d, dtype), lat_sharding
+        )
+        self._lat_du = jax.device_put(
+            jnp.asarray(-dt_lat * lat_du, dtype), lat_sharding
+        )
+
+        from ..ops.tridiag import pcr_solve
+
         @jax.jit
         def precond_apply(lu, r):
-            # r: (B, T, nz, ny) -> per-(tracer, column) blocks along depth
-            rb = jnp.swapaxes(r, -1, -2).reshape(r.shape[0], 2 * ny, nz)
+            # lateral sweep along ypos (last axis; PCR over the sharded dim)
+            r_lat = pcr_solve(
+                jnp.broadcast_to(self._lat_dl, r.shape),
+                jnp.broadcast_to(self._lat_d, r.shape),
+                jnp.broadcast_to(self._lat_du, r.shape),
+                r,
+            )
+            # vertical product solve per (tracer, column) block along depth
+            rb = jnp.swapaxes(r_lat, -1, -2).reshape(r.shape[0], 2 * ny, nz)
             sol = jax.vmap(lambda rr: banded_lu_solve_blocks(lu, rr))(rb)
             sol = jnp.swapaxes(sol.reshape(r.shape[0], 2, ny, nz), -1, -2)
             return sol - r

@@ -249,7 +249,7 @@ class ShardedIageKernel:
 
     def __init__(self, mesh, depth, ypos, modelinfo, module_rates,
                  dtype=None, n_steps=365, use_pallas=False, block_steps=8,
-                 pallas_interpret=False):
+                 pallas_interpret=False, region_mask=None, grid_weight=None):
         if dtype is None:
             dtype = jnp.float32 if use_pallas else jnp.result_type(float)
         n_module, n_space = mesh.shape["module"], mesh.shape["space"]
@@ -306,11 +306,36 @@ class ShardedIageKernel:
         self.state_sharding = NamedSharding(
             mesh, P("module", None, None, "space")
         )
-        weight = np.outer(depth.delta, ypos.delta)
-        weight = weight / weight.sum()
-        self._weight = jax.device_put(
-            jnp.asarray(weight, dtype),
-            NamedSharding(mesh, P(None, "space")),
+        # per-(module, region) reductions: contraction against the dense
+        # region-mean matrix (decoupled-region block independence, SURVEY
+        # P2) -- sharded over ypos like the state, so the contraction's
+        # reduction becomes a psum over the mesh
+        from ..utils.regions import region_mean_weights
+
+        if region_mask is None:
+            region_mask = np.ones((nz, ny), np.int32)
+        if grid_weight is None:
+            grid_weight = np.outer(depth.delta, ypos.delta)
+        self.region_cnt = int(np.asarray(region_mask).max())
+        mean_w = region_mean_weights(region_mask, grid_weight).reshape(
+            self.region_cnt, nz, ny
+        )
+        space_sharding = NamedSharding(mesh, P(None, None, "space"))
+        self._mean_w = jax.device_put(
+            jnp.asarray(mean_w, dtype), space_sharding
+        )
+        onehot = np.stack(
+            [
+                (np.asarray(region_mask) == r + 1).astype(np.float64)
+                for r in range(self.region_cnt)
+            ]
+        )
+        fill = 1.0 - onehot.sum(axis=0)  # cells outside every region
+        self._onehot = jax.device_put(
+            jnp.asarray(onehot, dtype), space_sharding
+        )
+        self._region_fill = jax.device_put(
+            jnp.asarray(fill, dtype), NamedSharding(mesh, P(None, "space"))
         )
 
         # column-local preconditioner: the implicit-Euler-product operator
@@ -421,11 +446,20 @@ class ShardedIageKernel:
 
         @jax.jit
         def dot(a, b):
-            return jnp.sum(
-                a * b * self._weight, axis=(1, 2, 3), keepdims=False
-            )[:, None]
+            # (B, T, nz, ny) x (R, nz, ny) -> (B, R): per-module, per-region
+            # weighted dot products (tracer axis summed, reference
+            # convention)
+            prod = jnp.sum(a * b, axis=1)
+            return jnp.einsum("bzy,rzy->br", prod, self._mean_w)
 
         self._dot = dot
+
+        @jax.jit
+        def region_broadcast_jit(scalars):
+            field = jnp.einsum("br,rzy->bzy", scalars, self._onehot)
+            return (field + self._region_fill)[:, None, :, :]
+
+        self._region_broadcast = region_broadcast_jit
         self._comp_fcn = jax.jit(lambda y: self._year(y) - y)
         self._jvp = jax.jit(lambda v: self._year0(v) - v)
 
@@ -462,14 +496,14 @@ class ShardedIageKernel:
         factor = np.asarray(factor)
         if factor.ndim == 0:
             return v * float(factor)
-        return v * jnp.asarray(factor, self.dtype)[:, 0, None, None, None]
+        return v * self._region_broadcast(jnp.asarray(factor, self.dtype))
 
     def region_broadcast(self, scalars):
-        """(module, region=1) -> broadcastable (module, 1, 1, 1) field"""
-        return scalars[:, 0, None, None, None]
+        """(module, region) scalars -> (module, 1, nz, ny) field"""
+        return self._region_broadcast(scalars)
 
     def apply_limiter(self, x, increment):
-        return np.ones((self.module_batch, 1))
+        return np.ones((self.module_batch, self.region_cnt))
 
     def lin_comb(self, basis, coeff):
         res = self.scale(basis[0], coeff[0])

@@ -417,3 +417,61 @@ def test_sharded_nonlinear_phosphorus_year_and_jvp():
     _, jv_ref = jax.jvp(ref_year, (jnp.asarray(y0),), (jnp.asarray(v),))
     jv_sh, jv_ref = np.asarray(jv_sh), np.asarray(jv_ref)
     assert np.abs(jv_sh - jv_ref).max() < 1e-12 * np.abs(jv_ref).max()
+
+
+def test_sharded_kernel_column_regions():
+    """decoupled-region reductions (P2) on the sharded kernel: per-column
+    regions spanning shard boundaries; per-(module, region) convergence and
+    region-scoped scaling, equal across mesh shapes"""
+    nz, ny, n_steps = 8, 8, 36
+    depth, ypos = _axes(nz, ny)
+    year = physics.SEC_PER_YEAR
+    rates = (1.0 + 0.25 * np.arange(4)) / year
+    # 4 regions of 2 columns each; with n_space=2 each shard holds 2 regions
+    region_mask = np.broadcast_to(
+        np.repeat(np.arange(1, 5, dtype=np.int32), 2), (nz, ny)
+    ).copy()
+    modelinfo_off = {"max_abs_vvel": "0.0", "horiz_mix_coeff": "0.0"}
+
+    results = []
+    for n_module, n_space in ((2, 2), (1, 1)):
+        mesh = make_mesh(
+            n_module=n_module, n_space=n_space,
+            devices=jax.devices()[: n_module * n_space],
+        )
+        kernel = ShardedIageKernel(
+            mesh, depth, ypos, modelinfo_off, rates, n_steps=n_steps,
+            region_mask=region_mask,
+        )
+        assert kernel.region_cnt == 4
+        x0 = kernel.init_iterate()
+        norms = np.asarray(kernel.norm(kernel.comp_fcn(x0)))
+        assert norms.shape == (4, 4)  # (module, region)
+
+        solver = NewtonKrylovInCore(
+            kernel,
+            newton_rel_tol=1e-5,
+            krylov_rel_tol=1e-2,
+            newton_max_iter=8,
+            krylov_max_dim=20,
+            jit_gmres=True,
+        )
+        x, fcn, info = solver.solve(x0)
+        rel = np.asarray(info["fcn_norm"]) / np.asarray(info["x_norm"])
+        assert (rel < 1e-5).all()
+        results.append(np.asarray(x))
+
+        # region-scoped scaling touches exactly that region's columns
+        factors = np.ones((4, 4))
+        factors[1, 2] = 3.0
+        scaled = np.asarray(kernel.scale(x, factors))
+        base = np.asarray(x)
+        cols = slice(4, 6)  # region 3's columns
+        assert np.allclose(scaled[1, :, :, cols], 3.0 * base[1, :, :, cols])
+        assert np.allclose(scaled[0], base[0])
+        others = [0, 1, 2, 3, 6, 7]
+        assert np.allclose(scaled[1][:, :, others], base[1][:, :, others])
+
+    assert np.abs(results[0] - results[1]).max() < 1e-9 * np.abs(
+        results[1]
+    ).max()

@@ -172,5 +172,18 @@ class SolverBase:
         step-logging: these values are not replayable (a resumed run would
         measure something different anyway) and must not perturb the step
         log, whose byte-identity against committed baselines is load-bearing
-        (scripts/ci_*.sh diff Newton_state.json)"""
-        self._stats_file.put_vars(self.get_iteration(), kwargs)
+        (scripts/ci_*.sh diff Newton_state.json).
+
+        Best-effort by design: a resumed run whose stats file predates a
+        newly added observability variable skips the write (the define step
+        is step-logged, so the variable does not exist in the old file) --
+        observability must never abort a solve."""
+        try:
+            self._stats_file.put_vars(self.get_iteration(), kwargs)
+        except KeyError:
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "observability vars %s absent from the stats file "
+                "(pre-existing run); skipped", sorted(kwargs)
+            )

@@ -375,9 +375,26 @@ class phosphorus(TracerModuleState):  # noqa: N801
                 "small e_val[%d] = %e + %e j", k, e_vals[k].real, e_vals[k].imag
             )
 
+        # the old host path raised on a null eigenvector with a non-trivial
+        # imaginary part; the locked iteration returns a real Ritz vector,
+        # so guard on the residual instead -- a vector that is not actually
+        # near-null would silently break the conservation projection below
+        from ...ops.eigen import band_matvec
+
+        null_p = e_vects[:, 0] / np.linalg.norm(e_vects[:, 0])
+        null_resid = float(
+            np.linalg.norm(np.asarray(band_matvec(bands, jnp.asarray(null_p))))
+        )
+        mat_scale = float(np.abs(np.diag(mat)).max())
+        if null_resid > 1.0e-4 * mat_scale:
+            raise RuntimeError(
+                f"computed null vector is not near-null: ||mat @ v|| = "
+                f"{null_resid:.3e} vs matrix scale {mat_scale:.3e}; the "
+                "inverse iteration failed to isolate the conservation mode"
+            )
+
         null_vect = np.empty(self_vals.size)
-        null_vect[perm] = e_vects[:, 0]
-        null_vect /= np.linalg.norm(null_vect)
+        null_vect[perm] = null_p
 
         # shift-regularize + Richardson-extrapolate to zero shift
         shift = 0.5 * e_vals[1].real

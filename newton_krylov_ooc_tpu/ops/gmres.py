@@ -83,10 +83,17 @@ def build_gmres(jvp_fn, precond_fn, dot_fn, broadcast_fn, max_dim, rel_tol):
         sn = jnp.zeros((max_dim,) + mr_shape, dtype)
         g = jnp.zeros((max_dim + 1,) + mr_shape, dtype).at[0].set(beta)
 
+        # blocks with an exactly zero initial residual (e.g. a region label
+        # with no cells, or an already-converged module) are inactive: they
+        # must not pin the loop at 0 >= 0 forever
+        active = beta > 0
+
         def cond(state):
             j, _basis, _r, _cs, _sn, g_vec = state
             resid = jnp.abs(g_vec[j])
-            return (j < max_dim) & jnp.any(resid >= rel_tol * beta)
+            return (j < max_dim) & jnp.any(
+                active & (resid >= rel_tol * beta)
+            )
 
         def body(state):
             j, basis, r_mat, cs, sn, g_vec = state
@@ -177,9 +184,9 @@ def _nonzero(x):
 class JittedGMRES:
     """adapter: run build_gmres from a NewtonKrylovInCore kernel.
 
-    Drop-in for the host-loop path: NewtonKrylovInCore(kernel,
-    gmres_impl=JittedGMRES(kernel, max_dim, rel_tol)) replaces the
-    per-iteration host round-trips with one device call.
+    Constructed internally by NewtonKrylovInCore(kernel, jit_gmres=True),
+    which replaces the per-iteration host round-trips of the default Krylov
+    loop with one device call.
     """
 
     def __init__(self, kernel, max_dim, rel_tol):

@@ -679,77 +679,6 @@ def build_phosphorus_year_pallas(grid, params, light_lim, t_span, n_steps):
     return year
 
 
-def build_iage_step_block_pallas(
-    vfaces, hfaces, wvel, diag, source, bld_max, dy_r, dz_r, dz_mid,
-    dz_mid_r, depth_mid, dt, j_steps,
-):
-    """j_steps interior IMEX steps [Heun; CN(dt)] as ONE pallas kernel, with
-    the block's start time as a runtime scalar -- the building block of the
-    sharded VMEM-resident year (parallel/sharded_year.py).
-
-    The year decomposes as CNh, [Heun CNf]x(n-1), Heun, CNh (interior Strang
-    half-steps merged); a spatial shard runs the (n-1) interior steps in
-    blocks of j_steps between halo exchanges, each block VMEM-resident like
-    the single-device megakernel (build_iage_year_pallas_v2, whose packed
-    layout and arithmetic this reuses).  Each Heun consumes two ghost
-    columns per side, so a caller exchanging h halo columns may take
-    h//2 steps per block; the kernel itself is oblivious -- it treats its
-    width as a closed domain (zero flux at the outer edges), which is
-    exactly the erosion the validity analysis accounts for.
-
-    Arguments (single shard, C = module*tracer channels, width nx columns,
-    typically nx = ny_local + 2*halo):
-      vfaces, hfaces: (nz, nx+1) face velocity / diffusive conductance per
-          column face, ZERO at physical domain boundaries and beyond
-      wvel: (nz+1, nx) vertical velocity columns
-      diag: (C, nz, nx) per-channel implicit local rates
-      source: (C,) per-channel explicit source rates
-      bld_max: (nx,) boundary-layer depth maxima (ypos-interpolated)
-      dy_r, dz_r, dz_mid, dz_mid_r, depth_mid: metric arrays
-      dt: step size [s]; j_steps: static step count per call
-
-    Returns fn(y, comp, t_start, interpret=False) with y, comp (C, nz, nx)
-    float32 -> (y, comp); t_start is a float32 scalar (traced operand).
-    """
-    nz = int(np.asarray(depth_mid).shape[0])
-    nx = int(np.asarray(dy_r).shape[0])
-    c_dim = int(np.asarray(diag).shape[0])
-    w_dim = c_dim * nx
-    dtype = jnp.float32
-    dt = float(dt)
-    j_steps = int(j_steps)
-
-    bld_min = float(physics.BLD_MIN)
-    log_shallow = float(physics.VERT_MIX_LOG_SHALLOW)
-    log_deep = float(physics.VERT_MIX_LOG_DEEP)
-    tfrac = np.asarray(physics._BLD_TFRAC, np.float64)
-    ffrac = np.asarray(physics._BLD_FRAC, np.float64)
-
-    vf = np.asarray(vfaces, np.float32)
-    hf = np.asarray(hfaces, np.float32)
-    # fused lateral flux G = ca*y_left + cb*y_right over interior faces,
-    # with a zero seam column between channel blocks
-    ca_int = 0.5 * vf[:, 1:-1] + hf[:, 1:-1]
-    cb_int = 0.5 * vf[:, 1:-1] - hf[:, 1:-1]
-    seam = np.zeros((nz, 1), np.float32)
-    ca = np.concatenate(([ca_int, seam] * c_dim)[:-1], axis=1)
-    cb = np.concatenate(([cb_int, seam] * c_dim)[:-1], axis=1)
-
-    wvel_p = np.tile(np.asarray(wvel, np.float32)[1:-1, :], (1, c_dim))
-    dy_r_p = np.tile(np.asarray(dy_r, np.float32).reshape(-1), c_dim)[None, :]
-    diag_p = (
-        np.asarray(diag, np.float32).transpose(1, 0, 2).reshape(nz, w_dim)
-    )
-    src_p = np.repeat(np.asarray(source, np.float32).reshape(c_dim), nx)[
-        None, :
-    ]
-    bld_max_p = np.tile(np.asarray(bld_max, np.float32), c_dim)[None, :]
-    dz_r_c = np.asarray(dz_r, np.float32)[:, None]
-    dz_mid_c = np.asarray(dz_mid, np.float32)[:, None]
-    dz_mid_r_c = np.asarray(dz_mid_r, np.float32)[:, None]
-    edges_c = np.asarray(depth_mid, np.float32)[:, None]
-
-
 @_functools_lru_cache(maxsize=None)
 def _block_callable(nz, nx, c_dim, dt, j_steps):
     """shape-parameterized j_steps-interior-step block kernel in OPERAND form:
@@ -938,7 +867,17 @@ def build_iage_step_block_pallas(
 ):
     """single-shard convenience wrapper: pack the static arrays once and
     return fn(y, comp, t_start, interpret=False) over (C, nz, nx) arrays.
-    See _block_callable for the kernel and pack_block_consts for layout."""
+    See _block_callable for the kernel and pack_block_consts for layout.
+
+    Contract: the year decomposes as CNh, [Heun CNf]x(n-1), Heun, CNh
+    (interior Strang half-steps merged); a spatial shard runs the interior
+    steps in blocks of j_steps between halo exchanges, each block
+    VMEM-resident like the single-device megakernel.  Each Heun consumes
+    two ghost columns per side, so a caller exchanging h halo columns may
+    take h//2 steps per block; the kernel itself is oblivious -- it treats
+    its width as a closed domain (zero flux at the outer edges), which is
+    exactly the erosion the validity analysis accounts for.  Face arrays
+    must carry ZERO at physical domain boundaries and beyond."""
     diag = np.asarray(diag, np.float32)
     c_dim, nz, nx = diag.shape
     consts_np = pack_block_consts(

@@ -518,9 +518,6 @@ class ShardedIageKernel:
         return self._precond_apply(data, r)
 
 
-__all__ = ["ShardedYearData", "build_sharded_year", "ShardedIageKernel"]
-
-
 def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
                               t_span, n_steps, block_steps=8,
                               interpret=False):
@@ -568,7 +565,7 @@ def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
     h = 2 * k
     if nyl < 1 or h < 1:
         raise ValueError("degenerate decomposition")
-    if h > nyl and n_space > 1:
+    if h > nyl:
         raise ValueError(
             f"halo depth 2*block_steps={h} exceeds the shard width "
             f"{nyl}; the slab exchange is single-neighbor -- use "
@@ -722,7 +719,7 @@ def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
             y_new = y + adj
             return y_new, adj - (y_new - y)
 
-        def halo_cat(v, width, perms_only_state=True):
+        def halo_cat(v, width):
             left = jax.lax.ppermute(v[..., -width:], "space", fwd_perm)
             right = jax.lax.ppermute(v[..., :width], "space", bwd_perm)
             return jnp.concatenate([left, v, right], axis=-1)
@@ -834,3 +831,11 @@ def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
         return sharded(y, *dev_args)
 
     return year
+
+
+__all__ = [
+    "ShardedIageKernel",
+    "ShardedYearData",
+    "build_sharded_year",
+    "build_sharded_year_pallas",
+]

@@ -138,3 +138,48 @@ def test_rewind(tmp_workdir, monkeypatch):
     while not solver3.converged().all():
         solver3.step()
     assert solver3.get_iteration() == 3
+
+
+@pytest.mark.slow
+def test_resume_with_stats_file_lacking_observability_var(tmp_workdir):
+    """resuming a run whose stats file predates comp_fcn_seconds must not
+    abort: observability writes are best-effort (the define step is
+    step-logged, so the variable never appears in the old file)"""
+    import os
+
+    from newton_krylov_ooc_tpu.core.newton import NewtonSolver
+    from newton_krylov_ooc_tpu.utils.ncio import NCFile
+
+    config = _setup(tmp_workdir)
+    solver = _drive_to_convergence(config)
+    assert solver.get_iteration() == 3
+
+    # rewrite Newton_stats.nc WITHOUT comp_fcn_seconds, simulating a workdir
+    # created by a build that predates the variable
+    stats_fname = os.path.join(tmp_workdir, "Newton_stats.nc")
+    with NCFile(stats_fname) as fptr:
+        dims = {
+            name: (None if name == "iteration" else length)
+            for name, length in fptr.dimensions.items()
+        }
+        keep = {
+            name: (var.datatype, var.dimensions, dict(var.attrs), var[:])
+            for name, var in fptr.variables.items()
+            if name != "comp_fcn_seconds"
+        }
+    os.remove(stats_fname)
+    with NCFile(stats_fname, mode="w") as fptr:
+        fptr.create_dimensions_verify(dims)
+        for name, (datatype, dimensions, attrs, vals) in keep.items():
+            var = fptr.create_variable(name, datatype, dimensions, attrs=attrs)
+            var[:] = vals
+
+    # resume: __init__ replays the comp_fcn from the step log and then puts
+    # observability vars -- which must skip, not raise, on the old file
+    resumed = NewtonSolver(
+        type(solver._iterate),
+        solverinfo=config["solverinfo"],
+        resume=True,
+        rewind=False,
+    )
+    assert resumed.converged().all()

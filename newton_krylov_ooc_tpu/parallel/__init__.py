@@ -16,6 +16,7 @@ from .mesh import (  # noqa: F401
 )
 from .sharded_year import (  # noqa: F401
     ShardedIageKernel,
+    ShardedPhosphorusKernel,
     ShardedYearData,
     build_sharded_year,
     build_sharded_year_pallas,

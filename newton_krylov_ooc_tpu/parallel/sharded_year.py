@@ -833,8 +833,337 @@ def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
     return year
 
 
+
+
+def _region_reduction_arrays(mesh, region_mask, grid_weight, nz, ny, dtype):
+    """device-resident per-(module, region) reduction operators, sharded
+    over ypos like the state (block independence P2 composed with spatial
+    sharding): (region_cnt, mean_w, onehot, fill)"""
+    from ..utils.regions import region_mean_weights
+
+    region_cnt = int(np.asarray(region_mask).max())
+    mean_w = region_mean_weights(region_mask, grid_weight).reshape(
+        region_cnt, nz, ny
+    )
+    space_sharding = NamedSharding(mesh, P(None, None, "space"))
+    onehot = np.stack(
+        [
+            (np.asarray(region_mask) == r + 1).astype(np.float64)
+            for r in range(region_cnt)
+        ]
+    )
+    fill = 1.0 - onehot.sum(axis=0)
+    return (
+        region_cnt,
+        jax.device_put(jnp.asarray(mean_w, dtype), space_sharding),
+        jax.device_put(jnp.asarray(onehot, dtype), space_sharding),
+        jax.device_put(
+            jnp.asarray(fill, dtype), NamedSharding(mesh, P(None, "space"))
+        ),
+    )
+
+
+def _lateral_tridiag_arrays(mesh, data: ShardedYearData, ypos, dt_lat, dtype):
+    """(I - dt L_y) tridiagonal coefficients along ypos for the ADI lateral
+    preconditioner sweep, sharded over the ypos axis"""
+    n_space = data.n_space
+    vf = np.asarray(data.vfaces, np.float64)
+    hf = np.asarray(data.hfaces, np.float64)
+    vf_glob = np.concatenate(
+        [vf[s, :, :-1] for s in range(n_space)] + [vf[-1, :, -1:]], axis=1
+    )
+    hf_glob = np.concatenate(
+        [hf[s, :, :-1] for s in range(n_space)] + [hf[-1, :, -1:]], axis=1
+    )
+    ca_g = 0.5 * vf_glob + hf_glob
+    cb_g = 0.5 * vf_glob - hf_glob
+    dy_r = np.asarray(ypos.delta_r, np.float64)[None, :]
+    lat_dl = dy_r * ca_g[:, :-1]
+    lat_d = dy_r * (cb_g[:, :-1] - ca_g[:, 1:])
+    lat_du = -dy_r * cb_g[:, 1:]
+    sharding = NamedSharding(mesh, P(None, "space"))
+    return (
+        jax.device_put(jnp.asarray(-dt_lat * lat_dl, dtype), sharding),
+        jax.device_put(jnp.asarray(1.0 - dt_lat * lat_d, dtype), sharding),
+        jax.device_put(jnp.asarray(-dt_lat * lat_du, dtype), sharding),
+    )
+
+
+class ShardedPhosphorusKernel:
+    """sharded NONLINEAR solver kernel: py_driver_2d phosphorus (po4/dop/
+    pop) on a (module=1, space) mesh.
+
+    The year runs through the shard_map IMEX scan with the column-local
+    biogeochemistry/sinking hook (build_sharded_year local_tend); Jacobian-
+    vector products are exact jax.jvp THROUGH the sharded year (the
+    collective permutes differentiate).  The preconditioner is an ADI
+    lateral sweep followed by a shift-regularized one-step implicit-Euler
+    solve of the COLUMN-LOCAL phosphorus Jacobian (vertical mixing +
+    linearized uptake/remin + sinking) in tracer-innermost banded form --
+    the shift replaces the global conservation bordering, mirroring the
+    reference's own epsilon-shift regularization
+    (nk_ooc/py_driver_2d/phosphorus.py:197-274); everything stays
+    shard-local except the lateral PCR, whose collectives XLA inserts.
+
+    state layout: (1, 3, nz, ny), sharded P('module', None, None, 'space').
+    """
+
+    def __init__(self, mesh, depth, ypos, modelinfo, params=None,
+                 dtype=None, n_steps=365, region_mask=None,
+                 grid_weight=None):
+        from ..models.py_driver_2d.phosphorus import (
+            DEFAULT_PARAMS,
+            light_lim_2d,
+        )
+
+        if dtype is None:
+            dtype = jnp.result_type(float)
+        if mesh.shape["module"] != 1:
+            raise ValueError("phosphorus is a single module; n_module must be 1")
+        n_space = mesh.shape["space"]
+        self.mesh = mesh
+        self.depth, self.ypos = depth, ypos
+        self.dtype = dtype
+        self.data = ShardedYearData(depth, ypos, modelinfo, n_space, dtype)
+        nz, ny = self.data.nz, self.data.ny
+        self.nz, self.ny = nz, ny
+        self.module_batch = 1
+        self.year = physics.SEC_PER_YEAR
+        self.params = dict(DEFAULT_PARAMS if params is None else params)
+        p = self.params
+
+        light = light_lim_2d(depth, ypos)               # (nz, ny)
+        nyl = ny // n_space
+        light_stack = np.stack(
+            [light[:, s * nyl : (s + 1) * nyl] for s in range(n_space)]
+        )
+        dz_r_j = jnp.asarray(self.data.dz_r, dtype)
+
+        def local_tend(t, y, dl):
+            po4 = y[..., 0, :, :]
+            dop = y[..., 1, :, :]
+            pop = y[..., 2, :, :]
+            uptake = (
+                p["max_uptake_rate"] * dl["light"] * po4
+                / (po4 + p["po4_halfsat"])
+            )
+            dop_remin = p["dop_remin_rate"] * dop
+            pop_remin = p["pop_remin_rate"] * pop
+            d_po4 = -uptake + dop_remin + pop_remin
+            d_dop = p["sigma"] * uptake - dop_remin
+            d_pop = (1.0 - p["sigma"]) * uptake - pop_remin
+            sink_int = p["pop_sink_vel"] * pop[..., :-1, :]
+            zero = jnp.zeros(
+                pop.shape[:-2] + (1,) + pop.shape[-1:], y.dtype
+            )
+            sink = jnp.concatenate([zero, sink_int, zero], axis=-2)
+            d_pop = d_pop + dz_r_j[:, None] * (
+                sink[..., :-1, :] - sink[..., 1:, :]
+            )
+            return jnp.stack([d_po4, d_dop, d_pop], axis=-3)
+
+        diag = np.zeros((1, 3, nz, ny))
+        aging = np.zeros((1, 3, 1, 1))
+        self._year = build_sharded_year(
+            mesh, self.data, diag, aging, (0.0, self.year), n_steps,
+            local_tend=local_tend, local_data={"light": light_stack},
+        )
+
+        self.state_sharding = NamedSharding(
+            mesh, P("module", None, None, "space")
+        )
+        if region_mask is None:
+            region_mask = np.ones((nz, ny), np.int32)
+        if grid_weight is None:
+            grid_weight = np.outer(depth.delta, ypos.delta)
+        (
+            self.region_cnt,
+            self._mean_w,
+            self._onehot,
+            self._region_fill,
+        ) = _region_reduction_arrays(
+            mesh, region_mask, grid_weight, nz, ny, dtype
+        )
+
+        self._lat_dl, self._lat_d, self._lat_du = _lateral_tridiag_arrays(
+            mesh, self.data, ypos, self.year, dtype
+        )
+
+        self._comp_fcn = jax.jit(lambda y: self._year(y) - y)
+
+        @jax.jit
+        def jvp_fn(x, v):
+            return jax.jvp(lambda y: self._year(y) - y, (x,), (v,))[1]
+
+        self._jvp_fn = jvp_fn
+
+        @jax.jit
+        def dot(a, b):
+            prod = jnp.sum(a * b, axis=1)
+            return jnp.einsum("bzy,rzy->br", prod, self._mean_w)
+
+        self._dot = dot
+
+        @jax.jit
+        def region_broadcast_jit(scalars):
+            field = jnp.einsum("br,rzy->bzy", scalars, self._onehot)
+            return (field + self._region_fill)[:, None, :, :]
+
+        self._region_broadcast = region_broadcast_jit
+
+        # column-local banded phosphorus Jacobian (tracer-innermost rows
+        # r = z*3 + t per column, bandwidth 3), shift-regularized
+        light_j = jnp.asarray(light, dtype)
+        grid = self.data.grid
+        n3 = 3 * nz
+
+        @jax.jit
+        def precond_factor(x):
+            from ..ops.banded import banded_lu_factor_blocks as lu_blocks
+
+            dt = self.year
+            kv = physics.vert_mixing_coeff(grid, 0.5 * self.year)  # (nz-1,ny)
+            dz = dz_r_j
+            po4 = x[0, 0]                                  # (nz, ny)
+            u1 = (
+                p["max_uptake_rate"] * light_j * p["po4_halfsat"]
+                / (po4 + p["po4_halfsat"]) ** 2
+            )                                               # (nz, ny)
+
+            bands = jnp.zeros((ny, n3, 7), dtype)
+            rows = np.arange(n3)
+            z_of = rows // 3
+            t_of = rows % 3
+
+            # vertical mixing: offsets +-3, identical per tracer
+            up = jnp.concatenate(
+                [kv * dz[:-1, None], jnp.zeros((1, ny), dtype)], axis=0
+            )                                               # (nz, ny)
+            lo = jnp.concatenate(
+                [jnp.zeros((1, ny), dtype), kv * dz[1:, None]], axis=0
+            )
+            up_rows = up[z_of, :].T                         # (ny, n3)
+            lo_rows = lo[z_of, :].T
+            bands = bands.at[:, :, 6].add(up_rows)
+            bands = bands.at[:, :, 0].add(lo_rows)
+            bands = bands.at[:, :, 3].add(-(up_rows + lo_rows))
+
+            # biogeochemistry (per cell, tracer offsets)
+            u1_cols = u1.T                                  # (ny, nz)
+            po4_rows = np.nonzero(t_of == 0)[0]
+            dop_rows = np.nonzero(t_of == 1)[0]
+            pop_rows = np.nonzero(t_of == 2)[0]
+            bands = bands.at[:, po4_rows, 3].add(-u1_cols)
+            bands = bands.at[:, po4_rows, 4].add(p["dop_remin_rate"])
+            bands = bands.at[:, po4_rows, 5].add(p["pop_remin_rate"])
+            bands = bands.at[:, dop_rows, 2].add(p["sigma"] * u1_cols)
+            bands = bands.at[:, dop_rows, 3].add(-p["dop_remin_rate"])
+            bands = bands.at[:, pop_rows, 1].add(
+                (1.0 - p["sigma"]) * u1_cols
+            )
+            bands = bands.at[:, pop_rows, 3].add(-p["pop_remin_rate"])
+
+            # particulate sinking (pop rows): gain from the layer above
+            # (offset -3), diagonal loss above the bottom layer
+            sink = p["pop_sink_vel"]
+            gain = np.where(z_of >= 1, 1.0, 0.0)[t_of == 2]
+            loss = np.where(z_of < nz - 1, 1.0, 0.0)[t_of == 2]
+            dzr_np = np.asarray(self.data.dz_r)
+            bands = bands.at[:, pop_rows, 0].add(
+                jnp.asarray(sink * gain * dzr_np, dtype)
+            )
+            bands = bands.at[:, pop_rows, 3].add(
+                jnp.asarray(-sink * loss * dzr_np, dtype)
+            )
+
+            mat = dt * bands
+            # shift off the exactly singular conservation mode
+            eps = 1.0e-6 * jnp.max(jnp.abs(mat[:, :, 3]))
+            mat = mat.at[:, :, 3].add(-eps)
+            return lu_blocks(mat)
+
+        @jax.jit
+        def precond_apply(lu, r):
+            from ..ops.banded import banded_lu_solve_blocks as solve_blocks
+            from ..ops.tridiag import pcr_solve
+
+            r_lat = pcr_solve(
+                jnp.broadcast_to(self._lat_dl, r.shape),
+                jnp.broadcast_to(self._lat_d, r.shape),
+                jnp.broadcast_to(self._lat_du, r.shape),
+                r,
+            )
+            # (1, 3, nz, ny) -> per-column tracer-innermost rows (ny, 3nz)
+            cols = jnp.transpose(r_lat[0], (2, 1, 0)).reshape(ny, n3)
+            sol = solve_blocks(lu, cols)
+            sol = jnp.transpose(sol.reshape(ny, nz, 3), (2, 1, 0))[None]
+            return sol - r
+
+        self._precond_factor = precond_factor
+        self._precond_apply = precond_apply
+
+    # -- solver interface ----------------------------------------------------
+
+    def init_iterate(self):
+        dm = np.asarray(self.data.depth_mid)
+        profiles = (
+            ([130.0, 260.0], [5.5e-3, 4.1]),
+            ([95.0, 140.0], [7.1e-2, 1.5e-4]),
+            ([170.0, 250.0], [1.8e-2, 7.9e-4]),
+        )
+        cols = [np.interp(dm, d, v) for d, v in profiles]
+        field = np.stack(
+            [np.broadcast_to(c[:, None], (self.nz, self.ny)) for c in cols]
+        )[None]
+        return jax.device_put(
+            jnp.asarray(field, self.dtype), self.state_sharding
+        )
+
+    def comp_fcn(self, x):
+        return self._comp_fcn(x)
+
+    def jvp(self, x, fcn, v):
+        """exact forward-mode JVP through the sharded nonlinear year"""
+        return self._jvp_fn(x, v)
+
+    def dot(self, a, b):
+        return self._dot(a, b)
+
+    def norm(self, v):
+        return jnp.sqrt(self._dot(v, v))
+
+    @staticmethod
+    def add(a, b):
+        return a + b
+
+    def scale(self, v, factor):
+        factor = np.asarray(factor)
+        if factor.ndim == 0:
+            return v * float(factor)
+        return v * self._region_broadcast(jnp.asarray(factor, self.dtype))
+
+    def region_broadcast(self, scalars):
+        return self._region_broadcast(scalars)
+
+    def apply_limiter(self, x, increment):
+        return np.ones((1, self.region_cnt))
+
+    def lin_comb(self, basis, coeff):
+        res = self.scale(basis[0], coeff[0])
+        for j in range(1, len(basis)):
+            res = res + self.scale(basis[j], coeff[j])
+        return res
+
+    def precond_setup(self, x):
+        return self._precond_factor(x)
+
+    def precond_apply(self, data, r):
+        return self._precond_apply(data, r)
+
+
 __all__ = [
     "ShardedIageKernel",
+    "ShardedPhosphorusKernel",
     "ShardedYearData",
     "build_sharded_year",
     "build_sharded_year_pallas",

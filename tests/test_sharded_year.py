@@ -475,3 +475,45 @@ def test_sharded_kernel_column_regions():
     assert np.abs(results[0] - results[1]).max() < 1e-9 * np.abs(
         results[1]
     ).max()
+
+
+@pytest.mark.slow
+def test_sharded_nonlinear_phosphorus_solve():
+    """the NONLINEAR sharded solver: phosphorus Newton-Krylov with exact
+    jvp-through-collectives and the shift-regularized column-banded
+    preconditioner converges, conserves sign, and is mesh-shape independent"""
+    from newton_krylov_ooc_tpu.parallel.sharded_year import (
+        ShardedPhosphorusKernel,
+    )
+
+    nz, ny, n_steps = 8, 8, 96
+    depth, ypos = _axes(nz, ny)
+
+    results = []
+    for n_space in (2, 1):
+        mesh = make_mesh(
+            n_module=1, n_space=n_space, devices=jax.devices()[:n_space]
+        )
+        kernel = ShardedPhosphorusKernel(
+            mesh, depth, ypos, MODELINFO, n_steps=n_steps
+        )
+        solver = NewtonKrylovInCore(
+            kernel,
+            newton_rel_tol=1e-4,
+            krylov_rel_tol=1e-2,
+            newton_max_iter=8,
+            krylov_max_dim=25,
+            jit_gmres=True,
+        )
+        x, fcn, info = solver.solve(kernel.init_iterate())
+        rel = np.asarray(info["fcn_norm"]) / np.asarray(info["x_norm"])
+        assert (rel < 1e-4).all()
+        assert info["iterations"] <= 5
+        xv = np.asarray(x)
+        assert np.isfinite(xv).all()
+        assert xv[0, 0].min() > 0.0  # po4 stays positive
+        results.append(xv)
+
+    assert np.abs(results[0] - results[1]).max() < 1e-8 * np.abs(
+        results[1]
+    ).max()

@@ -95,6 +95,14 @@ class NewtonKrylovInCore:
             loaded = self._load_checkpoint(checkpoint_dir)
             if loaded is not None:
                 x, iteration = loaded
+                # restore the kernel's sharding: a resumed array arrives
+                # host-loaded (single-device), and feeding it unsharded into
+                # a mesh-sharded kernel would silently run replicated
+                sharding = getattr(kernel, "state_sharding", None)
+                if sharding is not None:
+                    import jax
+
+                    x = jax.device_put(x, sharding)
                 logger.info("resumed from checkpoint at iteration %d", iteration)
         fcn = kernel.comp_fcn(x)
         while True:

@@ -517,3 +517,33 @@ def test_sharded_nonlinear_phosphorus_solve():
     assert np.abs(results[0] - results[1]).max() < 1e-8 * np.abs(
         results[1]
     ).max()
+
+
+def test_sharded_checkpoint_resume_preserves_sharding(tmp_path):
+    """a checkpointed sharded solve resumes with the mesh sharding restored
+    (a host-loaded snapshot fed back unsharded would run replicated)"""
+    nz, ny, n_steps = 8, 8, 36
+    depth, ypos = _axes(nz, ny)
+    year = physics.SEC_PER_YEAR
+    rates = (1.0 + 0.25 * np.arange(4)) / year
+    mesh = make_mesh(n_module=2, n_space=4)
+    kernel = ShardedIageKernel(
+        mesh, depth, ypos, MODELINFO, rates, n_steps=n_steps
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    solver = NewtonKrylovInCore(
+        kernel, newton_rel_tol=1e-5, newton_max_iter=8, krylov_max_dim=20,
+        jit_gmres=True,
+    )
+    x_ref, _, info = solver.solve(kernel.init_iterate(), checkpoint_dir=ckpt)
+    assert info["iterations"] >= 1
+
+    solver2 = NewtonKrylovInCore(
+        kernel, newton_rel_tol=1e-5, newton_max_iter=8, krylov_max_dim=20,
+        jit_gmres=True,
+    )
+    x2, _, info2 = solver2.solve(kernel.init_iterate(), checkpoint_dir=ckpt)
+    assert info2["iterations"] == info["iterations"]
+    assert x2.sharding.is_equivalent_to(kernel.state_sharding, x2.ndim)
+    assert np.allclose(np.asarray(x2), np.asarray(x_ref))

@@ -84,3 +84,36 @@ def test_strtobool():
     assert strtobool("off") == 0
     with pytest.raises(ValueError):
         strtobool("maybe")
+
+
+
+def test_run_cmd_profile_dir(tmp_workdir):
+    """run_cmd --profile_dir wraps the op in a jax profiler trace and leaves
+    trace artifacts behind"""
+    import os
+
+    from newton_krylov_ooc_tpu.cli import run_cmd
+    from tests.test_solver_end_to_end import _setup
+
+    config = _setup(tmp_workdir)
+    trace_dir = os.path.join(tmp_workdir, "trace")
+    args = run_cmd.parse_args(
+        [
+            "--workdir", tmp_workdir,
+            "--tracer_module_names", "iage",
+            "--persist",
+            "comp_fcn",
+            "--fname_dir", tmp_workdir,
+            "--in_fname", config["solverinfo"]["init_iterate_fname"],
+            "--res_fname", os.path.join(tmp_workdir, "fcn.nc"),
+            "--profile_dir", trace_dir,
+        ]
+    )
+    run_cmd.main(args)
+    assert os.path.exists(os.path.join(tmp_workdir, "fcn.nc"))
+    found = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(trace_dir)
+        for f in files
+    ]
+    assert found, "no profiler trace artifacts written"

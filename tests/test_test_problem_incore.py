@@ -123,3 +123,36 @@ def test_iage_column_spinup_against_file_backed_equilibrium():
     assert abs(age_years[0]) < 0.05          # surface restored toward 0
     assert age_years[-1] > age_years[0]      # deep water is older
     assert (np.diff(age_years) > -1e-6).all()  # monotone with depth
+
+
+def test_dye_decay_family_shards_over_module_axis():
+    """P1 over devices: the batched family solve runs with the module axis
+    sharded across the 8-device mesh (plain jit propagates the sharding --
+    columns are independent, no collectives needed) and matches the
+    unsharded solve exactly"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from newton_krylov_ooc_tpu.parallel.mesh import make_mesh
+
+    depth = _depth(16)
+    rates = np.arange(1, 9) * 0.002
+    kernel = DyeDecayFamilyKernel(depth, rates, n_steps=730)
+
+    x0 = kernel.init_iterate()
+    ref = np.asarray(kernel.comp_fcn(x0))
+
+    mesh = make_mesh(n_module=8, n_space=1)
+    sharding = NamedSharding(mesh, P("module", None))
+    x0_sh = jax.device_put(x0, sharding)
+    out = kernel.comp_fcn(x0_sh)
+    assert np.array_equal(np.asarray(out), ref)
+
+    solver = NewtonKrylovInCore(
+        kernel, newton_rel_tol=1e-6, krylov_rel_tol=1e-3,
+        newton_max_iter=6, krylov_max_dim=25, jit_gmres=True,
+    )
+    x, fcn, info = solver.solve(x0_sh)
+    rel = np.asarray(info["fcn_norm"]) / np.maximum(
+        np.asarray(info["x_norm"]), 1e-300
+    )
+    assert (rel < 1e-6).all()

@@ -12,8 +12,13 @@
  *   circ_fname FILE            circulation file (vertical diffusivity etc.)
  *   vmix_type file VAR | none  vertical mixing from circ-file VAR (VDC-style,
  *                              interface diffusivity in m^2/s) or disabled
- *   sink_type none | const RATE | const_shallow HOURS DEPTH_CM
- *                              first-order sink, everywhere or above a depth
+ *   sink_type none | const RATE | const_shallow HOURS DEPTH_CM |
+ *             file VAR         first-order sink: everywhere, above a depth,
+ *                              or a spatially varying rate field [1/s] from
+ *                              circ_fname
+ *   pv VAR                     piston-velocity [cm/s] surface restoring from
+ *                              tracer_fname (or circ_fname): surface-layer
+ *                              sink at rate pv/dz_surf
  *   csr_fname FILE             add a precomputed CSR operator (row_ptr/
  *                              col_ind/data vars) -- external assemblies
  *   tracer_fname FILE          source of surface-flux derivative fields
@@ -71,9 +76,10 @@ struct Options {
     std::string adv_uvar = "UET", adv_vvar = "VNT", adv_wvar = "WTT";
     std::string hmix_type = "none";
     std::string hmix_evar = "HDIFF_E", hmix_nvar = "HDIFF_N";
-    std::string sink_type = "none";
+    std::string sink_type = "none", sink_var;
     double sink_rate = 0.0, sink_hours = 0.0, sink_depth_cm = 0.0;
     std::vector<std::string> sf_vars;
+    std::vector<std::string> pv_vars;
 };
 
 Options parse_opts(const std::string &fname) {
@@ -105,6 +111,11 @@ Options parse_opts(const std::string &fname) {
             ss >> o.sink_type;
             if (o.sink_type == "const") ss >> o.sink_rate;
             else if (o.sink_type == "const_shallow") ss >> o.sink_hours >> o.sink_depth_cm;
+            else if (o.sink_type == "file") ss >> o.sink_var;
+        } else if (key == "pv") {
+            std::string var;
+            ss >> var;
+            o.pv_vars.push_back(var);
         } else if (key == "sf") {
             std::string var;
             ss >> var;
@@ -358,6 +369,23 @@ int main(int argc, char **argv) {
         if (opt.sink_type == "const") {
             for (int64_t r = 0; r < nrows; ++r)
                 trips.push_back({r, r, -delta_t * opt.sink_rate});
+        } else if (opt.sink_type == "file") {
+            /* spatially varying first-order decay rate [1/s] from the
+             * circulation file (reference spec: docs/source/users-guide/
+             * tracer-module-defn-file.rst sink_type file) */
+            if (opt.circ_fname.empty())
+                throw std::runtime_error("sink_type file requires circ_fname");
+            nc3::File circ = nc3::read(opt.circ_fname);
+            const nc3::Var *rate_var = circ.find(opt.sink_var);
+            if (!rate_var)
+                throw std::runtime_error(
+                    "circ file lacks sink field " + opt.sink_var);
+            for (size_t c = 0; c < ncells && c < rate_var->size(); ++c) {
+                int64_t r = cell_to_row[c];
+                double rate = rate_var->data[c];
+                if (r >= 0 && std::abs(rate) < 1.0e30)
+                    trips.push_back({r, r, -delta_t * rate});
+            }
         } else if (opt.sink_type == "const_shallow") {
             /* rate 1/(sink_hours hours) above sink_depth_cm */
             nc3::File circ = nc3::read(
@@ -373,6 +401,34 @@ int main(int argc, char **argv) {
                     if (r >= 0) trips.push_back({r, r, -delta_t * rate});
                 }
                 depth_cm += dz_k;
+            }
+        }
+
+        /* piston-velocity surface restoring: pv [cm/s] from tracer_fname
+         * (or circ_fname) acts as a first-order surface-layer sink at rate
+         * pv / dz_surf (reference spec: tracer-module-defn-file.rst pv) */
+        if (!opt.pv_vars.empty()) {
+            std::string src = opt.tracer_fname.empty() ? opt.circ_fname
+                                                       : opt.tracer_fname;
+            if (src.empty())
+                throw std::runtime_error("pv requires tracer_fname or circ_fname");
+            nc3::File pvf = nc3::read(src);
+            const nc3::Var *dz = pvf.find("dz");
+            double dz_surf_cm = dz ? dz->data[0] : 1.0e2;
+            for (auto &pv_var : opt.pv_vars) {
+                const nc3::Var *pv = pvf.find(pv_var);
+                if (!pv) {
+                    std::fprintf(stderr, "gen_A: pv var %s missing, skipped\n",
+                                 pv_var.c_str());
+                    continue;
+                }
+                for (size_t h = 0; h < nhoriz && h < pv->size(); ++h) {
+                    int64_t r = cell_to_row[h];
+                    if (r < 0) continue;
+                    double val = pv->data[h];
+                    if (std::abs(val) > 1.0e30) continue; /* fill value */
+                    trips.push_back({r, r, -delta_t * val / dz_surf_cm});
+                }
             }
         }
 

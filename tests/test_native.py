@@ -447,3 +447,64 @@ def test_gen_a_transport_assembly(tmp_path):
         assert np.allclose(
             solution[row_to_cell], expected, rtol=1e-7, atol=1e-10
         ), solver
+
+
+@needs_native
+def test_gen_a_pv_and_sink_file_options(tmp_path):
+    """the piston-velocity (pv) and spatially-varying-sink (sink_type file)
+    options assemble the documented diagonal terms"""
+    nz, nlat, nlon = 3, 2, 2
+    nhoriz = nlat * nlon
+    ncells = nz * nhoriz
+    rng = np.random.default_rng(5)
+    dz = np.array([50.0e2, 100.0e2, 200.0e2])
+    pv_field = rng.uniform(1.0e-3, 5.0e-3, (nlat, nlon))
+    sink_field = rng.uniform(0.0, 1.0e-8, (nz, nlat, nlon))
+    day_cnt = 10.0
+    delta_t = day_cnt * 86400.0
+
+    reg_fname = tmp_path / "grid_vars.nc"
+    with NCFile(str(reg_fname), mode="w") as fptr:
+        fptr.create_dimensions_verify({"z_t": nz, "nlat": nlat, "nlon": nlon})
+        var = fptr.create_variable("region_mask", "i4", ("z_t", "nlat", "nlon"))
+        var[:] = np.ones((nz, nlat, nlon), np.int32)
+
+    circ_fname = tmp_path / "irf.nc"
+    with NCFile(str(circ_fname), mode="w") as fptr:
+        fptr.create_dimensions_verify({"z_t": nz, "nlat": nlat, "nlon": nlon})
+        fptr.create_variable("dz", "f8", ("z_t",))[:] = dz
+        fptr.create_variable("PV_TR", "f8", ("nlat", "nlon"))[:] = pv_field
+        fptr.create_variable(
+            "SINK_TR", "f8", ("z_t", "nlat", "nlon")
+        )[:] = sink_field
+
+    opts = tmp_path / "matrix.opts"
+    opts.write_text(
+        f"day_cnt {day_cnt}\n"
+        f"reg_fname {reg_fname}\n"
+        f"circ_fname {circ_fname}\n"
+        "sink_type file SINK_TR\n"
+        "pv PV_TR\n"
+    )
+    matrix_fname = tmp_path / "matrix.nc"
+    subprocess.run(
+        [GEN_A, "-D1", "-o", str(opts), str(matrix_fname)], check=True
+    )
+
+    with NCFile(str(matrix_fname)) as fptr:
+        row_ptr = fptr.var("row_ptr")[:].astype(np.int64)
+        col_ind = fptr.var("col_ind")[:].astype(np.int64)
+        data = fptr.var("data")[:]
+    n = len(row_ptr) - 1
+    assert n == ncells
+    a_dense = np.zeros((n, n))
+    for r in range(n):
+        for ptr in range(int(row_ptr[r]), int(row_ptr[r + 1])):
+            a_dense[r, int(col_ind[ptr])] = data[ptr]
+
+    # expected: pure diagonal, A = dt*J - I with
+    # J = -sink_rate everywhere, minus pv/dz_surf in the surface layer
+    expected = -delta_t * sink_field.reshape(-1) - 1.0
+    expected[:nhoriz] -= delta_t * pv_field.reshape(-1) / dz[0]
+    assert np.allclose(np.diag(a_dense), expected, rtol=1e-12)
+    assert np.allclose(a_dense - np.diag(np.diag(a_dense)), 0.0)

@@ -380,7 +380,12 @@ int main(int argc, char **argv) {
             if (!rate_var)
                 throw std::runtime_error(
                     "circ file lacks sink field " + opt.sink_var);
-            for (size_t c = 0; c < ncells && c < rate_var->size(); ++c) {
+            if (rate_var->size() != ncells)
+                throw std::runtime_error(
+                    "sink field " + opt.sink_var + " has " +
+                    std::to_string(rate_var->size()) + " cells, grid has " +
+                    std::to_string(ncells));
+            for (size_t c = 0; c < ncells; ++c) {
                 int64_t r = cell_to_row[c];
                 double rate = rate_var->data[c];
                 if (r >= 0 && std::abs(rate) < 1.0e30)
@@ -408,25 +413,37 @@ int main(int argc, char **argv) {
          * (or circ_fname) acts as a first-order surface-layer sink at rate
          * pv / dz_surf (reference spec: tracer-module-defn-file.rst pv) */
         if (!opt.pv_vars.empty()) {
-            std::string src = opt.tracer_fname.empty() ? opt.circ_fname
-                                                       : opt.tracer_fname;
-            if (src.empty())
+            /* the field may live in either file; search both so a pv var
+             * stored in the circulation file is not silently dropped */
+            std::vector<nc3::File> srcs;
+            if (!opt.tracer_fname.empty()) srcs.push_back(nc3::read(opt.tracer_fname));
+            if (!opt.circ_fname.empty()) srcs.push_back(nc3::read(opt.circ_fname));
+            if (srcs.empty())
                 throw std::runtime_error("pv requires tracer_fname or circ_fname");
-            nc3::File pvf = nc3::read(src);
-            const nc3::Var *dz = pvf.find("dz");
-            double dz_surf_cm = dz ? dz->data[0] : 1.0e2;
-            for (auto &pv_var : opt.pv_vars) {
-                const nc3::Var *pv = pvf.find(pv_var);
-                if (!pv) {
-                    std::fprintf(stderr, "gen_A: pv var %s missing, skipped\n",
-                                 pv_var.c_str());
-                    continue;
+            double dz_surf_cm = 1.0e2;
+            for (auto &f : srcs)
+                if (const nc3::Var *dz = f.find("dz")) {
+                    dz_surf_cm = dz->data[0];
+                    break;
                 }
-                for (size_t h = 0; h < nhoriz && h < pv->size(); ++h) {
+            for (auto &pv_var : opt.pv_vars) {
+                const nc3::Var *pv = nullptr;
+                for (auto &f : srcs)
+                    if ((pv = f.find(pv_var)) != nullptr) break;
+                if (!pv)
+                    throw std::runtime_error(
+                        "pv field " + pv_var + " found in neither "
+                        "tracer_fname nor circ_fname");
+                if (pv->size() != nhoriz)
+                    throw std::runtime_error(
+                        "pv field " + pv_var + " has " +
+                        std::to_string(pv->size()) + " cells, surface has " +
+                        std::to_string(nhoriz));
+                for (size_t h = 0; h < nhoriz; ++h) {
                     int64_t r = cell_to_row[h];
                     if (r < 0) continue;
                     double val = pv->data[h];
-                    if (std::abs(val) > 1.0e30) continue; /* fill value */
+                    if (!(std::abs(val) < 1.0e30)) continue; /* fill/NaN */
                     trips.push_back({r, r, -delta_t * val / dz_surf_cm});
                 }
             }

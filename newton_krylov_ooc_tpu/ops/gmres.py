@@ -39,10 +39,16 @@ import jax
 import jax.numpy as jnp
 
 
-def build_gmres(jvp_fn, precond_fn, dot_fn, broadcast_fn, max_dim, rel_tol):
+def build_gmres(jvp_fn, precond_fn, dot_fn, broadcast_fn, max_dim, rel_tol,
+                linearize_fn=None):
     """build a jitted GMRES solve for a kernel's linear algebra.
 
     jvp_fn(x, fcn, v) -> J v            (the model-year Jacobian action)
+    linearize_fn: optional F itself (y -> F(y)); when given, the solve
+        calls jax.linearize(F, x) ONCE and the loop applies the tangent
+        map -- for nonlinear models this pays the primal year a single
+        time instead of re-deriving it inside every Krylov matvec (the
+        while_loop body cannot hoist the loop-invariant primal)
     precond_fn(precond_data, r) -> M^-1 r
     dot_fn(a, b) -> (module, region) weighted dot products
     broadcast_fn(scalars (module, region)) -> state-shaped per-region field
@@ -63,6 +69,16 @@ def build_gmres(jvp_fn, precond_fn, dot_fn, broadcast_fn, max_dim, rel_tol):
 
     @jax.jit
     def gmres(x, fcn, precond_data):
+        if linearize_fn is not None:
+            _, tangent = jax.linearize(linearize_fn, x)
+
+            def apply_jac(v):
+                return tangent(v)
+        else:
+
+            def apply_jac(v):
+                return jvp_fn(x, fcn, v)
+
         r0 = precond_fn(precond_data, fcn)
         beta = norm(r0)                                   # (M, R)
         safe_beta = _nonzero(beta)
@@ -98,7 +114,7 @@ def build_gmres(jvp_fn, precond_fn, dot_fn, broadcast_fn, max_dim, rel_tol):
         def body(state):
             j, basis, r_mat, cs, sn, g_vec = state
 
-            w = precond_fn(precond_data, jvp_fn(x, fcn, basis[j]))
+            w = precond_fn(precond_data, apply_jac(basis[j]))
 
             # modified Gram-Schmidt against columns 0..j (masked full sweep:
             # untouched basis slots are zero, so their dot products vanish)
@@ -196,6 +212,7 @@ class JittedGMRES:
         self._gmres = build_gmres(
             kernel.jvp, kernel.precond_apply, kernel.dot, broadcast_fn,
             max_dim, rel_tol,
+            linearize_fn=getattr(kernel, "linearize_target", None),
         )
 
     def __call__(self, x, fcn, precond_data):

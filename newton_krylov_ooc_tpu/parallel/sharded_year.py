@@ -229,7 +229,89 @@ def build_sharded_year(mesh, data: ShardedYearData, diag, aging, t_span,
     return year
 
 
-class ShardedIageKernel:
+
+class _ShardedKernelInterface:
+    """solver-interface methods shared by the sharded kernels.
+
+    Subclass __init__ must call _init_reductions (region-weighted dots and
+    broadcasts) and set _comp_fcn / _precond_factor-or-None /
+    _precond_apply; the interface then serves NewtonKrylovInCore and the
+    jitted GMRES identically for every kernel."""
+
+    def _init_reductions(self, mesh, region_mask, grid_weight, nz, ny,
+                         dtype):
+        if region_mask is None:
+            region_mask = np.ones((nz, ny), np.int32)
+        if grid_weight is None:
+            grid_weight = np.outer(self.depth.delta, self.ypos.delta)
+        self._region_mask_np = np.asarray(region_mask)
+        (
+            self.region_cnt,
+            self._mean_w,
+            self._onehot,
+            self._region_fill,
+        ) = _region_reduction_arrays(
+            mesh, region_mask, grid_weight, nz, ny, dtype
+        )
+
+        @jax.jit
+        def dot(a, b):
+            # (B, T, nz, ny) x (R, nz, ny) -> (B, R): per-module, per-region
+            # weighted dot products (tracer axis summed, reference
+            # convention)
+            prod = jnp.sum(a * b, axis=1)
+            return jnp.einsum("bzy,rzy->br", prod, self._mean_w)
+
+        self._dot = dot
+
+        @jax.jit
+        def region_broadcast_jit(scalars):
+            field = jnp.einsum("br,rzy->bzy", scalars, self._onehot)
+            return (field + self._region_fill)[:, None, :, :]
+
+        self._region_broadcast = region_broadcast_jit
+
+    def comp_fcn(self, x):
+        return self._comp_fcn(x)
+
+    def dot(self, a, b):
+        return self._dot(a, b)
+
+    def norm(self, v):
+        return jnp.sqrt(self._dot(v, v))
+
+    @staticmethod
+    def add(a, b):
+        return a + b
+
+    def scale(self, v, factor):
+        factor = np.asarray(factor)
+        if factor.ndim == 0:
+            return v * float(factor)
+        return v * self._region_broadcast(jnp.asarray(factor, self.dtype))
+
+    def region_broadcast(self, scalars):
+        """(module, region) scalars -> (module, 1, nz, ny) field"""
+        return self._region_broadcast(scalars)
+
+    def apply_limiter(self, x, increment):
+        return np.ones((self.module_batch, self.region_cnt))
+
+    def lin_comb(self, basis, coeff):
+        res = self.scale(basis[0], coeff[0])
+        for j in range(1, len(basis)):
+            res = res + self.scale(basis[j], coeff[j])
+        return res
+
+    def precond_setup(self, x):
+        factor = getattr(self, "_precond_factor", None)
+        return None if factor is None else factor(x)
+
+    def precond_apply(self, data, r):
+        return self._precond_apply(data, r)
+
+
+class ShardedIageKernel(_ShardedKernelInterface):
     """in-core solver kernel over a (module, space) mesh: a batch of
     parameterized iage-family modules (per-module aging rates), the sharded
     IMEX year, exact linear-model JVPs, and a column-local vertical-implicit
@@ -306,37 +388,7 @@ class ShardedIageKernel:
         self.state_sharding = NamedSharding(
             mesh, P("module", None, None, "space")
         )
-        # per-(module, region) reductions: contraction against the dense
-        # region-mean matrix (decoupled-region block independence, SURVEY
-        # P2) -- sharded over ypos like the state, so the contraction's
-        # reduction becomes a psum over the mesh
-        from ..utils.regions import region_mean_weights
-
-        if region_mask is None:
-            region_mask = np.ones((nz, ny), np.int32)
-        if grid_weight is None:
-            grid_weight = np.outer(depth.delta, ypos.delta)
-        self.region_cnt = int(np.asarray(region_mask).max())
-        mean_w = region_mean_weights(region_mask, grid_weight).reshape(
-            self.region_cnt, nz, ny
-        )
-        space_sharding = NamedSharding(mesh, P(None, None, "space"))
-        self._mean_w = jax.device_put(
-            jnp.asarray(mean_w, dtype), space_sharding
-        )
-        onehot = np.stack(
-            [
-                (np.asarray(region_mask) == r + 1).astype(np.float64)
-                for r in range(self.region_cnt)
-            ]
-        )
-        fill = 1.0 - onehot.sum(axis=0)  # cells outside every region
-        self._onehot = jax.device_put(
-            jnp.asarray(onehot, dtype), space_sharding
-        )
-        self._region_fill = jax.device_put(
-            jnp.asarray(fill, dtype), NamedSharding(mesh, P(None, "space"))
-        )
+        self._init_reductions(mesh, region_mask, grid_weight, nz, ny, dtype)
 
         # column-local preconditioner: the implicit-Euler-product operator
         # M = I - prod_i (I - dt T(t_i)) restricted to the VERTICAL part of
@@ -395,33 +447,8 @@ class ShardedIageKernel:
         # in plain jax on the sharded arrays -- XLA turns the shifted adds
         # into collective permutes, and the arithmetic is mesh-shape
         # independent (same equality property as the rest of the kernel).
-        vfaces_g = np.asarray(self.data.vfaces, np.float64)  # per-shard stacks
-        hfaces_g = np.asarray(self.data.hfaces, np.float64)
-        # reassemble the global face arrays from the per-shard stacks
-        vf_glob = np.concatenate(
-            [vfaces_g[s, :, :-1] for s in range(n_space)]
-            + [vfaces_g[-1, :, -1:]], axis=1
-        )
-        hf_glob = np.concatenate(
-            [hfaces_g[s, :, :-1] for s in range(n_space)]
-            + [hfaces_g[-1, :, -1:]], axis=1
-        )
-        ca_g = 0.5 * vf_glob + hf_glob                  # (nz, ny+1)
-        cb_g = 0.5 * vf_glob - hf_glob
-        dy_r_glob = np.asarray(ypos.delta_r, np.float64)[None, :]
-        lat_dl = dy_r_glob * ca_g[:, :-1]               # y_{j-1} coefficient
-        lat_d = dy_r_glob * (cb_g[:, :-1] - ca_g[:, 1:])
-        lat_du = -dy_r_glob * cb_g[:, 1:]               # y_{j+1} coefficient
-        dt_lat = self.year
-        lat_sharding = NamedSharding(mesh, P(None, "space"))
-        self._lat_dl = jax.device_put(
-            jnp.asarray(-dt_lat * lat_dl, dtype), lat_sharding
-        )
-        self._lat_d = jax.device_put(
-            jnp.asarray(1.0 - dt_lat * lat_d, dtype), lat_sharding
-        )
-        self._lat_du = jax.device_put(
-            jnp.asarray(-dt_lat * lat_du, dtype), lat_sharding
+        self._lat_dl, self._lat_d, self._lat_du = _lateral_tridiag_arrays(
+            mesh, self.data, ypos, self.year, dtype
         )
 
         from ..ops.tridiag import pcr_solve
@@ -441,25 +468,8 @@ class ShardedIageKernel:
             sol = jnp.swapaxes(sol.reshape(r.shape[0], 2, ny, nz), -1, -2)
             return sol - r
 
-        self._precond_factor = precond_factor
+        self._precond_factor = lambda x: precond_factor()
         self._precond_apply = precond_apply
-
-        @jax.jit
-        def dot(a, b):
-            # (B, T, nz, ny) x (R, nz, ny) -> (B, R): per-module, per-region
-            # weighted dot products (tracer axis summed, reference
-            # convention)
-            prod = jnp.sum(a * b, axis=1)
-            return jnp.einsum("bzy,rzy->br", prod, self._mean_w)
-
-        self._dot = dot
-
-        @jax.jit
-        def region_broadcast_jit(scalars):
-            field = jnp.einsum("br,rzy->bzy", scalars, self._onehot)
-            return (field + self._region_fill)[:, None, :, :]
-
-        self._region_broadcast = region_broadcast_jit
         self._comp_fcn = jax.jit(lambda y: self._year(y) - y)
         self._jvp = jax.jit(lambda v: self._year0(v) - v)
 
@@ -475,47 +485,9 @@ class ShardedIageKernel:
             jnp.asarray(field, self.dtype), self.state_sharding
         )
 
-    def comp_fcn(self, x):
-        return self._comp_fcn(x)
-
     def jvp(self, x, fcn, v):
         """exact: the module family is linear, so J v = year0(v) - v"""
         return self._jvp(v)
-
-    def dot(self, a, b):
-        return self._dot(a, b)
-
-    def norm(self, v):
-        return jnp.sqrt(self._dot(v, v))
-
-    @staticmethod
-    def add(a, b):
-        return a + b
-
-    def scale(self, v, factor):
-        factor = np.asarray(factor)
-        if factor.ndim == 0:
-            return v * float(factor)
-        return v * self._region_broadcast(jnp.asarray(factor, self.dtype))
-
-    def region_broadcast(self, scalars):
-        """(module, region) scalars -> (module, 1, nz, ny) field"""
-        return self._region_broadcast(scalars)
-
-    def apply_limiter(self, x, increment):
-        return np.ones((self.module_batch, self.region_cnt))
-
-    def lin_comb(self, basis, coeff):
-        res = self.scale(basis[0], coeff[0])
-        for j in range(1, len(basis)):
-            res = res + self.scale(basis[j], coeff[j])
-        return res
-
-    def precond_setup(self, x):
-        return self._precond_factor()
-
-    def precond_apply(self, data, r):
-        return self._precond_apply(data, r)
 
 
 def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
@@ -889,7 +861,7 @@ def _lateral_tridiag_arrays(mesh, data: ShardedYearData, ypos, dt_lat, dtype):
     )
 
 
-class ShardedPhosphorusKernel:
+class ShardedPhosphorusKernel(_ShardedKernelInterface):
     """sharded NONLINEAR solver kernel: py_driver_2d phosphorus (po4/dop/
     pop) on a (module=1, space) mesh.
 
@@ -972,44 +944,22 @@ class ShardedPhosphorusKernel:
         self.state_sharding = NamedSharding(
             mesh, P("module", None, None, "space")
         )
-        if region_mask is None:
-            region_mask = np.ones((nz, ny), np.int32)
-        if grid_weight is None:
-            grid_weight = np.outer(depth.delta, ypos.delta)
-        (
-            self.region_cnt,
-            self._mean_w,
-            self._onehot,
-            self._region_fill,
-        ) = _region_reduction_arrays(
-            mesh, region_mask, grid_weight, nz, ny, dtype
-        )
+        self._init_reductions(mesh, region_mask, grid_weight, nz, ny, dtype)
 
         self._lat_dl, self._lat_d, self._lat_du = _lateral_tridiag_arrays(
             mesh, self.data, ypos, self.year, dtype
         )
 
         self._comp_fcn = jax.jit(lambda y: self._year(y) - y)
+        # the jitted GMRES linearizes this once per solve, so the primal
+        # year is paid a single time instead of once per Krylov matvec
+        self.linearize_target = lambda y: self._year(y) - y
 
         @jax.jit
         def jvp_fn(x, v):
             return jax.jvp(lambda y: self._year(y) - y, (x,), (v,))[1]
 
         self._jvp_fn = jvp_fn
-
-        @jax.jit
-        def dot(a, b):
-            prod = jnp.sum(a * b, axis=1)
-            return jnp.einsum("bzy,rzy->br", prod, self._mean_w)
-
-        self._dot = dot
-
-        @jax.jit
-        def region_broadcast_jit(scalars):
-            field = jnp.einsum("br,rzy->bzy", scalars, self._onehot)
-            return (field + self._region_fill)[:, None, :, :]
-
-        self._region_broadcast = region_broadcast_jit
 
         # column-local banded phosphorus Jacobian (tracer-innermost rows
         # r = z*3 + t per column, bandwidth 3), shift-regularized
@@ -1119,46 +1069,27 @@ class ShardedPhosphorusKernel:
             jnp.asarray(field, self.dtype), self.state_sharding
         )
 
-    def comp_fcn(self, x):
-        return self._comp_fcn(x)
-
     def jvp(self, x, fcn, v):
         """exact forward-mode JVP through the sharded nonlinear year"""
         return self._jvp_fn(x, v)
 
-    def dot(self, a, b):
-        return self._dot(a, b)
-
-    def norm(self, v):
-        return jnp.sqrt(self._dot(v, v))
-
-    @staticmethod
-    def add(a, b):
-        return a + b
-
-    def scale(self, v, factor):
-        factor = np.asarray(factor)
-        if factor.ndim == 0:
-            return v * float(factor)
-        return v * self._region_broadcast(jnp.asarray(factor, self.dtype))
-
-    def region_broadcast(self, scalars):
-        return self._region_broadcast(scalars)
-
     def apply_limiter(self, x, increment):
-        return np.ones((1, self.region_cnt))
+        """phosphorus tracers are bounded below by zero (the reference's
+        lob: 0.0); the per-region scale factor keeps x + scalef*increment
+        non-negative, preventing the Michaelis-Menten singularity at
+        po4 = -halfsat from ever entering a trial state"""
+        from ..utils.regions import comp_scalef_lob
 
-    def lin_comb(self, basis, coeff):
-        res = self.scale(basis[0], coeff[0])
-        for j in range(1, len(basis)):
-            res = res + self.scale(basis[j], coeff[j])
-        return res
-
-    def precond_setup(self, x):
-        return self._precond_factor(x)
-
-    def precond_apply(self, data, r):
-        return self._precond_apply(data, r)
+        x_np = np.asarray(x)[0]
+        inc_np = np.asarray(increment)[0]
+        scalef = np.ones((1, self.region_cnt))
+        for t in range(x_np.shape[0]):
+            comp = comp_scalef_lob(
+                self.region_cnt, self._region_mask_np, x_np[t], inc_np[t],
+                0.0,
+            )
+            scalef[0] = np.minimum(scalef[0], comp)
+        return scalef
 
 
 __all__ = [

@@ -15,6 +15,7 @@ from .mesh import (  # noqa: F401
     state_sharding,
 )
 from .sharded_year import (  # noqa: F401
+    ShardedForcedFamilyKernel,
     ShardedIageKernel,
     ShardedPhosphorusKernel,
     ShardedYearData,

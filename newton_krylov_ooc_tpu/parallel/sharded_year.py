@@ -230,6 +230,90 @@ def build_sharded_year(mesh, data: ShardedYearData, diag, aging, t_span,
 
 
 
+
+def _vertical_product_precond(kernel, tracer_diag, t_dim):
+    """(factor_fn, apply_fn) for the column-local implicit-Euler-product
+    vertical preconditioner composed with the ADI lateral sweep.
+
+    M_vert = I - prod_i (I - dt T(t_i)) with T the vertical tridiagonal
+    (mixing + the module's local linear rates) -- the reference's
+    implicit-Euler-product preconditioner (nk_ooc/py_driver_2d/iage.py:66-93)
+    restricted to the column-local part so it is shard-local and
+    mesh-shape-independent.  The product of three tridiagonals is 7-banded
+    per column; factored once per Newton iteration with the pivot-free
+    banded LU, batched over (tracer, column) blocks.  apply_fn first runs
+    the (I - dt L_y)^{-1} lateral sweep (PCR along the sharded ypos axis;
+    without it GMRES must resolve the weakly damped lateral modes itself
+    and stalls at the dimension cap)."""
+    from ..ops.tridiag import pcr_solve
+
+    data = kernel.data
+    nz, ny = kernel.nz, kernel.ny
+    dtype = kernel.dtype
+    year = kernel.year
+    tracer_diag = jnp.asarray(tracer_diag, dtype)      # (T, nz, ny)
+
+    @jax.jit
+    def factor():
+        grid = data.grid
+        dz_r = jnp.asarray(data.dz_r, dtype)
+        time_n = 3
+        dt = year / time_n
+        eye = jnp.eye(nz, dtype=dtype)
+        prod = jnp.broadcast_to(eye, (t_dim, ny, nz, nz))
+        for i in range(time_n):
+            t_mid = (i + 0.5) * dt
+            kv = physics.vert_mixing_coeff(grid, t_mid)  # (nz-1, ny)
+            up = kv * dz_r[:-1, None]
+            lo = kv * dz_r[1:, None]
+            zero = jnp.zeros((1, ny), dtype)
+            du = jnp.concatenate([up, zero], axis=0)     # (nz, ny)
+            dl = jnp.concatenate([zero, lo], axis=0)
+            dmain = -(du + dl) + tracer_diag             # (T, nz, ny)
+            t_mat = jnp.zeros((t_dim, ny, nz, nz), dtype)
+            rows = jnp.arange(nz)
+            t_mat = t_mat.at[:, :, rows, rows].set(
+                jnp.swapaxes(dmain, -1, -2)
+            )
+            t_mat = t_mat.at[:, :, rows[1:], rows[:-1]].set(
+                jnp.swapaxes(dl, -1, -2)[None, :, 1:]
+            )
+            t_mat = t_mat.at[:, :, rows[:-1], rows[1:]].set(
+                jnp.swapaxes(du, -1, -2)[None, :, :-1]
+            )
+            prod = prod @ (eye - dt * t_mat)
+        m_mat = eye - prod                               # (T, ny, nz, nz)
+        bw = min(time_n, nz - 1)
+        bands = jnp.zeros((t_dim, ny, nz, 2 * bw + 1), dtype)
+        for d in range(2 * bw + 1):
+            off = d - bw
+            dvals = jnp.diagonal(m_mat, offset=off, axis1=-2, axis2=-1)
+            rows = jnp.arange(max(0, -off), min(nz, nz - off))
+            bands = bands.at[:, :, rows, d].set(dvals)
+        return banded_lu_factor_blocks(bands.reshape(t_dim * ny, nz, -1))
+
+    @jax.jit
+    def apply(lu, r):
+        # lateral sweep along ypos (last axis; PCR over the sharded dim)
+        r_lat = pcr_solve(
+            jnp.broadcast_to(kernel._lat_dl, r.shape),
+            jnp.broadcast_to(kernel._lat_d, r.shape),
+            jnp.broadcast_to(kernel._lat_du, r.shape),
+            r,
+        )
+        # vertical product solve per (tracer, column) block along depth
+        rb = jnp.swapaxes(r_lat, -1, -2).reshape(
+            r.shape[0], t_dim * ny, nz
+        )
+        sol = jax.vmap(lambda rr: banded_lu_solve_blocks(lu, rr))(rb)
+        sol = jnp.swapaxes(
+            sol.reshape(r.shape[0], t_dim, ny, nz), -1, -2
+        )
+        return sol - r
+
+    return factor, apply
+
+
 class _ShardedKernelInterface:
     """solver-interface methods shared by the sharded kernels.
 
@@ -390,86 +474,15 @@ class ShardedIageKernel(_ShardedKernelInterface):
         )
         self._init_reductions(mesh, region_mask, grid_weight, nz, ny, dtype)
 
-        # column-local preconditioner: the implicit-Euler-product operator
-        # M = I - prod_i (I - dt T(t_i)) restricted to the VERTICAL part of
-        # the Jacobian (mixing + restoring; the reference's iage precond,
-        # nk_ooc/py_driver_2d/iage.py:66-93, uses the full Jacobian -- the
-        # vertical restriction keeps it column-local, hence shard-local and
-        # mesh-shape-independent).  The product of 3 tridiagonals is
-        # 7-banded per column; factor once per Newton iteration with the
-        # pivot-free banded LU, batched over (tracer, column) blocks.
-        tracer_diag = jnp.asarray(diag[0], dtype)  # (T, nz, ny); B-invariant
-
-        @jax.jit
-        def precond_factor():
-            grid = self.data.grid
-            dz_r = jnp.asarray(self.data.dz_r, dtype)
-            time_n = 3
-            dt = self.year / time_n
-            eye = jnp.eye(nz, dtype=dtype)
-            prod = jnp.broadcast_to(eye, (2, ny, nz, nz))
-            for i in range(time_n):
-                t_mid = (i + 0.5) * dt
-                kv = physics.vert_mixing_coeff(grid, t_mid)  # (nz-1, ny)
-                up = kv * dz_r[:-1, None]
-                lo = kv * dz_r[1:, None]
-                zero = jnp.zeros((1, ny), dtype)
-                du = jnp.concatenate([up, zero], axis=0)   # (nz, ny)
-                dl = jnp.concatenate([zero, lo], axis=0)
-                dmain = -(du + dl) + tracer_diag           # (T, nz, ny)
-                t_mat = jnp.zeros((2, ny, nz, nz), dtype)
-                rows = jnp.arange(nz)
-                t_mat = t_mat.at[:, :, rows, rows].set(
-                    jnp.swapaxes(dmain, -1, -2)
-                )
-                t_mat = t_mat.at[:, :, rows[1:], rows[:-1]].set(
-                    jnp.swapaxes(dl, -1, -2)[None, :, 1:]
-                )
-                t_mat = t_mat.at[:, :, rows[:-1], rows[1:]].set(
-                    jnp.swapaxes(du, -1, -2)[None, :, :-1]
-                )
-                prod = prod @ (eye - dt * t_mat)
-            m_mat = eye - prod                             # (T, ny, nz, nz)
-            bw = min(time_n, nz - 1)
-            bands = jnp.zeros((2, ny, nz, 2 * bw + 1), dtype)
-            for d in range(2 * bw + 1):
-                off = d - bw
-                dvals = jnp.diagonal(m_mat, offset=off, axis1=-2, axis2=-1)
-                rows = jnp.arange(max(0, -off), min(nz, nz - off))
-                bands = bands.at[:, :, rows, d].set(dvals)
-            return banded_lu_factor_blocks(bands.reshape(2 * ny, nz, -1))
-
-        # ADI-style lateral sweep: before the vertical product solve, apply
-        # (I - dt L_y)^{-1} where L_y is the ypos tridiagonal of advection +
-        # lateral diffusion per (tracer, depth row).  Without it GMRES must
-        # resolve the weakly-damped lateral modes itself and stalls at the
-        # dimension cap.  The solve runs as PCR along the SHARDED ypos axis
-        # in plain jax on the sharded arrays -- XLA turns the shifted adds
-        # into collective permutes, and the arithmetic is mesh-shape
-        # independent (same equality property as the rest of the kernel).
+        # column-local implicit-Euler-product vertical preconditioner +
+        # ADI lateral sweep (_vertical_product_precond); the tracer diag is
+        # module-invariant (restoring depends only on the tracer)
         self._lat_dl, self._lat_d, self._lat_du = _lateral_tridiag_arrays(
             mesh, self.data, ypos, self.year, dtype
         )
-
-        from ..ops.tridiag import pcr_solve
-
-        @jax.jit
-        def precond_apply(lu, r):
-            # lateral sweep along ypos (last axis; PCR over the sharded dim)
-            r_lat = pcr_solve(
-                jnp.broadcast_to(self._lat_dl, r.shape),
-                jnp.broadcast_to(self._lat_d, r.shape),
-                jnp.broadcast_to(self._lat_du, r.shape),
-                r,
-            )
-            # vertical product solve per (tracer, column) block along depth
-            rb = jnp.swapaxes(r_lat, -1, -2).reshape(r.shape[0], 2 * ny, nz)
-            sol = jax.vmap(lambda rr: banded_lu_solve_blocks(lu, rr))(rb)
-            sol = jnp.swapaxes(sol.reshape(r.shape[0], 2, ny, nz), -1, -2)
-            return sol - r
-
-        self._precond_factor = lambda x: precond_factor()
-        self._precond_apply = precond_apply
+        factor, apply = _vertical_product_precond(self, diag[0], 2)
+        self._precond_factor = lambda x: factor()
+        self._precond_apply = apply
         self._comp_fcn = jax.jit(lambda y: self._year(y) - y)
         self._jvp = jax.jit(lambda v: self._year0(v) - v)
 
@@ -1080,7 +1093,10 @@ class ShardedPhosphorusKernel(_ShardedKernelInterface):
         po4 = -halfsat from ever entering a trial state"""
         from ..utils.regions import comp_scalef_lob
 
-        x_np = np.asarray(x)[0]
+        # clamp tiny numerical undershoots of the bound out of the base:
+        # post-Newton fixed-point updates are unlimited and can leave the
+        # iterate an ulp below zero, which the limiter would reject
+        x_np = np.maximum(np.asarray(x)[0], 0.0)
         inc_np = np.asarray(increment)[0]
         scalef = np.ones((1, self.region_cnt))
         for t in range(x_np.shape[0]):
@@ -1092,7 +1108,119 @@ class ShardedPhosphorusKernel(_ShardedKernelInterface):
         return scalef
 
 
+
+
+
+class ShardedForcedFamilyKernel(_ShardedKernelInterface):
+    """sharded solver kernel for a forced_{suff}-style module family:
+    one tracer per module, surface restoring toward per-module constant
+    targets plus per-module first-order decay (the py_driver_2d forced
+    module's surf_restore_opt=const / sms_opt=decay configuration,
+    nk_ooc/py_driver_2d/forced.py) -- linear, so the source-free year map
+    supplies exact JVPs.
+
+    state layout: (module_batch, 1, nz, ny), sharded
+    P('module', None, None, 'space').
+    """
+
+    def __init__(self, mesh, depth, ypos, modelinfo, restore_rate,
+                 restore_targets, decay_rates, dtype=None, n_steps=365,
+                 region_mask=None, grid_weight=None):
+        if dtype is None:
+            dtype = jnp.result_type(float)
+        n_module, n_space = mesh.shape["module"], mesh.shape["space"]
+        self.mesh = mesh
+        self.depth, self.ypos = depth, ypos
+        self.dtype = dtype
+        self.data = ShardedYearData(depth, ypos, modelinfo, n_space, dtype)
+        nz, ny = self.data.nz, self.data.ny
+        self.nz, self.ny = nz, ny
+        restore_targets = np.asarray(restore_targets, np.float64)
+        decay_rates = np.asarray(decay_rates, np.float64)
+        self.module_batch = len(restore_targets)
+        if len(decay_rates) != self.module_batch:
+            raise ValueError("per-module targets and decay rates must pair")
+        if self.module_batch % n_module != 0:
+            raise ValueError(
+                f"module batch {self.module_batch} does not split over "
+                f"{n_module} mesh blocks"
+            )
+        self.year = physics.SEC_PER_YEAR
+
+        # implicit local rates: surface restoring + everywhere decay
+        diag = np.zeros((self.module_batch, 1, nz, ny))
+        diag[:, 0, 0, :] = -float(restore_rate)
+        diag -= decay_rates[:, None, None, None]
+        # source: the restoring target enters as a surface-layer inflow
+        # (z-dependent only, so it broadcasts over the sharded ypos axis)
+        source = np.zeros((self.module_batch, 1, nz, 1))
+        source[:, 0, 0, 0] = float(restore_rate) * restore_targets
+
+        t_span = (0.0, self.year)
+        self._year = build_sharded_year(
+            mesh, self.data, diag, source, t_span, n_steps
+        )
+        self._year0 = build_sharded_year(
+            mesh, self.data, diag, np.zeros_like(source), t_span, n_steps
+        )
+
+        self.state_sharding = NamedSharding(
+            mesh, P("module", None, None, "space")
+        )
+        self._init_reductions(mesh, region_mask, grid_weight, nz, ny, dtype)
+        self._lat_dl, self._lat_d, self._lat_du = _lateral_tridiag_arrays(
+            mesh, self.data, ypos, self.year, dtype
+        )
+        # the tracer diag varies per module (decay rates); precondition with
+        # the family's mean decay -- preconditioners only need to be close
+        diag_pc = np.zeros((1, nz, ny))
+        diag_pc[0, 0, :] = -float(restore_rate)
+        diag_pc -= float(decay_rates.mean())
+        factor, apply = _vertical_product_precond(self, diag_pc, 1)
+        self._precond_factor = lambda x: factor()
+        self._precond_apply = apply
+        self._comp_fcn = jax.jit(lambda y: self._year(y) - y)
+        self._jvp = jax.jit(lambda v: self._year0(v) - v)
+
+    def init_iterate(self):
+        """positive interior start (a zero iterate sits exactly on the
+        lower bound, where the limiter zeroes any increment with a negative
+        component -- the reference likewise starts from gen_init_iterate)"""
+        column = np.interp(
+            np.asarray(self.data.depth_mid), [50.0, 400.0], [0.9, 0.1]
+        )
+        field = np.broadcast_to(
+            column[None, None, :, None],
+            (self.module_batch, 1, self.nz, self.ny),
+        )
+        return jax.device_put(
+            jnp.asarray(field, self.dtype), self.state_sharding
+        )
+
+    def jvp(self, x, fcn, v):
+        """exact: the family is linear, so J v = year0(v) - v"""
+        return self._jvp(v)
+
+    def apply_limiter(self, x, increment):
+        """forced tracers are bounded below by zero (the reference's
+        lob: 0.0 for the forced module family)"""
+        from ..utils.regions import comp_scalef_lob
+
+        # clamp tiny numerical undershoots of the bound out of the base
+        # (unlimited fixed-point updates can sit an ulp below zero)
+        x_np = np.maximum(np.asarray(x), 0.0)
+        inc_np = np.asarray(increment)
+        scalef = np.ones((self.module_batch, self.region_cnt))
+        for b in range(self.module_batch):
+            comp_scalef_lob(
+                self.region_cnt, self._region_mask_np, x_np[b, 0],
+                inc_np[b, 0], 0.0, out=scalef[b],
+            )
+        return scalef
+
+
 __all__ = [
+    "ShardedForcedFamilyKernel",
     "ShardedIageKernel",
     "ShardedPhosphorusKernel",
     "ShardedYearData",

@@ -547,3 +547,55 @@ def test_sharded_checkpoint_resume_preserves_sharding(tmp_path):
     assert info2["iterations"] == info["iterations"]
     assert x2.sharding.is_equivalent_to(kernel.state_sharding, x2.ndim)
     assert np.allclose(np.asarray(x2), np.asarray(x_ref))
+
+
+def test_sharded_forced_family_solve():
+    """the forced_{suff}-style family (surface restoring to per-module
+    constants + per-module decay) spins up in one sharded batched solve;
+    equilibria are bounded by the restoring target, decrease with the decay
+    rate, and are mesh-shape independent"""
+    from newton_krylov_ooc_tpu.parallel.sharded_year import (
+        ShardedForcedFamilyKernel,
+    )
+
+    nz, ny, n_steps = 8, 8, 36
+    depth, ypos = _axes(nz, ny)
+    restore_rate = 1.0 / (10.0 * 86400.0)
+    targets = np.full(4, 1.0)
+    decays = np.arange(1, 5) / (200.0 * 86400.0)
+
+    results = []
+    for n_module, n_space in ((2, 4), (1, 1)):
+        mesh = make_mesh(
+            n_module=n_module, n_space=n_space,
+            devices=jax.devices()[: n_module * n_space],
+        )
+        kernel = ShardedForcedFamilyKernel(
+            mesh, depth, ypos, MODELINFO, restore_rate, targets, decays,
+            n_steps=n_steps,
+        )
+        solver = NewtonKrylovInCore(
+            kernel,
+            newton_rel_tol=1e-5,
+            krylov_rel_tol=1e-2,
+            newton_max_iter=8,
+            krylov_max_dim=25,
+            jit_gmres=True,
+        )
+        x, fcn, info = solver.solve(kernel.init_iterate())
+        rel = np.asarray(info["fcn_norm"]) / np.maximum(
+            np.asarray(info["x_norm"]), 1e-300
+        )
+        assert (rel < 1e-5).all()
+        xv = np.asarray(x)
+        # the bound holds to solver tolerance (post-Newton fixed-point
+        # updates are unlimited, as in the reference)
+        assert xv.min() > -1e-5
+        assert xv.max() <= 1.0 + 1e-6                 # bounded by the target
+        inv = (xv[:, 0] * np.asarray(depth.delta)[:, None]).sum(axis=(1, 2))
+        assert (np.diff(inv) < 0).all()               # more decay, less tracer
+        results.append(xv)
+
+    assert np.abs(results[0] - results[1]).max() < 1e-9 * np.abs(
+        results[1]
+    ).max()

@@ -842,9 +842,14 @@ def pack_block_consts(vfaces, hfaces, wvel, diag, source, bld_max, dy_r,
     wvel_p = np.tile(np.asarray(wvel, np.float32)[1:-1, :], (1, c_dim))
     dy_r_p = np.tile(np.asarray(dy_r, np.float32).reshape(-1), c_dim)[None, :]
     diag_p = diag.transpose(1, 0, 2).reshape(nz, w_dim)
-    src_p = np.repeat(np.asarray(source, np.float32).reshape(c_dim), nx)[
-        None, :
-    ]
+    source = np.asarray(source, np.float32)
+    if source.ndim <= 1:
+        # spatially uniform per-channel rate -> (1, W)
+        src_p = np.repeat(source.reshape(c_dim), nx)[None, :]
+    else:
+        # per-channel depth profile (C, nz) -> (nz, W), channel-major like
+        # diag_p (e.g. surface-only restoring sources)
+        src_p = np.repeat(source.reshape(c_dim, nz).T, nx, axis=1)
     bld_max_p = np.tile(np.asarray(bld_max, np.float32), c_dim)[None, :]
     return (
         ca,

@@ -530,7 +530,8 @@ def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
     jax.  float32 only (the pallas path's dtype).
 
     diag: (module_batch, tracer, nz, ny) implicit local rates
-    aging: (module_batch, tracer) explicit source rates
+    aging: (module_batch, tracer) explicit source rates, or
+        (module_batch, tracer, nz) depth profiles
     Returns fn(y) for y (module_batch, tracer, nz, ny) float32 sharded
     P('module', None, None, 'space').
     """
@@ -539,8 +540,12 @@ def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
     n_module, n_space = mesh.shape["module"], mesh.shape["space"]
     nz, ny = len(depth), len(ypos)
     diag = np.asarray(diag, np.float32)
-    aging = np.asarray(aging, np.float32).reshape(diag.shape[0], diag.shape[1])
-    module_batch, t_dim = aging.shape
+    aging = np.asarray(aging, np.float32)
+    if aging.ndim <= 2:
+        aging = aging.reshape(diag.shape[0], diag.shape[1])
+    else:  # (B, T, nz) per-channel depth profiles
+        aging = aging.reshape(diag.shape[0], diag.shape[1], diag.shape[2])
+    module_batch, t_dim = aging.shape[:2]
     if module_batch % n_module != 0 or ny % n_space != 0:
         raise ValueError("batch/grid do not split over the mesh")
     b_loc = module_batch // n_module
@@ -595,12 +600,16 @@ def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
     # stacked per-(module-block, space-block) packed consts + edge arrays
     consts_stack = None
     diag_own = np.empty((n_module, n_space, c_dim, nz, nyl), np.float32)
-    src_stack = np.empty((n_module, n_space, c_dim), np.float32)
+    src_stack = np.empty(
+        (n_module, n_space, c_dim) + aging.shape[2:], np.float32
+    )
     for mi in range(n_module):
         diag_mb = diag[mi * b_loc : (mi + 1) * b_loc].reshape(
             c_dim, nz, ny
         )
-        src_mb = aging[mi * b_loc : (mi + 1) * b_loc].reshape(c_dim)
+        src_mb = aging[mi * b_loc : (mi + 1) * b_loc].reshape(
+            (c_dim,) + aging.shape[2:]
+        )
         for sj in range(n_space):
             c0 = sj * nyl
             cols = col_clamp(np.arange(c0 - h, c0 + nyl + h))
@@ -657,7 +666,11 @@ def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
 
     def local_year(y, diag_l, src_l, vfo, hfo, wvo, dyo, ypo, *cst):
         diag_l = diag_l[0, 0]                  # (C, nz, nyl)
-        src_l = src_l[0, 0][:, None, None]     # (C, 1, 1)
+        src_l = src_l[0, 0]                    # (C,) or (C, nz)
+        if src_l.ndim == 1:
+            src_l = src_l[:, None, None]       # (C, 1, 1)
+        else:
+            src_l = src_l[:, :, None]          # (C, nz, 1)
         vfo = vfo[0]                           # (nz, nyl+1)
         hfo = hfo[0]
         wvo = wvo[0]                           # (nz+1, nyl)
@@ -777,7 +790,7 @@ def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
     in_specs = (
         state_spec,
         P("module", "space", None, None, None),   # diag_own
-        P("module", "space", None),               # src
+        P("module", "space", *([None] * (src_stack.ndim - 2))),  # src
         P("space", None, None),                   # vfaces_own
         P("space", None, None),                   # hfaces_own
         P("space", None, None),                   # wvel_own
@@ -1125,9 +1138,10 @@ class ShardedForcedFamilyKernel(_ShardedKernelInterface):
 
     def __init__(self, mesh, depth, ypos, modelinfo, restore_rate,
                  restore_targets, decay_rates, dtype=None, n_steps=365,
-                 region_mask=None, grid_weight=None):
+                 region_mask=None, grid_weight=None, use_pallas=False,
+                 block_steps=8, pallas_interpret=False):
         if dtype is None:
-            dtype = jnp.result_type(float)
+            dtype = jnp.float32 if use_pallas else jnp.result_type(float)
         n_module, n_space = mesh.shape["module"], mesh.shape["space"]
         self.mesh = mesh
         self.depth, self.ypos = depth, ypos
@@ -1157,12 +1171,28 @@ class ShardedForcedFamilyKernel(_ShardedKernelInterface):
         source[:, 0, 0, 0] = float(restore_rate) * restore_targets
 
         t_span = (0.0, self.year)
-        self._year = build_sharded_year(
-            mesh, self.data, diag, source, t_span, n_steps
-        )
-        self._year0 = build_sharded_year(
-            mesh, self.data, diag, np.zeros_like(source), t_span, n_steps
-        )
+        if use_pallas:
+            # VMEM-resident step blocks; the surface-only restoring source
+            # rides the pallas path as a per-channel depth profile
+            if np.dtype(dtype) != np.float32:
+                raise ValueError("use_pallas requires float32")
+            src_prof = source[:, :, :, 0].astype(np.float32)  # (B, 1, nz)
+            self._year = build_sharded_year_pallas(
+                mesh, depth, ypos, modelinfo, diag, src_prof, t_span,
+                n_steps, block_steps=block_steps, interpret=pallas_interpret,
+            )
+            self._year0 = build_sharded_year_pallas(
+                mesh, depth, ypos, modelinfo, diag,
+                np.zeros_like(src_prof), t_span, n_steps,
+                block_steps=block_steps, interpret=pallas_interpret,
+            )
+        else:
+            self._year = build_sharded_year(
+                mesh, self.data, diag, source, t_span, n_steps
+            )
+            self._year0 = build_sharded_year(
+                mesh, self.data, diag, np.zeros_like(source), t_span, n_steps
+            )
 
         self.state_sharding = NamedSharding(
             mesh, P("module", None, None, "space")

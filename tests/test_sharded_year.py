@@ -599,3 +599,37 @@ def test_sharded_forced_family_solve():
     assert np.abs(results[0] - results[1]).max() < 1e-9 * np.abs(
         results[1]
     ).max()
+
+
+@pytest.mark.slow
+def test_sharded_forced_family_pallas_matches_xla():
+    """the forced family's surface-only source profile rides the blocked
+    pallas path: one year matches the XLA-scan sharded year at f32 level"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from newton_krylov_ooc_tpu.parallel.sharded_year import (
+        ShardedForcedFamilyKernel,
+    )
+
+    nz, ny, n_steps = 8, 8, 25
+    depth, ypos = _axes(nz, ny)
+    restore_rate = 1.0 / (10.0 * 86400.0)
+    targets = np.array([1.0, 0.5])
+    decays = np.array([1.0, 2.0]) / (200.0 * 86400.0)
+    mesh = make_mesh(n_module=2, n_space=2, devices=jax.devices()[:4])
+
+    kern_pl = ShardedForcedFamilyKernel(
+        mesh, depth, ypos, MODELINFO, restore_rate, targets, decays,
+        n_steps=n_steps, use_pallas=True, block_steps=2,
+        pallas_interpret=True,
+    )
+    kern_xla = ShardedForcedFamilyKernel(
+        mesh, depth, ypos, MODELINFO, restore_rate, targets, decays,
+        dtype=jnp.float32, n_steps=n_steps,
+    )
+    x0 = kern_xla.init_iterate()
+    x0_pl = jax.device_put(x0, kern_pl.state_sharding)
+    out_pl = np.asarray(kern_pl._year(x0_pl))
+    out_xla = np.asarray(kern_xla._year(x0))
+    scale = np.abs(out_xla).max()
+    assert np.abs(out_pl - out_xla).max() < 1e-4 * scale

@@ -381,6 +381,42 @@ class _ShardedKernelInterface:
     def apply_limiter(self, x, increment):
         return np.ones((self.module_batch, self.region_cnt))
 
+    def _finish_linear_family_setup(self, mesh, ypos, region_mask,
+                                    grid_weight, tracer_diag_pc, t_dim):
+        """shared wiring tail for LINEAR family kernels (self._year /
+        self._year0 already built): sharding, region reductions, the ADI +
+        vertical-product preconditioner, and the jitted fcn/jvp maps"""
+        self.state_sharding = NamedSharding(
+            mesh, P("module", None, None, "space")
+        )
+        self._init_reductions(
+            mesh, region_mask, grid_weight, self.nz, self.ny, self.dtype
+        )
+        self._lat_dl, self._lat_d, self._lat_du = _lateral_tridiag_arrays(
+            mesh, self.data, ypos, self.year, self.dtype
+        )
+        factor, apply = _vertical_product_precond(self, tracer_diag_pc, t_dim)
+        self._precond_factor = lambda x: factor()
+        self._precond_apply = apply
+        self._comp_fcn = jax.jit(lambda y: self._year(y) - y)
+        self._jvp = jax.jit(lambda v: self._year0(v) - v)
+
+    def _clamp_lob_base(self, x_np, lob=0.0, tol=1.0e-5):
+        """clamp ulp/tolerance-level undershoots of the lower bound out of
+        a limiter base (unlimited post-Newton fixed-point updates can sit
+        slightly below the bound), but reject genuinely infeasible states
+        loudly -- silently clamping a diverged iterate would let the next
+        function evaluation hit the model's singularities"""
+        undershoot = float(lob - x_np.min())
+        scale = max(float(np.abs(x_np).max()), 1.0)
+        if undershoot > tol * scale:
+            raise RuntimeError(
+                f"iterate violates the lower bound {lob} by {undershoot:.3e}"
+                f" (tolerance {tol * scale:.3e}); the solve has left the "
+                "feasible region"
+            )
+        return np.maximum(x_np, lob)
+
     def lin_comb(self, basis, coeff):
         res = self.scale(basis[0], coeff[0])
         for j in range(1, len(basis)):
@@ -469,22 +505,12 @@ class ShardedIageKernel(_ShardedKernelInterface):
                 mesh, self.data, diag, np.zeros_like(aging), t_span, n_steps
             )
 
-        self.state_sharding = NamedSharding(
-            mesh, P("module", None, None, "space")
+        # sharding + reductions + ADI/vertical-product preconditioner +
+        # jitted maps; the precond's tracer diag is module-invariant
+        # (restoring depends only on the tracer)
+        self._finish_linear_family_setup(
+            mesh, ypos, region_mask, grid_weight, diag[0], 2
         )
-        self._init_reductions(mesh, region_mask, grid_weight, nz, ny, dtype)
-
-        # column-local implicit-Euler-product vertical preconditioner +
-        # ADI lateral sweep (_vertical_product_precond); the tracer diag is
-        # module-invariant (restoring depends only on the tracer)
-        self._lat_dl, self._lat_d, self._lat_du = _lateral_tridiag_arrays(
-            mesh, self.data, ypos, self.year, dtype
-        )
-        factor, apply = _vertical_product_precond(self, diag[0], 2)
-        self._precond_factor = lambda x: factor()
-        self._precond_apply = apply
-        self._comp_fcn = jax.jit(lambda y: self._year(y) - y)
-        self._jvp = jax.jit(lambda v: self._year0(v) - v)
 
     # -- solver interface ----------------------------------------------------
 
@@ -541,10 +567,21 @@ def build_sharded_year_pallas(mesh, depth, ypos, modelinfo, diag, aging,
     nz, ny = len(depth), len(ypos)
     diag = np.asarray(diag, np.float32)
     aging = np.asarray(aging, np.float32)
-    if aging.ndim <= 2:
-        aging = aging.reshape(diag.shape[0], diag.shape[1])
-    else:  # (B, T, nz) per-channel depth profiles
-        aging = aging.reshape(diag.shape[0], diag.shape[1], diag.shape[2])
+    b_dim, tr_dim, nz_dim = diag.shape[0], diag.shape[1], diag.shape[2]
+    if aging.shape in ((b_dim, tr_dim), (b_dim * tr_dim,)):
+        aging = aging.reshape(b_dim, tr_dim)
+    elif aging.shape == (b_dim, tr_dim, 1, 1):
+        # the sibling XLA builder's documented aging shape
+        aging = aging.reshape(b_dim, tr_dim)
+    elif aging.shape == (b_dim, tr_dim, nz_dim):
+        pass  # per-channel depth profiles
+    else:
+        raise ValueError(
+            f"aging shape {aging.shape} is neither (module_batch, tracer) "
+            f"= ({b_dim}, {tr_dim}) [uniform rates, (B, T, 1, 1) also "
+            f"accepted] nor (module_batch, tracer, nz) = "
+            f"({b_dim}, {tr_dim}, {nz_dim}) [depth profiles]"
+        )
     module_batch, t_dim = aging.shape[:2]
     if module_batch % n_module != 0 or ny % n_space != 0:
         raise ValueError("batch/grid do not split over the mesh")
@@ -1106,10 +1143,7 @@ class ShardedPhosphorusKernel(_ShardedKernelInterface):
         po4 = -halfsat from ever entering a trial state"""
         from ..utils.regions import comp_scalef_lob
 
-        # clamp tiny numerical undershoots of the bound out of the base:
-        # post-Newton fixed-point updates are unlimited and can leave the
-        # iterate an ulp below zero, which the limiter would reject
-        x_np = np.maximum(np.asarray(x)[0], 0.0)
+        x_np = self._clamp_lob_base(np.asarray(x)[0])
         inc_np = np.asarray(increment)[0]
         scalef = np.ones((1, self.region_cnt))
         for t in range(x_np.shape[0]):
@@ -1194,23 +1228,14 @@ class ShardedForcedFamilyKernel(_ShardedKernelInterface):
                 mesh, self.data, diag, np.zeros_like(source), t_span, n_steps
             )
 
-        self.state_sharding = NamedSharding(
-            mesh, P("module", None, None, "space")
-        )
-        self._init_reductions(mesh, region_mask, grid_weight, nz, ny, dtype)
-        self._lat_dl, self._lat_d, self._lat_du = _lateral_tridiag_arrays(
-            mesh, self.data, ypos, self.year, dtype
-        )
         # the tracer diag varies per module (decay rates); precondition with
         # the family's mean decay -- preconditioners only need to be close
         diag_pc = np.zeros((1, nz, ny))
         diag_pc[0, 0, :] = -float(restore_rate)
         diag_pc -= float(decay_rates.mean())
-        factor, apply = _vertical_product_precond(self, diag_pc, 1)
-        self._precond_factor = lambda x: factor()
-        self._precond_apply = apply
-        self._comp_fcn = jax.jit(lambda y: self._year(y) - y)
-        self._jvp = jax.jit(lambda v: self._year0(v) - v)
+        self._finish_linear_family_setup(
+            mesh, ypos, region_mask, grid_weight, diag_pc, 1
+        )
 
     def init_iterate(self):
         """positive interior start (a zero iterate sits exactly on the
@@ -1236,9 +1261,7 @@ class ShardedForcedFamilyKernel(_ShardedKernelInterface):
         lob: 0.0 for the forced module family)"""
         from ..utils.regions import comp_scalef_lob
 
-        # clamp tiny numerical undershoots of the bound out of the base
-        # (unlimited fixed-point updates can sit an ulp below zero)
-        x_np = np.maximum(np.asarray(x), 0.0)
+        x_np = self._clamp_lob_base(np.asarray(x))
         inc_np = np.asarray(increment)
         scalef = np.ones((self.module_batch, self.region_cnt))
         for b in range(self.module_batch):

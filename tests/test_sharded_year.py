@@ -605,8 +605,6 @@ def test_sharded_forced_family_solve():
 def test_sharded_forced_family_pallas_matches_xla():
     """the forced family's surface-only source profile rides the blocked
     pallas path: one year matches the XLA-scan sharded year at f32 level"""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from newton_krylov_ooc_tpu.parallel.sharded_year import (
         ShardedForcedFamilyKernel,
     )

@@ -281,13 +281,16 @@ def _build_config(tmp_path, mock_case):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("precond_mode", ["native", "device"])
+@pytest.mark.parametrize(
+    "precond_mode", ["native", "device", "device_sharded"]
+)
 def test_mock_cime_pop_solve(tmp_path, mock_case, monkeypatch, precond_mode):
     """full Newton solve of the mock external model through the adapter
 
     the fixed point of y -> DECAY*y + FORCING is FORCING/(1-DECAY) = 4.0;
-    runs once with the external (mock) solve_ABdist tool and once with the
-    on-device sparse solve (precond_solver_mode=device)
+    runs with the external (mock) solve_ABdist tool, with the on-device
+    sparse solve (precond_solver_mode=device), and with the row-sharded
+    mesh solve (precond_solver_mode=device_sharded)
     """
     from newton_krylov_ooc_tpu.models.cime_pop.model_state import ModelState
 

@@ -3,7 +3,8 @@
  * usage: gcol <algorithm> <dimacs file> [-k colors] [-i max_iters]
  *             [-p pop_size] [-s seed] [-o solution file]
  *
- * algorithms: greedy | dsatur | backtracking | tabucol | hybrid_ea
+ * algorithms: greedy | dsatur | rlf | backtracking | tabucol | partialcol
+ *             | hillclimber | hybrid_ea | antcol
  * The solution file lists one 0-based color per vertex line (the format the
  * reference's IRF-coloring notebook consumes from the gCol executables).
  */
@@ -19,7 +20,8 @@
 int main(int argc, char **argv) {
     if (argc < 3) {
         std::fprintf(stderr,
-                     "usage: %s <greedy|dsatur|backtracking|tabucol|hybrid_ea>"
+                     "usage: %s <greedy|dsatur|rlf|backtracking|tabucol"
+                     "|partialcol|hillclimber|hybrid_ea|antcol>"
                      " <dimacs file> [-k colors] [-i max_iters] [-p pop_size]"
                      " [-s seed] [-o solution file]\n",
                      argv[0]);
@@ -96,9 +98,25 @@ int main(int argc, char **argv) {
         }
         n_colors = gcol_tabucol(n, row_ptr.data(), col_ind.data(), k,
                                 colors.data(), max_iters, seed);
-    } else if (algo == "hybrid_ea")
+    } else if (algo == "partialcol") {
+        if (k <= 0) {
+            std::fprintf(stderr, "partialcol requires -k\n");
+            return 2;
+        }
+        n_colors = gcol_partialcol(n, row_ptr.data(), col_ind.data(), k,
+                                   colors.data(), max_iters, seed);
+    } else if (algo == "hillclimber")
+        n_colors = gcol_hillclimber(n, row_ptr.data(), col_ind.data(),
+                                    colors.data(), max_iters, seed);
+    else if (algo == "rlf")
+        n_colors = gcol_rlf(n, row_ptr.data(), col_ind.data(), colors.data());
+    else if (algo == "hybrid_ea")
         n_colors = gcol_hybrid_ea(n, row_ptr.data(), col_ind.data(),
                                   colors.data(), max_iters, pop_size, seed);
+    else if (algo == "antcol")
+        n_colors = gcol_antcol(n, row_ptr.data(), col_ind.data(),
+                               colors.data(), pop_size, /*n_cycles=*/50,
+                               max_iters, seed);
     else {
         std::fprintf(stderr, "unknown algorithm %s\n", algo.c_str());
         return 2;

@@ -8,8 +8,10 @@ Here:
   * build_distance2_graph: column-intersection graph of a sparsity pattern
     (columns sharing a row are adjacent -- a distance-2 coloring of the
     bipartite column graph),
-  * color_graph: the native C++ gcol library (greedy/DSatur/backtracking/
-    TabuCol/HybridEA) via ctypes, with a pure-python DSatur fallback,
+  * color_graph: the native C++ gcol library (greedy/DSatur/RLF/backtracking/
+    TabuCol/PartialCol/HillClimber/HybridEA/AntCol -- the same suite the
+    reference vendors in externals/gCol) via ctypes, with a pure-python
+    DSatur fallback,
   * probe_jacobian: recover the sparse Jacobian from one JVP per color --
     exact when the JVP is exact (jax.jvp through the stepper), matching the
     reference's FD probing otherwise.
@@ -58,8 +60,21 @@ def _gcol_lib():
         ctypes.c_int, i64p, i32p, i32p, ctypes.c_int64, ctypes.c_int,
         ctypes.c_uint64,
     ]
+    lib.gcol_partialcol.argtypes = [
+        ctypes.c_int, i64p, i32p, ctypes.c_int, i32p, ctypes.c_int64,
+        ctypes.c_uint64,
+    ]
+    lib.gcol_hillclimber.argtypes = [
+        ctypes.c_int, i64p, i32p, i32p, ctypes.c_int64, ctypes.c_uint64,
+    ]
+    lib.gcol_antcol.argtypes = [
+        ctypes.c_int, i64p, i32p, i32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_uint64,
+    ]
+    lib.gcol_rlf.argtypes = [ctypes.c_int, i64p, i32p, i32p]
     for fn in ["gcol_greedy", "gcol_dsatur", "gcol_backtracking_dsatur",
-               "gcol_tabucol", "gcol_hybrid_ea"]:
+               "gcol_tabucol", "gcol_hybrid_ea", "gcol_partialcol",
+               "gcol_hillclimber", "gcol_antcol", "gcol_rlf"]:
         getattr(lib, fn).restype = ctypes.c_int
     _GCOL_LIB = lib
     return lib
@@ -113,8 +128,14 @@ def _dsatur_py(n, row_ptr, col_ind):
 
 
 def color_graph(row_ptr, col_ind, algorithm="hybrid_ea", max_iters=100_000,
-                pop_size=10, seed=12345, node_budget=1_000_000):
-    """color a CSR graph; returns (n_colors, colors int32 (n,))"""
+                pop_size=10, seed=12345, node_budget=1_000_000,
+                target_k=None):
+    """color a CSR graph; returns (n_colors, colors int32 (n,))
+
+    algorithm: greedy | dsatur | rlf | backtracking | hybrid_ea | hillclimber
+    | antcol, plus the fixed-k searches tabucol | partialcol (which require
+    target_k and raise if no proper target_k-coloring is found in max_iters).
+    """
     n = len(row_ptr) - 1
     if n == 0:
         return 0, np.zeros(0, dtype=np.int32)
@@ -133,10 +154,22 @@ def color_graph(row_ptr, col_ind, algorithm="hybrid_ea", max_iters=100_000,
         n_colors = lib.gcol_greedy(n, rp, ci, co)
     elif algorithm == "dsatur":
         n_colors = lib.gcol_dsatur(n, rp, ci, co)
+    elif algorithm == "rlf":
+        n_colors = lib.gcol_rlf(n, rp, ci, co)
     elif algorithm == "backtracking":
         n_colors = lib.gcol_backtracking_dsatur(n, rp, ci, co, node_budget)
     elif algorithm == "hybrid_ea":
         n_colors = lib.gcol_hybrid_ea(n, rp, ci, co, max_iters, pop_size, seed)
+    elif algorithm == "hillclimber":
+        n_colors = lib.gcol_hillclimber(n, rp, ci, co, max_iters, seed)
+    elif algorithm == "antcol":
+        n_colors = lib.gcol_antcol(n, rp, ci, co, pop_size, 50, max_iters,
+                                   seed)
+    elif algorithm in ("tabucol", "partialcol"):
+        if target_k is None:
+            raise ValueError(f"{algorithm} requires target_k")
+        fn = lib.gcol_tabucol if algorithm == "tabucol" else lib.gcol_partialcol
+        n_colors = fn(n, rp, ci, target_k, co, max_iters, seed)
     else:
         raise ValueError(f"unknown algorithm {algorithm}")
     if n_colors < 0:

@@ -44,7 +44,9 @@ def _assert_proper(row_ptr, col_ind, colors):
 
 @needs_native
 @pytest.mark.parametrize(
-    "algorithm", ["greedy", "dsatur", "backtracking", "hybrid_ea"]
+    "algorithm",
+    ["greedy", "dsatur", "rlf", "backtracking", "hybrid_ea", "hillclimber",
+     "antcol"],
 )
 def test_gcol_algorithms_ring(algorithm):
     """even rings are 2-chromatic, odd rings 3-chromatic"""
@@ -53,7 +55,8 @@ def test_gcol_algorithms_ring(algorithm):
         n_colors, colors = color_graph(row_ptr, col_ind, algorithm=algorithm)
         _assert_proper(row_ptr, col_ind, colors)
         assert n_colors >= chromatic
-        if algorithm in ("backtracking", "hybrid_ea"):
+        if algorithm in ("backtracking", "hybrid_ea", "hillclimber",
+                         "antcol"):
             assert n_colors == chromatic  # these reach the optimum here
 
 
@@ -62,6 +65,51 @@ def test_gcol_tabucol():
     row_ptr, col_ind = _ring_graph(12)
     lib_colors = color_graph(row_ptr, col_ind, algorithm="hybrid_ea")
     assert lib_colors[0] == 2
+
+
+@needs_native
+@pytest.mark.parametrize("algorithm", ["tabucol", "partialcol"])
+def test_gcol_fixed_k_searches(algorithm):
+    """the fixed-k searches find a proper 2-coloring of an even ring and
+    require target_k"""
+    row_ptr, col_ind = _ring_graph(14)
+    n_colors, colors = color_graph(
+        row_ptr, col_ind, algorithm=algorithm, target_k=2
+    )
+    assert n_colors == 2
+    _assert_proper(row_ptr, col_ind, colors)
+    with pytest.raises(ValueError, match="target_k"):
+        color_graph(row_ptr, col_ind, algorithm=algorithm)
+    # an odd ring has no proper 2-coloring: the search must report failure
+    row_ptr, col_ind = _ring_graph(9)
+    with pytest.raises(RuntimeError):
+        color_graph(
+            row_ptr, col_ind, algorithm=algorithm, target_k=2,
+            max_iters=2000,
+        )
+
+
+@needs_native
+def test_gcol_metaheuristics_random_graph():
+    """on a G(40, 0.3) graph every algorithm is proper and the k-reducing
+    metaheuristics never do worse than their DSatur start"""
+    rng = np.random.default_rng(3)
+    n = 40
+    adj = np.triu(rng.random((n, n)) < 0.3, k=1)
+    adj = adj | adj.T
+    row_ptr = np.zeros(n + 1, dtype=np.int64)
+    row_ptr[1:] = np.cumsum(adj.sum(axis=1))
+    col_ind = np.concatenate(
+        [np.nonzero(adj[v])[0] for v in range(n)]
+    ).astype(np.int32)
+    k_dsatur, _ = color_graph(row_ptr, col_ind, algorithm="dsatur")
+    for algorithm in ("rlf", "hillclimber", "hybrid_ea", "antcol"):
+        n_colors, colors = color_graph(
+            row_ptr, col_ind, algorithm=algorithm, max_iters=20_000
+        )
+        _assert_proper(row_ptr, col_ind, colors)
+        if algorithm != "rlf":
+            assert n_colors <= k_dsatur
 
 
 def test_python_fallback_dsatur(monkeypatch):

@@ -163,11 +163,20 @@ def color_graph(row_ptr, col_ind, algorithm="hybrid_ea", max_iters=100_000,
     elif algorithm == "hillclimber":
         n_colors = lib.gcol_hillclimber(n, rp, ci, co, max_iters, seed)
     elif algorithm == "antcol":
+        # the pheromone trail is a dense n x n double matrix: refuse graphs
+        # where that allocation would abort the process inside the C call
+        if n > 20_000:
+            raise ValueError(
+                f"antcol needs O(n^2) trail memory (n={n}); use hybrid_ea "
+                "for large probing graphs"
+            )
         n_colors = lib.gcol_antcol(n, rp, ci, co, pop_size, 50, max_iters,
                                    seed)
     elif algorithm in ("tabucol", "partialcol"):
         if target_k is None:
             raise ValueError(f"{algorithm} requires target_k")
+        if target_k < 1:
+            raise ValueError(f"target_k must be >= 1; got {target_k}")
         fn = lib.gcol_tabucol if algorithm == "tabucol" else lib.gcol_partialcol
         n_colors = fn(n, rp, ci, target_k, co, max_iters, seed)
     else:

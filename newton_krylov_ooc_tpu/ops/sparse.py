@@ -51,14 +51,21 @@ def ell_diagonal(vals, cols):
     return jnp.sum(jnp.where(cols == rows[:, None], vals, 0.0), axis=1)
 
 
+def jacobi_inverse_diagonal(vals, cols):
+    """1/diag(A) for Jacobi preconditioning, with 1.0 substituted on zero
+    diagonal entries (the single source of the singular-diagonal convention)
+    """
+    diag = ell_diagonal(vals, cols)
+    return jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
+
+
 def bicgstab_ell(vals, cols, b, rtol=1.0e-12, atol=0.0, max_iter=10000):
     """Jacobi-preconditioned BiCGSTAB solve of A x = b, A in ELL form
 
     returns (x, converged, n_iter); fully jittable, vmap over b for multiple
     right-hand sides.
     """
-    diag = ell_diagonal(vals, cols)
-    d_inv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
+    d_inv = jacobi_inverse_diagonal(vals, cols)
 
     def precond(v):
         return d_inv * v

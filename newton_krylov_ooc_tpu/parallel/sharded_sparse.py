@@ -26,7 +26,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.sparse import csr_to_ell, solve_csr_systems
+from ..ops.sparse import csr_to_ell, jacobi_inverse_diagonal, solve_csr_systems
 
 _AXIS = "rows"
 
@@ -74,11 +74,17 @@ def _sharded_bicgstab(mesh, vals, cols, d_inv, rhs, rtol, max_iter):
             x_g = jax.lax.all_gather(x_l, _AXIS, axis=1, tiled=True)
             return jnp.einsum("rk,brk->br", vals_l, x_g[:, cols_l])
 
-        bnorm = jnp.sqrt(dot(rhs_l, rhs_l))
+        def resid_norm(r):
+            return jnp.sqrt(dot(r, r))
+
+        bnorm = resid_norm(rhs_l)
         tol = rtol * bnorm
 
         x0 = jnp.zeros_like(rhs_l)
         ones = jnp.ones((n_rhs,), rhs_l.dtype)
+        # the residual norm is carried in the loop state so each iteration
+        # pays one cross-device reduction for it, not one in cond + one in
+        # body (XLA cannot CSE across the separate computations)
         state0 = (
             x0,
             rhs_l,
@@ -88,25 +94,22 @@ def _sharded_bicgstab(mesh, vals, cols, d_inv, rhs, rtol, max_iter):
             ones,
             ones,
             ones,
+            bnorm,
             jnp.zeros((n_rhs,), jnp.bool_),
             jnp.asarray(0, jnp.int32),
         )
 
-        def resid_norm(r):
-            return jnp.sqrt(dot(r, r))
-
         def cond(state):
-            (_x, r, _rh, _p, _v, _rho, _al, _om, broke, k) = state
-            active = (resid_norm(r) > tol) & ~broke
-            return jnp.any(active) & (k < max_iter)
+            (*_rest, rnorm, broke, k) = state
+            return jnp.any((rnorm > tol) & ~broke) & (k < max_iter)
 
         def safe_div(num, den):
             ok = den != 0
             return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0), ok
 
         def body(state):
-            x, r, r_hat, p, v, rho, alpha, omega, broke, k = state
-            active = (resid_norm(r) > tol) & ~broke
+            x, r, r_hat, p, v, rho, alpha, omega, rnorm, broke, k = state
+            active = (rnorm > tol) & ~broke
             act = active[:, None]
 
             rho_new = dot(r_hat, r)
@@ -135,10 +138,13 @@ def _sharded_bicgstab(mesh, vals, cols, d_inv, rhs, rtol, max_iter):
             rho = jnp.where(active, rho_new, rho)
             alpha = jnp.where(active, alpha_new, alpha)
             omega = jnp.where(active, omega_new, omega)
-            return (x, r, r_hat, p, v, rho, alpha, omega, broke_new, k + 1)
+            rnorm = jnp.where(active, resid_norm(r_new), rnorm)
+            return (x, r, r_hat, p, v, rho, alpha, omega, rnorm, broke_new,
+                    k + 1)
 
-        x, r, *_rest = jax.lax.while_loop(cond, body, state0)
-        converged = resid_norm(r) <= tol
+        state = jax.lax.while_loop(cond, body, state0)
+        x, rnorm = state[0], state[8]
+        converged = rnorm <= tol
         return x, converged
 
     return shard_map(
@@ -187,10 +193,7 @@ def solve_csr_systems_sharded(
     rhs_p = np.zeros((rhs_np.shape[0], vals_np.shape[0]), np.float64)
     rhs_p[:, :n_rows] = rhs_np
 
-    diag = np.where(
-        cols_np == np.arange(vals_np.shape[0])[:, None], vals_np, 0.0
-    ).sum(axis=1)
-    d_inv = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 1.0)
+    d_inv = jacobi_inverse_diagonal(jnp.asarray(vals_np), jnp.asarray(cols_np))
 
     mesh_ax = Mesh(mesh.devices, (_AXIS,))  # canonical axis name
     logging.getLogger(__name__).info(

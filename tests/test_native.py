@@ -80,6 +80,8 @@ def test_gcol_fixed_k_searches(algorithm):
     _assert_proper(row_ptr, col_ind, colors)
     with pytest.raises(ValueError, match="target_k"):
         color_graph(row_ptr, col_ind, algorithm=algorithm)
+    with pytest.raises(ValueError, match="target_k"):
+        color_graph(row_ptr, col_ind, algorithm=algorithm, target_k=0)
     # an odd ring has no proper 2-coloring: the search must report failure
     row_ptr, col_ind = _ring_graph(9)
     with pytest.raises(RuntimeError):

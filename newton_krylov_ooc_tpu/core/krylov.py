@@ -105,7 +105,10 @@ class KrylovSolver(SolverBase):
         h_mat = np.zeros(shape)
         if j_val > 0:
             prev = self._solver_state.get_value_saved_state("h_mat")
-            h_mat[:, :-1, :-1, :] = prev
+            # a crashed attempt of THIS step may have saved the already-grown
+            # matrix; slicing by prev's own shape handles both (the last
+            # column is recomputed by the Arnoldi step either way)
+            h_mat[:, : prev.shape[1], : prev.shape[2], :] = prev
         return h_mat
 
     def _arnoldi_step(self, fcn, j_val, h_mat):
@@ -132,21 +135,39 @@ class KrylovSolver(SolverBase):
         return resid.norm()
 
     def solve(self, res_fname, fcn):
-        """run GMRES until the per-(module, region) residuals converge"""
+        """run GMRES until the per-(module, region) residuals converge
+
+        Each loop pass is one committed GMRES iteration: the next basis
+        vector is dumped and the residual norm staged BEFORE inc_iteration,
+        whose single state-file write commits both together with the counter.
+        Convergence is decided at loop entry from that committed state, so a
+        crash at any point replays to the identical trajectory (the
+        reference decides convergence in flight between inc_iteration and
+        the basis dump -- /root/reference/nk_ooc/krylov_solver.py:158-164 --
+        which a crash there cannot replay).
+        """
         logger = logging.getLogger(__name__)
         logger.debug('res_fname="%s"', res_fname)
 
         self._solve0(fcn, solver_state=self._solver_state)
         caller = f"{class_name(self)}.solve"
+        beta = self._solver_state.get_value_saved_state("beta")
 
         while True:
             j_val = self.get_iteration()
+
+            if j_val > 0:
+                resid_norm = self._solver_state.get_value_saved_state(
+                    "precond_resid_norm"
+                )
+                if self.converged(beta, resid_norm).all():
+                    logger.info("Krylov convergence criterion satisfied")
+                    break
 
             h_mat = self._grown_hessenberg(fcn, j_val)
             w_j = self._arnoldi_step(fcn, j_val, h_mat)
 
             # least-squares for the Krylov coefficients, per (module, region)
-            beta = self._solver_state.get_value_saved_state("beta")
             coeff = comp_krylov_basis_coeffs(beta, h_mat)
             self._iterate.log_vals("KrylovCoeff", coeff)
 
@@ -157,14 +178,13 @@ class KrylovSolver(SolverBase):
             self._iterate.log_vals("precond_resid", resid_norm)
             self._put_solver_stats_vars(precond_resid_norm=resid_norm)
 
+            w_j.dump(self._fname("basis", j_val + 1), caller)
+            self._solver_state.set_value_saved_state(
+                "precond_resid_norm", resid_norm, defer=True
+            )
             self._solver_state.inc_iteration()
 
-            if self.converged(beta, resid_norm).all():
-                logger.info("Krylov convergence criterion satisfied")
-                break
-
-            w_j.dump(self._fname("basis"), caller)
-
+        res = type(self._iterate)(self._fname("krylov_res", self.get_iteration() - 1))
         return res.dump(res_fname, caller)
 
 

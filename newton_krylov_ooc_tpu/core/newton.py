@@ -178,14 +178,21 @@ class NewtonSolver(SolverBase):
         krylov_resume = krylov_rewind or self._solver_state.step_logged(inst_step)
         if not krylov_resume:
             self.log()
+        # intent logging: record the instantiation BEFORE constructing the
+        # sub-solver, so a crash anywhere inside the Krylov solve resumes its
+        # partial progress instead of wiping its state and redoing it (the
+        # Newton step-log content is unchanged -- construction appends only
+        # to the Krylov state -- so traces stay byte-identical).  resume=True
+        # always: the Krylov state file's existence decides (a fresh solve
+        # has none and starts clean; SolverState tolerates the missing file)
+        self._solver_state.log_step(inst_step)
         krylov = KrylovSolver(
             self._iterate,
             self._solverinfo,
-            krylov_resume,
+            True,
             krylov_rewind,
             self._fname("hist"),
         )
-        self._solver_state.log_step(inst_step)
 
         increment = krylov.solve(self._fname("increment"), self._fcn)
         self._put_solver_stats_vars(
@@ -218,6 +225,9 @@ class NewtonSolver(SolverBase):
         done_step = "_comp_next_iterate complete"
         if self._solver_state.step_logged(done_step):
             logger.debug('"%s" logged, returning result', done_step)
+            # a crash can land between done_step and the stats write below;
+            # re-put here (idempotent: the put skips once its own step logs)
+            self._put_solver_stats_vars(Armijo_factor=factor)
             state_type = type(self._iterate)
             return (
                 state_type(self._fname(f"prov_Armijo_{ind:02}")),
@@ -361,8 +371,11 @@ class NewtonSolver(SolverBase):
 
             final = fp_iter + 1 >= fp_total
             if final:
+                # dump the new iterate BEFORE committing the iteration: a
+                # crash between the two leaves the counter advanced but the
+                # iterate file missing, which a resume cannot repair
+                prov.dump(self._fname("iterate", state.get_iteration() + 1), caller)
                 state.inc_iteration()
-                prov.dump(self._fname("iterate"), caller)
                 res_fname = self._fname("fcn")
                 hist_fname = self._fname("hist")
             else:

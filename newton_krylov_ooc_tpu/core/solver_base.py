@@ -123,8 +123,14 @@ class SolverBase:
         self._solver_state.log_step(step, per_iteration=False)
 
     def _collect_stats_vals(self, kwargs, per_iteration):
-        """expand put kwargs into a {varname: value} dict, step-logging each"""
+        """expand put kwargs into a {varname: value} dict
+
+        returns (vals_dict, pending_steps); the caller logs pending_steps
+        AFTER the stats-file write so the step log stays write-ahead (a step
+        reading as done implies its values are durable in the stats file)
+        """
         vals_dict = {}
+        pending_steps = []
         for key, vals in kwargs.items():
             put_metadata = self._stats_vars_put_metadata[key]
             has_iter_dim = "iteration" in put_metadata["dimensions"]
@@ -154,18 +160,22 @@ class SolverBase:
                 vals_dict[key] = vals
             else:
                 raise ValueError(f"unknown category {category}")
-            self._solver_state.log_step(step, per_iteration)
-        return vals_dict
+            pending_steps.append(step)
+        return vals_dict, pending_steps
 
     def _put_solver_stats_vars_iteration_independent(self, **kwargs):
         """write values of vars lacking the iteration dimension"""
-        vals_dict = self._collect_stats_vals(kwargs, per_iteration=False)
+        vals_dict, pending = self._collect_stats_vals(kwargs, per_iteration=False)
         self._stats_file.put_vars_iteration_invariant(vals_dict)
+        for step in pending:
+            self._solver_state.log_step(step, per_iteration=False)
 
     def _put_solver_stats_vars(self, **kwargs):
         """write values of per-iteration vars at the current iteration"""
-        vals_dict = self._collect_stats_vals(kwargs, per_iteration=True)
+        vals_dict, pending = self._collect_stats_vals(kwargs, per_iteration=True)
         self._stats_file.put_vars(self.get_iteration(), vals_dict)
+        for step in pending:
+            self._solver_state.log_step(step, per_iteration=True)
 
     def _put_observability_vars(self, **kwargs):
         """write per-iteration observability scalars (timings etc.) WITHOUT

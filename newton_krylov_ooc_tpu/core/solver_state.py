@@ -64,6 +64,17 @@ class SolverState:
         self._rewound_step_string = None
 
         if resume:
+            if not os.path.exists(self._state_fname):
+                # a crash can land between a parent solver intent-logging
+                # this solver's instantiation and the first write of this
+                # state file; resuming then starts fresh instead of raising
+                logger.info(
+                    'resume for "%s" with no state file; starting fresh',
+                    self._name,
+                )
+                self._saved_state = {"iteration": 0, "step_log": []}
+                self.log_step("__init__", per_iteration=False)
+                return
             self._read()
             self._log_state()
             if rewind:
@@ -122,9 +133,17 @@ class SolverState:
         self._saved_state["step_log"].append(self._step_string(stepval, per_iteration))
         self._write()
 
-    def set_value_saved_state(self, key, value):
-        """persist a key/value pair, verifying round-trip fidelity"""
+    def set_value_saved_state(self, key, value, defer=False):
+        """persist a key/value pair, verifying round-trip fidelity
+
+        defer=True stages the value in memory only; it lands on disk in the
+        same file write as the next log_step/inc_iteration, committing the
+        value and the step append atomically (a crash before that write
+        leaves neither)
+        """
         self._saved_state[key] = value
+        if defer:
+            return
         self._write()
         self._read()
         recovered = self._saved_state[key]

@@ -280,8 +280,10 @@ class ModelState(ModelStateBase):
                     self.time_range, res_ms.tracer_modules[ind], **kwargs
                 )
 
+        # dump BEFORE logging completion: the step log is a write-ahead log,
+        # so the result file must be durable when the step reads as done
+        caller = f"{class_name(self)}.apply_precond_jacobian"
+        res = res_ms.dump(res_fname, caller)
         if solver_state is not None:
             solver_state.log_step(fcn_complete_step)
-
-        caller = f"{class_name(self)}.apply_precond_jacobian"
-        return res_ms.dump(res_fname, caller)
+        return res

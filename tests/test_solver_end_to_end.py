@@ -141,6 +141,99 @@ def test_rewind(tmp_workdir, monkeypatch):
 
 
 @pytest.mark.slow
+def test_kill_replay_every_step_boundary(tmp_path, monkeypatch):
+    """golden-trace crash recovery at MAXIMUM fragmentation: the solve is
+    killed immediately after EVERY step-log append (the write-ahead commit
+    point) and resumed, so each process lifetime completes exactly one new
+    step.  The final state and the full step logs (Newton and nested Krylov)
+    must be identical to an uninterrupted run.
+
+    This supersedes the reference's reinvoke-per-comp_fcn CI trick
+    (/root/reference/nk_ooc/test_problem/model_state.py:110-115), which only
+    exercises function-evaluation boundaries: here every logged action --
+    increment solves, Armijo trials, shadow copies, fp iterations,
+    inc_iteration -- is a kill point.
+    """
+    import json
+    import os
+
+    from newton_krylov_ooc_tpu.core.solver_state import SolverState
+
+    # -- uninterrupted golden run -----------------------------------------
+    golden_dir = str(tmp_path / "golden")
+    os.makedirs(golden_dir)
+    config = _setup(golden_dir)
+    golden = _drive_to_convergence(config)
+    assert golden.get_iteration() == 3
+    golden_iterate = golden._iterate.get_tracer_vals("iage")
+
+    def read_logs(workdir):
+        """step logs with the workdir path canonicalized (ci_common.sh's
+        log_rewrite analog)"""
+        logs = {}
+        for rel in ["Newton_state.json"] + [
+            os.path.join(d, "Krylov_state.json")
+            for d in sorted(os.listdir(workdir))
+            if d.startswith("krylov_")
+        ]:
+            with open(os.path.join(workdir, rel)) as fptr:
+                logs[rel] = [
+                    step.replace(workdir, "WORKDIR")
+                    for step in json.load(fptr)["step_log"]
+                ]
+        return logs
+
+    golden_logs = read_logs(golden_dir)
+
+    # -- killed run: die after each new step-log append -------------------
+    killed_dir = str(tmp_path / "killed")
+    os.makedirs(killed_dir)
+    config = _setup(killed_dir)
+    solverinfo = config["solverinfo"]
+
+    orig_log_step = SolverState.log_step
+    budget = {"appends": 0}
+
+    def killing_log_step(self, stepval, per_iteration=True):
+        is_new = not self.step_logged(stepval, per_iteration)
+        orig_log_step(self, stepval, per_iteration)
+        if is_new:
+            budget["appends"] -= 1
+            if budget["appends"] <= 0:
+                raise SystemExit("killed at step boundary")
+
+    monkeypatch.setattr(SolverState, "log_step", killing_log_step)
+
+    segments = 0
+    resume = False
+    while True:
+        budget["appends"] = 1  # one new step per process lifetime
+        try:
+            solver = NewtonSolver(
+                ModelState, solverinfo=solverinfo, resume=resume, rewind=False
+            )
+            while not solver.converged().all():
+                solver.step()
+            break
+        except SystemExit:
+            segments += 1
+            resume = True
+            assert segments < 500, "kill-replay did not converge"
+
+    total_steps = sum(len(log) for log in golden_logs.values())
+    assert segments == total_steps  # every append was a kill point
+
+    assert solver.get_iteration() == 3
+    assert read_logs(killed_dir) == golden_logs
+    np.testing.assert_allclose(
+        solver._iterate.get_tracer_vals("iage"),
+        golden_iterate,
+        rtol=1.0e-13,
+        atol=0.0,
+    )
+
+
+@pytest.mark.slow
 def test_resume_with_stats_file_lacking_observability_var(tmp_workdir):
     """resuming a run whose stats file predates comp_fcn_seconds must not
     abort: observability writes are best-effort (the define step is

@@ -32,7 +32,14 @@ class KrylovSolver(SolverBase):
         logger = logging.getLogger(__name__)
 
         super().__init__(
-            "Krylov", solverinfo, iterate.model_config_obj.region_cnt, resume, rewind
+            "Krylov",
+            solverinfo,
+            iterate.model_config_obj.region_cnt,
+            resume,
+            rewind,
+            # the parent Newton solver intent-logs this instantiation before
+            # constructing it, so a resume may find no Krylov state file yet
+            tolerate_missing_state=True,
         )
         logger.debug('hist_fname="%s"', hist_fname)
 
@@ -72,11 +79,13 @@ class KrylovSolver(SolverBase):
             },
         }
 
-    def converged(self, beta, precond_resid_norm):
+    def converged(self, beta, precond_resid_norm, iteration=None):
         """(module_cnt, region_cnt) convergence flags:
         ||precond resid|| < rel_tol * beta, after min_iter iterations"""
         rel_tol = self._get_rel_tol()
-        return (self.get_iteration() >= self._get_min_iter()) & (
+        if iteration is None:
+            iteration = self.get_iteration()
+        return (iteration >= self._get_min_iter()) & (
             precond_resid_norm < rel_tol * beta
         )
 
@@ -157,10 +166,13 @@ class KrylovSolver(SolverBase):
             j_val = self.get_iteration()
 
             if j_val > 0:
+                # default None: a state file written before the framework
+                # staged this key (or by the stats-only path) falls through
+                # to running the pass, which recomputes the residual
                 resid_norm = self._solver_state.get_value_saved_state(
-                    "precond_resid_norm"
+                    "precond_resid_norm", None
                 )
-                if self.converged(beta, resid_norm).all():
+                if resid_norm is not None and self.converged(beta, resid_norm).all():
                     logger.info("Krylov convergence criterion satisfied")
                     break
 
@@ -178,7 +190,12 @@ class KrylovSolver(SolverBase):
             self._iterate.log_vals("precond_resid", resid_norm)
             self._put_solver_stats_vars(precond_resid_norm=resid_norm)
 
-            w_j.dump(self._fname("basis", j_val + 1), caller)
+            # the next basis vector is only needed if the loop-entry check of
+            # the NEXT pass (iteration j_val + 1) will not break; evaluating
+            # that predicate here is deterministic, so skipping the dump on
+            # the final converging iteration is replay-safe
+            if not self.converged(beta, resid_norm, iteration=j_val + 1).all():
+                w_j.dump(self._fname("basis", j_val + 1), caller)
             self._solver_state.set_value_saved_state(
                 "precond_resid_norm", resid_norm, defer=True
             )

@@ -179,17 +179,18 @@ class NewtonSolver(SolverBase):
         if not krylov_resume:
             self.log()
         # intent logging: record the instantiation BEFORE constructing the
-        # sub-solver, so a crash anywhere inside the Krylov solve resumes its
-        # partial progress instead of wiping its state and redoing it (the
+        # sub-solver, so a crash anywhere inside the Krylov solve replays
+        # with krylov_resume=True (computed above, before this append) and
+        # picks up the partial Krylov progress instead of wiping it.  On a
+        # genuinely fresh Newton run krylov_resume stays False, so stale
+        # Krylov state left in a reused workdir is reset, not adopted.  The
         # Newton step-log content is unchanged -- construction appends only
-        # to the Krylov state -- so traces stay byte-identical).  resume=True
-        # always: the Krylov state file's existence decides (a fresh solve
-        # has none and starts clean; SolverState tolerates the missing file)
+        # to the Krylov state -- so traces stay byte-identical.
         self._solver_state.log_step(inst_step)
         krylov = KrylovSolver(
             self._iterate,
             self._solverinfo,
-            True,
+            krylov_resume,
             krylov_rewind,
             self._fname("hist"),
         )

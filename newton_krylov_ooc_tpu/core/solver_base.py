@@ -19,7 +19,15 @@ from .stats import StatsFile
 class SolverBase:
     """base class for iterative solvers with resumable state and stats files"""
 
-    def __init__(self, solver_name, solverinfo, region_cnt, resume, rewind):
+    def __init__(
+        self,
+        solver_name,
+        solverinfo,
+        region_cnt,
+        resume,
+        rewind,
+        tolerate_missing_state=False,
+    ):
         logger = logging.getLogger(__name__)
         logger.debug(
             'solver_name="%s", resume="%r", rewind="%r"', solver_name, resume, rewind
@@ -32,7 +40,13 @@ class SolverBase:
         logger.debug('%s solver workdir="%s"', solver_name, workdir)
         mkdir_exist_okay(workdir)
 
-        self._solver_state = SolverState(solver_name, workdir, resume, rewind)
+        self._solver_state = SolverState(
+            solver_name,
+            workdir,
+            resume,
+            rewind,
+            tolerate_missing=tolerate_missing_state,
+        )
         self._stats_file = StatsFile(
             solver_name, workdir, region_cnt, self._solver_state
         )

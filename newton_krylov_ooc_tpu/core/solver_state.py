@@ -43,10 +43,13 @@ def json_ndarray_decode(dct):
     return dct
 
 
+_MISSING = object()
+
+
 class SolverState:
     """state of an iterative solver: iteration counter, step log, KV store"""
 
-    def __init__(self, name, workdir, resume=False, rewind=False):
+    def __init__(self, name, workdir, resume=False, rewind=False, tolerate_missing=False):
         logger = logging.getLogger(__name__)
         logger.debug(
             'SolverState, name="%s", workdir="%s", resume="%r", rewind="%r"',
@@ -64,10 +67,14 @@ class SolverState:
         self._rewound_step_string = None
 
         if resume:
-            if not os.path.exists(self._state_fname):
+            if tolerate_missing and not rewind and not os.path.exists(self._state_fname):
                 # a crash can land between a parent solver intent-logging
                 # this solver's instantiation and the first write of this
-                # state file; resuming then starts fresh instead of raising
+                # state file; a child solver resuming then starts fresh
+                # instead of raising.  Top-level solvers do NOT set
+                # tolerate_missing: a --resume against a missing state file
+                # there is a user error (wrong workdir) and must fail loudly,
+                # as must --rewind (there is no step to pop).
                 logger.info(
                     'resume for "%s" with no state file; starting fresh',
                     self._name,
@@ -153,8 +160,12 @@ class SolverState:
         elif recovered != value:
             raise RuntimeError("saved_state value not recovered on reread")
 
-    def get_value_saved_state(self, key):
-        return self._saved_state[key]
+    def get_value_saved_state(self, key, default=_MISSING):
+        if key in self._saved_state:
+            return self._saved_state[key]
+        if default is _MISSING:
+            raise KeyError(key)
+        return default
 
     # -- internals -----------------------------------------------------------
 
@@ -169,9 +180,14 @@ class SolverState:
             logger.debug('"%s" logged', step_name)
 
     def _write(self):
-        with open(self._state_fname, mode="w") as fptr:
+        # write-to-temp + atomic rename: a kill at any instant leaves either
+        # the previous state file or the new one, never a truncated JSON --
+        # the property the write-ahead step-log commit points rely on
+        tmp_fname = self._state_fname + ".tmp"
+        with open(tmp_fname, mode="w") as fptr:
             json.dump(self._saved_state, fptr, indent=2, cls=NumpyEncoder)
             fptr.write("\n")
+        os.replace(tmp_fname, self._state_fname)
 
     def _read(self):
         with open(self._state_fname, mode="r") as fptr:

@@ -141,6 +141,36 @@ def test_rewind(tmp_workdir, monkeypatch):
 
 
 @pytest.mark.slow
+def test_fresh_run_in_dirty_workdir(tmp_workdir):
+    """a fresh (resume=False) solve in a previously-used workdir must reset
+    the stale Krylov state of the earlier run, not adopt it (a stale
+    converged Krylov state would short-circuit the first increment solve
+    with the OLD run's result)"""
+    import json
+    import os
+
+    config = _setup(tmp_workdir)
+    _drive_to_convergence(config)
+    krylov_state_fname = os.path.join(tmp_workdir, "krylov_00", "Krylov_state.json")
+    with open(krylov_state_fname) as fptr:
+        stale_beta = json.load(fptr)["beta"]["__ndarray__"]
+
+    # a DIFFERENT problem in the same workdir: restart from a zero iterate
+    ModelState("zeros").dump(
+        config["solverinfo"]["init_iterate_fname"], caller="tests.e2e"
+    )
+    solver = _drive_to_convergence(config, resume=False)
+    # matches the reference's ci_zero_iage trajectory: converged at iteration 3
+    assert solver.get_iteration() == 3
+    assert (solver._fcn.norm() < 1.0e-6).all()
+
+    # the first Krylov solve really re-ran against the new rhs
+    with open(krylov_state_fname) as fptr:
+        new_beta = json.load(fptr)["beta"]["__ndarray__"]
+    assert new_beta != stale_beta
+
+
+@pytest.mark.slow
 def test_kill_replay_every_step_boundary(tmp_path, monkeypatch):
     """golden-trace crash recovery at MAXIMUM fragmentation: the solve is
     killed immediately after EVERY step-log append (the write-ahead commit

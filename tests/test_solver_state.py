@@ -89,3 +89,65 @@ def test_action_step_log_wrap_post_exit(tmp_workdir):
     # the action was logged before exit, so a resume skips it without exiting
     state2 = SolverState("Newton", tmp_workdir, resume=True)
     submit(solver_state=state2)  # no SystemExit
+
+def test_resume_missing_state_file(tmp_workdir):
+    """top-level resume against a missing state file is a user error and
+    fails loudly; only child solvers (tolerate_missing=True, the
+    intent-logged-instantiation case) silently start fresh"""
+    with pytest.raises(FileNotFoundError):
+        SolverState("Newton", tmp_workdir, resume=True)
+    with pytest.raises(FileNotFoundError):
+        SolverState("Newton", tmp_workdir, resume=True, rewind=True)
+    # rewind with no state file must raise even for tolerant child solvers
+    with pytest.raises(FileNotFoundError):
+        SolverState(
+            "Krylov", tmp_workdir, resume=True, rewind=True, tolerate_missing=True
+        )
+
+    fresh = SolverState("Krylov", tmp_workdir, resume=True, tolerate_missing=True)
+    assert fresh.get_iteration() == 0
+    assert fresh.step_logged("__init__", per_iteration=False)
+
+
+def test_kv_default(tmp_workdir):
+    """get_value_saved_state: missing key raises unless a default is given
+    (the fallback for state files written by earlier framework versions)"""
+    state = SolverState("Krylov", tmp_workdir)
+    with pytest.raises(KeyError):
+        state.get_value_saved_state("absent")
+    assert state.get_value_saved_state("absent", None) is None
+    state.set_value_saved_state("present", 7)
+    assert state.get_value_saved_state("present", None) == 7
+
+
+def test_write_is_atomic_rename(tmp_workdir):
+    """the state file is replaced atomically: an exception raised from the
+    JSON encoder mid-write must leave the previous on-disk state intact"""
+    import os
+
+    state = SolverState("Newton", tmp_workdir)
+    state.log_step("step A")
+
+    state._saved_state["bad"] = object()  # unserializable
+    with pytest.raises(TypeError):
+        state.log_step("step B")
+
+    # the partial .tmp write never reached the state file
+    resumed = SolverState("Newton", tmp_workdir, resume=True)
+    assert resumed.step_logged("step A")
+    assert not resumed.step_logged("step B")
+    assert not os.path.exists(
+        os.path.join(tmp_workdir, "Newton_state.json.tmp")
+    ) or os.path.getsize(os.path.join(tmp_workdir, "Newton_state.json")) > 0
+
+
+def test_fresh_run_resets_stale_child_state(tmp_workdir):
+    """simulate the dirty-workdir hazard at the SolverState level: a fresh
+    (resume=False) construction must reset state left by a previous run"""
+    old = SolverState("Krylov", tmp_workdir)
+    old.log_step("KrylovSolver._solve0", per_iteration=False)
+    old.set_value_saved_state("beta", np.array([[9.9]]))
+
+    fresh = SolverState("Krylov", tmp_workdir, resume=False)
+    assert not fresh.step_logged("KrylovSolver._solve0", per_iteration=False)
+    assert fresh.get_value_saved_state("beta", None) is None

@@ -17,8 +17,9 @@ from newton_krylov_ooc_tpu.models.test_problem.model_state import ModelState
 from newton_krylov_ooc_tpu.utils.ncio import NCFile
 
 
-def _setup(workdir, reinvoke=False):
-    args_list = ["--workdir", workdir, "--tracer_module_names", "iage"]
+def _setup(workdir, reinvoke=False, module_names="iage", extra_args=()):
+    args_list = ["--workdir", workdir, "--tracer_module_names", module_names]
+    args_list.extend(extra_args)
     if not reinvoke:
         args_list.append("--persist")
     parser, args_remaining = common_args("e2e", "test_problem", args_list)
@@ -170,8 +171,9 @@ def test_fresh_run_in_dirty_workdir(tmp_workdir):
     assert new_beta != stale_beta
 
 
-@pytest.mark.slow
-def test_kill_replay_every_step_boundary(tmp_path, monkeypatch):
+def _kill_replay_check(
+    tmp_path, monkeypatch, module_names, tracer_names, extra_args=()
+):
     """golden-trace crash recovery at MAXIMUM fragmentation: the solve is
     killed immediately after EVERY step-log append (the write-ahead commit
     point) and resumed, so each process lifetime completes exactly one new
@@ -192,10 +194,12 @@ def test_kill_replay_every_step_boundary(tmp_path, monkeypatch):
     # -- uninterrupted golden run -----------------------------------------
     golden_dir = str(tmp_path / "golden")
     os.makedirs(golden_dir)
-    config = _setup(golden_dir)
+    config = _setup(golden_dir, module_names=module_names, extra_args=extra_args)
     golden = _drive_to_convergence(config)
-    assert golden.get_iteration() == 3
-    golden_iterate = golden._iterate.get_tracer_vals("iage")
+    golden_iteration = golden.get_iteration()
+    golden_iterate = {
+        name: golden._iterate.get_tracer_vals(name) for name in tracer_names
+    }
 
     def read_logs(workdir):
         """step logs with the workdir path canonicalized (ci_common.sh's
@@ -218,7 +222,7 @@ def test_kill_replay_every_step_boundary(tmp_path, monkeypatch):
     # -- killed run: die after each new step-log append -------------------
     killed_dir = str(tmp_path / "killed")
     os.makedirs(killed_dir)
-    config = _setup(killed_dir)
+    config = _setup(killed_dir, module_names=module_names, extra_args=extra_args)
     solverinfo = config["solverinfo"]
 
     orig_log_step = SolverState.log_step
@@ -253,13 +257,37 @@ def test_kill_replay_every_step_boundary(tmp_path, monkeypatch):
     total_steps = sum(len(log) for log in golden_logs.values())
     assert segments == total_steps  # every append was a kill point
 
-    assert solver.get_iteration() == 3
+    assert solver.get_iteration() == golden_iteration
     assert read_logs(killed_dir) == golden_logs
-    np.testing.assert_allclose(
-        solver._iterate.get_tracer_vals("iage"),
-        golden_iterate,
-        rtol=1.0e-13,
-        atol=0.0,
+    for name in tracer_names:
+        np.testing.assert_allclose(
+            solver._iterate.get_tracer_vals(name),
+            golden_iterate[name],
+            rtol=1.0e-13,
+            atol=0.0,
+        )
+    return golden_iteration
+
+
+@pytest.mark.slow
+def test_kill_replay_every_step_boundary(tmp_path, monkeypatch):
+    """kill-replay on the single-module iage config; the golden run must
+    match the reference trajectory (converged at Newton iteration 3)"""
+    golden_iteration = _kill_replay_check(tmp_path, monkeypatch, "iage", ["iage"])
+    assert golden_iteration == 3
+
+
+@pytest.mark.slow
+def test_kill_replay_multi_module(tmp_path, monkeypatch):
+    """kill-replay on a parameterized two-module dye_decay family: per-module
+    staged Hessenberg/residual state, per-module convergence masks, and
+    module-suffix step strings must all replay to the golden trajectory"""
+    _kill_replay_check(
+        tmp_path,
+        monkeypatch,
+        "dye_decay_{suff}:004:005",
+        ["dye_decay_004", "dye_decay_005"],
+        extra_args=("--newton_rel_tol", "1.0e-6"),
     )
 
 

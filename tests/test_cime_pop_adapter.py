@@ -337,3 +337,62 @@ def test_mock_cime_pop_solve(tmp_path, mock_case, monkeypatch, precond_mode):
 
     # precond matrix file was generated through the gen_A-compatible tool
     assert list((tmp_path / "workdir").glob("krylov_00/matrix_iage_like.nc"))
+
+
+@pytest.mark.slow
+def test_mock_cime_pop_batch_precond(tmp_path, mock_case):
+    """the batch-submitted preconditioner path: apply_precond_jacobian sizes
+    the job from the per-matrix task_cnt/gigabyte tables, submits via
+    batch_cmd_precond, and exits; the resumed process runs the solve
+
+    sizing check (reference semantics, cime_pop/model_state.py:232-262):
+    task_cnt=4 at 0.1 GB/task on 4 GB nodes with <=8 cpus/node gives
+    cpus_per_node=8 (power of two), node_cnt=1
+    """
+    from newton_krylov_ooc_tpu.models.cime_pop.model_state import ModelState
+
+    config = _build_config(tmp_path, mock_case)
+    config["modelinfo"]["precond_solver_mode"] = "native"
+
+    # mock scheduler: record the submission arguments, run nothing
+    submit_log = tmp_path / "submit.txt"
+    qsub = tmp_path / "qsub"
+    qsub.write_text(f"#!/bin/sh\necho \"$@\" >> {submit_log}\n")
+    qsub.chmod(qsub.stat().st_mode | stat.S_IXUSR)
+    config["modelinfo"]["batch_cmd_precond"] = (
+        f"{qsub} --nodes {{node_cnt}} --cpus {{cpus_per_node}}"
+    )
+
+    _write_restart(
+        config["solverinfo"]["init_iterate_fname"],
+        np.zeros((NZ, NLAT, NLON)),
+    )
+    ModelState.model_config_obj = ModelConfig(config["modelinfo"])
+
+    solverinfo = config["solverinfo"]
+    restarts = 0
+    resume = False
+    while True:
+        try:
+            solver = NewtonSolver(
+                ModelState, solverinfo=solverinfo, resume=resume, rewind=False
+            )
+            while not solver.converged().all():
+                solver.step()
+            break
+        except SystemExit:
+            restarts += 1
+            resume = True
+            if restarts > 80:
+                raise AssertionError("mock solve did not converge in 80 restarts")
+
+    iterate = solver._iterate.tracer_modules[0].get_tracer_vals("IAGE")
+    assert np.allclose(iterate, FORCING / (1.0 - DECAY), rtol=1e-8)
+
+    # every precond application went through the mock scheduler with the
+    # sized resources and the invoker's --resume re-entry
+    submissions = submit_log.read_text().strip().splitlines()
+    assert submissions
+    for line in submissions:
+        assert line.startswith("--nodes 1 --cpus 8 ")
+        assert line.endswith("--resume")

@@ -1,0 +1,249 @@
+"""3D offline tracer transport operators assembled from IRF circulation
+fields, evaluated as on-device stencils.
+
+The reference runs its 3D ocean workload by submitting POP to a batch
+scheduler (nk_ooc/cime_pop/model_state.py:124-167) and only ever *assembles*
+the transport operator host-side for the preconditioner, via the external
+gen_A tool (nk_ooc/cime_pop/model_state.py:84-87; spec
+docs/source/users-guide/tracer-module-defn-file.rst:70-105).  Here the same
+POP-convention circulation fields (face volume transports UET/VNT/WTT,
+face conductances HDIFF_E/N, TAREA, dz) become *device* stencil operators,
+so the annual transport integration itself runs on the TPU -- the offline
+(IRF-driven) tracer model the reference cannot express.
+
+Conventions (identical to native/precond_tools/gen_A.cpp, which is pinned
+against an independent numpy assembly in tests/test_native.py):
+  UET[k,j,i]  volume transport across the EAST face of cell (k,j,i)
+              [cm^3/s], positive eastward; zonally periodic
+  VNT[k,j,i]  transport across the NORTH face [cm^3/s]; north face of the
+              last latitude row is closed
+  WTT[k,j,i]  transport across the TOP face [cm^3/s], positive UP (POP
+              convention); the surface face is closed
+  HDIFF_E/N   diffusive conductances kappa*A/dx across east/north faces
+              [cm^3/s]
+  TAREA[j,i]  horizontal cell area [cm^2]; with dz[k] [cm] gives volumes
+Faces touching a masked cell carry no flux.  upwind3 uses the 3rd-order
+upwind-biased face value (-T_uu + 5 T_up + 2 T_down)/6, falling back to
+1st-order upwind where the far-upwind cell is masked or off-grid.  The
+divergence is flux-form, so the volume-weighted integral of the
+advective+diffusive tendency vanishes identically (tracer conservation).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_SIXTH = 1.0 / 6.0
+
+
+def _shift(arr, off, axis):
+    """result[..., idx, ...] = arr[..., idx + off, ...], zero-filled
+    off-grid (for the non-periodic lat/depth axes)"""
+    if off == 0:
+        return arr
+    pad = [(0, 0)] * arr.ndim
+    index = [slice(None)] * arr.ndim
+    if off > 0:
+        pad[axis] = (0, off)
+        index[axis] = slice(off, None)
+    else:
+        pad[axis] = (-off, 0)
+        index[axis] = slice(None, off)
+    return jnp.pad(arr, pad)[tuple(index)]
+
+
+def build_transport3d(
+    mask,
+    dz,
+    tarea,
+    uet=None,
+    vnt=None,
+    wtt=None,
+    hdiff_e=None,
+    hdiff_n=None,
+    adv_type="upwind3",
+    dtype=None,
+):
+    """precompute the stencil coefficient pytree for transport_tend
+
+    mask: (nz, nlat, nlon) ints, >0 = wet; dz: (nz,) [cm];
+    tarea: (nlat, nlon) [cm^2]; uet/vnt/wtt/hdiff_*: (nz, nlat, nlon)
+    [cm^3/s] (None = term absent); adv_type: upwind3 | centered
+
+    Returned arrays are plain jnp values: pass the dict as a jit OPERAND
+    (never closure-capture it -- large captured constants re-upload per
+    call on remote-device backends).
+    """
+    if adv_type not in ("upwind3", "centered"):
+        raise ValueError(f"adv_type {adv_type!r} not supported")
+    mask = np.asarray(mask)
+    if mask.ndim != 3:
+        raise ValueError("mask must be (nz, nlat, nlon)")
+    nz, nlat, nlon = mask.shape
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype  # the process default float
+    wet = (mask > 0).astype(np.float64)
+    vol = np.asarray(dz, np.float64)[:, None, None] * np.asarray(
+        tarea, np.float64
+    )[None, :, :]
+
+    def prep(field, other_wet):
+        """mask a face field: zero where either side of the face is dry"""
+        if field is None:
+            return None
+        vals = np.asarray(field, np.float64) * wet * other_wet
+        return jnp.asarray(vals, dtype)
+
+    wet_e = np.roll(wet, -1, axis=2)
+    wet_n = np.concatenate([wet[:, 1:, :], np.zeros((nz, 1, nlon))], axis=1)
+    wet_up = np.concatenate([np.zeros((1, nlat, nlon)), wet[:-1, :, :]], axis=0)
+
+    coef = {
+        "wet": jnp.asarray(wet, dtype),
+        "recip_vol": jnp.asarray(wet / vol, dtype),
+        "t_e": prep(uet, wet_e),
+        "t_n": prep(vnt, wet_n),
+        # top face of cell k couples k (below) and k-1 (above); surface closed
+        "t_t": prep(wtt, wet_up) if wtt is not None else None,
+        "cond_e": prep(hdiff_e, wet_e),
+        "cond_n": prep(hdiff_n, wet_n),
+    }
+    if coef["t_t"] is not None:
+        coef["t_t"] = coef["t_t"].at[0, :, :].set(0.0)
+    if adv_type == "upwind3":
+        # 3rd-order usable only where the far-upwind cell is wet and on-grid
+        coef["sel3p_e"] = jnp.asarray(np.roll(wet, 1, axis=2), dtype)
+        coef["sel3n_e"] = jnp.asarray(np.roll(wet, -2, axis=2), dtype)
+        z_lat = np.zeros((nz, 1, nlon))
+        coef["sel3p_n"] = jnp.asarray(
+            np.concatenate([z_lat, wet[:, :-1, :]], axis=1), dtype
+        )
+        coef["sel3n_n"] = jnp.asarray(
+            np.concatenate([wet[:, 2:, :], z_lat, z_lat], axis=1), dtype
+        )
+        z_z = np.zeros((1, nlat, nlon))
+        # positive (upward) transport: upwind cell is k, far-upwind k+1
+        coef["sel3p_t"] = jnp.asarray(
+            np.concatenate([wet[1:, :, :], z_z], axis=0), dtype
+        )
+        # negative: upwind cell is k-1, far-upwind k-2
+        coef["sel3n_t"] = jnp.asarray(
+            np.concatenate([z_z, z_z, wet[:-2, :, :]], axis=0), dtype
+        )
+    return coef
+
+
+def _face_value(trans, y_up, y_dn, y_uu, y_dd, sel3p, sel3n, upwind3):
+    """advective face tracer value for transport `trans` from cell `up`
+    toward cell `dn` (positive trans); y_uu/y_dd are the far cells"""
+    if not upwind3:
+        return 0.5 * (y_up + y_dn)
+    v_pos = sel3p * _SIXTH * (-y_uu + 5.0 * y_up + 2.0 * y_dn) + (
+        1.0 - sel3p
+    ) * y_up
+    v_neg = sel3n * _SIXTH * (2.0 * y_up + 5.0 * y_dn - y_dd) + (
+        1.0 - sel3n
+    ) * y_dn
+    return jnp.where(trans > 0.0, v_pos, v_neg)
+
+
+def transport_tend(coef, y):
+    """advection + lateral-diffusion tendency dy/dt [tracer/s]
+
+    y: (..., nz, nlat, nlon); returns the same shape, exactly zero on land.
+    Linear and time-invariant in y (annual-mean IRF circulation).
+    """
+    # upwind3 is encoded by the presence of the selector arrays, so it stays
+    # static (pytree structure) when coef is passed as a jit operand
+    up3 = "sel3p_e" in coef
+    y = y * coef["wet"]
+    flux_div = jnp.zeros_like(y)
+
+    if coef["t_e"] is not None or coef["cond_e"] is not None:
+        y_e = jnp.roll(y, -1, axis=-1)
+        flux = jnp.zeros_like(y)
+        if coef["t_e"] is not None:
+            val = _face_value(
+                coef["t_e"],
+                y,
+                y_e,
+                jnp.roll(y, 1, axis=-1),
+                jnp.roll(y, -2, axis=-1),
+                coef.get("sel3p_e"),
+                coef.get("sel3n_e"),
+                up3,
+            )
+            flux = coef["t_e"] * val
+        if coef["cond_e"] is not None:
+            flux = flux + coef["cond_e"] * (y - y_e)
+        flux_div = flux_div + jnp.roll(flux, 1, axis=-1) - flux
+
+    if coef["t_n"] is not None or coef["cond_n"] is not None:
+        y_n = _shift(y, 1, -2)
+        flux = jnp.zeros_like(y)
+        if coef["t_n"] is not None:
+            val = _face_value(
+                coef["t_n"],
+                y,
+                y_n,
+                _shift(y, -1, -2),
+                _shift(y, 2, -2),
+                coef.get("sel3p_n"),
+                coef.get("sel3n_n"),
+                up3,
+            )
+            flux = coef["t_n"] * val
+        if coef["cond_n"] is not None:
+            flux = flux + coef["cond_n"] * (y - y_n)
+        flux_div = flux_div + _shift(flux, -1, -2) - flux
+
+    if coef["t_t"] is not None:
+        # flux UP across the top face of cell k: leaves k, enters k-1;
+        # upwind cell for positive (upward) transport is k itself
+        y_above = _shift(y, -1, -3)
+        val = _face_value(
+            coef["t_t"],
+            y,
+            y_above,
+            _shift(y, 1, -3),
+            _shift(y, -2, -3),
+            coef.get("sel3p_t"),
+            coef.get("sel3n_t"),
+            up3,
+        )
+        flux = coef["t_t"] * val
+        flux_div = flux_div + _shift(flux, 1, -3) - flux
+
+    return flux_div * coef["recip_vol"]
+
+
+def vmix_vertical_coeff(vdc, dz):
+    """vertical-mixing coupling for the implicit (Crank-Nicolson) solve
+
+    vdc: (nz, nlat, nlon) interface diffusivity below each level [cm^2/s]
+    (VDC convention; the bottom row is unused); dz: (nz,) [cm]
+
+    returns (kv, dz_r): kv (nz-1, nlat*nlon) = kappa/dz_mid [m/s] and
+    dz_r (nz,) = 1/dz [1/m], the operands ops.imex.cn_vertical_increment
+    expects -- units follow gen_A.cpp:182-198 (cm -> m conversions) so the
+    assembled rates match the preconditioner matrix exactly
+    """
+    vdc = np.asarray(vdc, np.float64)
+    dz_m = 1.0e-2 * np.asarray(dz, np.float64)
+    dz_mid = 0.5 * (dz_m[:-1] + dz_m[1:])
+    kappa = 1.0e-4 * vdc[:-1, :, :]  # cm^2/s -> m^2/s, interface below k
+    kv = kappa / dz_mid[:, None, None]
+    return (
+        jnp.asarray(kv.reshape(kv.shape[0], -1)),
+        jnp.asarray(1.0 / dz_m),
+    )
+
+
+def mask_vmix_coeff(kv, mask):
+    """zero the vertical-mixing coupling across faces touching dry cells
+
+    kv: (nz-1, nlat*nlon); mask: (nz, nlat, nlon)
+    """
+    wet = (np.asarray(mask).reshape(mask.shape[0], -1) > 0).astype(np.float64)
+    return kv * jnp.asarray(wet[:-1, :] * wet[1:, :], kv.dtype)

@@ -74,7 +74,7 @@ _OVERRIDES = {
         override_var="reinvoke",
         flag=True,
         override_val="False",
-        model_names=["test_problem", "py_driver_2d"],
+        model_names=["test_problem", "py_driver_2d", "irf_offline"],
     ),
 }
 

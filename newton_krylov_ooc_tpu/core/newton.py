@@ -55,6 +55,15 @@ class NewtonSolver(SolverBase):
     """Newton's method with Armijo backtracking and bounds limiting"""
 
     def __init__(self, model_state_class, solverinfo, resume, rewind):
+        # the reference silently never advances its iteration counter when
+        # post_newton_fp_iter < 1 (nk_ooc/newton_solver.py:302-324 -- the fp
+        # loop is where inc_iteration lives), so a driver loop spins forever;
+        # fail loudly instead
+        if int(solverinfo["post_newton_fp_iter"]) < 1:
+            raise ValueError(
+                "post_newton_fp_iter must be >= 1 (the Newton iteration "
+                "advances inside the fixed-point phase)"
+            )
         region_cnt = model_state_class.model_config_obj.region_cnt
         super().__init__("Newton", solverinfo, region_cnt, resume, rewind)
 

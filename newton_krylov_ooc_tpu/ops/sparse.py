@@ -73,6 +73,23 @@ def bicgstab_ell(vals, cols, b, rtol=1.0e-12, atol=0.0, max_iter=10000):
     def matvec(v):
         return ell_matvec(vals, cols, v)
 
+    return bicgstab(matvec, b, precond=precond, rtol=rtol, atol=atol,
+                    max_iter=max_iter)
+
+
+def bicgstab(matvec, b, precond=None, rtol=1.0e-12, atol=0.0,
+             max_iter=10000):
+    """matrix-free right-preconditioned BiCGSTAB solve of A x = b
+
+    matvec/precond are callables on flat vectors (precond None = identity);
+    any linear operator works -- in particular the 3D transport stencils
+    (ops/transport3d.py), the TPU-native replacement for assembling the
+    operator into a sparse matrix first.  returns (x, converged, n_iter);
+    fully jittable.
+    """
+    if precond is None:
+        precond = lambda v: v  # noqa: E731
+
     bnorm = jnp.sqrt(b @ b)
     tol = jnp.maximum(rtol * bnorm, atol)
 

@@ -256,7 +256,7 @@ def _build_config(tmp_path, mock_case):
         "init_iterate_fname": str(tmp_path / "init_restart.nc"),
         "newton_rel_tol": "1.0e-10",
         "newton_max_iter": "5",
-        "post_newton_fp_iter": "0",
+        "post_newton_fp_iter": "1",
         "krylov_rel_tol": "1.0e-6",
     }
     config["modelinfo"] = {

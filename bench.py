@@ -457,6 +457,76 @@ def main():
             except Exception as exc:  # noqa: BLE001
                 result["sharded_bench_error"] = f"{type(exc).__name__}: {exc}"
 
+        # gx3-scale 3D offline IRF-transport year (irf_offline family):
+        # the cime_pop-class workload -- ~700k wet cells of upwind3
+        # advection + lateral diffusion + implicit vertical mixing from
+        # POP-convention circulation fields -- as one on-device IMEX scan.
+        # The reference runs this by submitting POP to a batch scheduler.
+        if time.time() - bench_t0 < 480:
+            try:
+                from functools import partial as _partial
+
+                from newton_krylov_ooc_tpu.models.irf_offline import synthetic
+                from newton_krylov_ooc_tpu.ops.imex import imex_year
+                from newton_krylov_ooc_tpu.ops.transport3d import (
+                    build_transport3d,
+                    mask_vmix_coeff,
+                    transport_tend,
+                    vmix_vertical_coeff,
+                )
+
+                g_nz, g_nlat, g_nlon = 60, 116, 100  # POP gx3v7 extents
+                circ = synthetic.gen_circulation(g_nz, g_nlat, g_nlon)
+                g_steps = max(
+                    2000, synthetic.stable_steps_per_year(circ)
+                )
+                coef = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, jnp.float32),
+                    build_transport3d(
+                        circ["mask"], circ["dz"], circ["TAREA"],
+                        uet=circ["UET"], vnt=circ["VNT"], wtt=circ["WTT"],
+                        hdiff_e=circ["HDIFF_E"], hdiff_n=circ["HDIFF_N"],
+                    ),
+                )
+                g_kv, g_dzr = vmix_vertical_coeff(circ["VDC"], circ["dz"])
+                g_kv = jnp.asarray(
+                    mask_vmix_coeff(g_kv, circ["mask"]), jnp.float32
+                )
+                g_dzr = jnp.asarray(g_dzr, jnp.float32)
+
+                @_partial(jax.jit, static_argnames=("n_steps",))
+                def irf_year(y0, cf, kv, dzr, n_steps):
+                    def tend(t, y):
+                        y3 = y.reshape(g_nz, g_nlat, g_nlon)
+                        return transport_tend(cf, y3).reshape(y.shape)
+
+                    return imex_year(
+                        tend, lambda t: kv, jnp.zeros((), jnp.float32),
+                        dzr, y0, (0.0, year), n_steps,
+                    )
+
+                y0_3d = jnp.asarray(
+                    np.random.default_rng(0)
+                    .uniform(0.0, 1.0, (g_nz, g_nlat * g_nlon))
+                    .astype(np.float32)
+                )
+                out3d = irf_year(y0_3d, coef, g_kv, g_dzr, g_steps)
+                out3d.block_until_ready()
+                assert np.isfinite(np.asarray(out3d)).all()
+                times = []
+                for _ in range(2):
+                    start = time.time()
+                    irf_year(y0_3d, coef, g_kv, g_dzr, g_steps).block_until_ready()
+                    times.append(time.time() - start)
+                result["irf3d_gx3_year_seconds"] = round(min(times), 4)
+                result["irf3d_n_steps"] = g_steps
+                result["irf3d_cells"] = g_nz * g_nlat * g_nlon
+                result["irf3d_cell_steps_per_second"] = round(
+                    g_nz * g_nlat * g_nlon * g_steps / min(times)
+                )
+            except Exception as exc:  # noqa: BLE001
+                result["irf3d_bench_error"] = f"{type(exc).__name__}: {exc}"
+
     print(json.dumps(result))
 
 

@@ -1,0 +1,29 @@
+#!/bin/bash
+# CI: irf_offline full solve on a synthetic gyre circulation.
+# No reference baseline exists (the family is a beyond-reference addition),
+# so the checks are self-consistency: the solve converges through the full
+# CLI surface, and a --resume on the converged workdir fast-forwards
+# without stepping (the step-log contract).
+cd "$(dirname "$0")/.."
+source scripts/newton_krylov_env_cmds
+source scripts/ci_common.sh
+ci_init irf_offline
+
+run_step "running setup_solver.sh for irf_offline" \
+    ./scripts/setup_solver.sh --model_name irf_offline --fp_cnt 1 \
+    --nz 4 --nlat 6 --nlon 8 --persist \
+    --workdir "$workdir" "$@"
+
+run_step "running nk_driver.sh for irf_offline" "$workdir/nk_driver.sh"
+
+# converged iterate exists and the log reports Newton convergence
+if ! grep -q "Newton convergence criterion satisfied" "$workdir"/*.log; then
+    echo "ERROR: no Newton convergence in the solver log"
+    err_cnt=$((err_cnt+1))
+fi
+
+run_step "resume on the converged workdir (must fast-forward cleanly)" \
+    python -m newton_krylov_ooc_tpu.cli.nk_driver --model_name irf_offline \
+    --persist --workdir "$workdir" --resume
+
+ci_exit

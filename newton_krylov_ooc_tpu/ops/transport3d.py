@@ -160,12 +160,12 @@ def transport_tend(coef, y):
     y = y * coef["wet"]
     flux_div = jnp.zeros_like(y)
 
-    if coef["t_e"] is not None or coef["cond_e"] is not None:
+    if coef.get("t_e") is not None or coef.get("cond_e") is not None:
         y_e = jnp.roll(y, -1, axis=-1)
         flux = jnp.zeros_like(y)
-        if coef["t_e"] is not None:
+        if coef.get("t_e") is not None:
             val = _face_value(
-                coef["t_e"],
+                coef.get("t_e"),
                 y,
                 y_e,
                 jnp.roll(y, 1, axis=-1),
@@ -174,17 +174,17 @@ def transport_tend(coef, y):
                 coef.get("sel3n_e"),
                 up3,
             )
-            flux = coef["t_e"] * val
-        if coef["cond_e"] is not None:
-            flux = flux + coef["cond_e"] * (y - y_e)
+            flux = coef.get("t_e") * val
+        if coef.get("cond_e") is not None:
+            flux = flux + coef.get("cond_e") * (y - y_e)
         flux_div = flux_div + jnp.roll(flux, 1, axis=-1) - flux
 
-    if coef["t_n"] is not None or coef["cond_n"] is not None:
+    if coef.get("t_n") is not None or coef.get("cond_n") is not None:
         y_n = _shift(y, 1, -2)
         flux = jnp.zeros_like(y)
-        if coef["t_n"] is not None:
+        if coef.get("t_n") is not None:
             val = _face_value(
-                coef["t_n"],
+                coef.get("t_n"),
                 y,
                 y_n,
                 _shift(y, -1, -2),
@@ -193,17 +193,17 @@ def transport_tend(coef, y):
                 coef.get("sel3n_n"),
                 up3,
             )
-            flux = coef["t_n"] * val
-        if coef["cond_n"] is not None:
-            flux = flux + coef["cond_n"] * (y - y_n)
+            flux = coef.get("t_n") * val
+        if coef.get("cond_n") is not None:
+            flux = flux + coef.get("cond_n") * (y - y_n)
         flux_div = flux_div + _shift(flux, -1, -2) - flux
 
-    if coef["t_t"] is not None:
+    if coef.get("t_t") is not None:
         # flux UP across the top face of cell k: leaves k, enters k-1;
         # upwind cell for positive (upward) transport is k itself
         y_above = _shift(y, -1, -3)
         val = _face_value(
-            coef["t_t"],
+            coef.get("t_t"),
             y,
             y_above,
             _shift(y, 1, -3),
@@ -212,7 +212,7 @@ def transport_tend(coef, y):
             coef.get("sel3n_t"),
             up3,
         )
-        flux = coef["t_t"] * val
+        flux = coef.get("t_t") * val
         flux_div = flux_div + _shift(flux, 1, -3) - flux
 
     return flux_div * coef["recip_vol"]

@@ -14,6 +14,10 @@ from .mesh import (  # noqa: F401
     space_sharding_2d,
     state_sharding,
 )
+from .sharded_transport3d import (  # noqa: F401
+    ShardedTransport3dKernel,
+    build_sharded_transport3d_year,
+)
 from .sharded_year import (  # noqa: F401
     ShardedForcedFamilyKernel,
     ShardedIageKernel,

@@ -31,8 +31,16 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.imex import imex_year
-from ..ops.transport3d import transport_tend
+from ..ops.transport3d import (
+    build_transport3d,
+    mask_vmix_coeff,
+    transport_tend,
+    vmix_vertical_coeff,
+)
+from ..ops.tridiag import pcr_solve
+from .sharded_year import _ShardedKernelInterface
 
+SEC_PER_YEAR = 365.0 * 86400.0
 HALO = 2  # upwind3 reaches two rows past a face
 
 
@@ -163,3 +171,236 @@ def build_sharded_transport3d_year(
         return sharded(y, *operands)
 
     return year
+
+def _region_reduction_arrays_3d(mesh, region_mask, grid_weight, dtype):
+    """device-resident per-(module, region) reduction operators over a 3D
+    grid, latitude-sharded like the state (P2 block independence composed
+    with the spatial decomposition): (region_cnt, mean_w, onehot, fill)"""
+    from ..utils.regions import region_mean_weights
+
+    region_mask = np.asarray(region_mask)
+    region_cnt = int(region_mask.max())
+    mean_w = region_mean_weights(region_mask, grid_weight).reshape(
+        (region_cnt,) + region_mask.shape
+    )
+    sharding = NamedSharding(mesh, P(None, None, "space", None))
+    onehot = np.stack(
+        [(region_mask == r + 1).astype(np.float64) for r in range(region_cnt)]
+    )
+    fill = 1.0 - onehot.sum(axis=0)
+    return (
+        region_cnt,
+        jax.device_put(jnp.asarray(mean_w, dtype), sharding),
+        jax.device_put(jnp.asarray(onehot, dtype), sharding),
+        jax.device_put(
+            jnp.asarray(fill, dtype),
+            NamedSharding(mesh, P(None, "space", None)),
+        ),
+    )
+
+
+class ShardedTransport3dKernel(_ShardedKernelInterface):
+    """in-core solver kernel: a family of linear 3D IRF-transport tracer
+    modules solved for their cyclostationary state over a latitude-sharded
+    mesh -- the cime_pop-class workload (POP-convention circulation fields,
+    /root/reference/nk_ooc/cime_pop/model_state.py:100-122) as a fully
+    on-device distributed Newton-Krylov solve.
+
+    Every solver operation runs on the sharded state: the year is the
+    halo-exchanged IMEX integration (build_sharded_transport3d_year), JVPs
+    are exact (the family is linear, so J v = year0(v) - v with the
+    source-free year), region-weighted reductions contract with
+    latitude-sharded weights (XLA inserts the psums), and the
+    preconditioner is the column-local vertical block of the reference's
+    (delta_t * M - I) operator (gen_A vmix rows,
+    native/precond_tools/gen_A.cpp) solved by PCR per column -- column-local
+    BY CONSTRUCTION, so the sharded and single-device solves perform
+    identical mathematics and their iterates agree to roundoff
+    (tests/test_sharded_transport3d.py pins this across mesh shapes).
+
+    state layout: (module_batch, t_dim, nz, nlat, nlon), sharded
+    P(None, None, None, 'space', None).
+
+    module_specs: per-module lists of per-tracer rate specs with the
+    irf_offline YAML keys (source_per_year, sink_rate_per_year,
+    surf_restore_pv_cm_s, surf_restore_target); all modules must share the
+    tracer count.
+    """
+
+    def __init__(self, mesh, circ, module_specs, n_steps, dtype=None,
+                 region_mask=None, adv_type="upwind3",
+                 t_span=(0.0, SEC_PER_YEAR), unroll=8):
+        if dtype is None:
+            dtype = jnp.result_type(float)
+        self.dtype = dtype
+        self.mesh = mesh
+
+        mask = np.asarray(circ["mask"])
+        nz, nlat, nlon = mask.shape
+        self.grid_shape = (nz, nlat, nlon)
+        wet = (mask > 0).astype(np.float64)
+        dz = np.asarray(circ["dz"], np.float64)
+
+        coef = build_transport3d(
+            mask, dz, circ["TAREA"],
+            uet=circ.get("UET"), vnt=circ.get("VNT"), wtt=circ.get("WTT"),
+            hdiff_e=circ.get("HDIFF_E"), hdiff_n=circ.get("HDIFF_N"),
+            adv_type=adv_type,
+        )
+        if circ.get("VDC") is not None:
+            kv, dz_r = vmix_vertical_coeff(circ["VDC"], dz)
+            kv = mask_vmix_coeff(kv, mask)
+        else:
+            kv = jnp.zeros((nz - 1, nlat * nlon))
+            dz_r = jnp.asarray(1.0 / (1.0e-2 * dz))
+
+        # per-(module, tracer) implicit rates and explicit sources, flat
+        # over the leading (module*tracer) axis the sharded year batches
+        self.module_batch = len(module_specs)
+        t_dim = len(module_specs[0])
+        if any(len(specs) != t_dim for specs in module_specs):
+            raise ValueError("all modules must share the tracer count")
+        self.t_dim = t_dim
+        n_flat = self.module_batch * t_dim
+        nh = nlat * nlon
+        wet_h = wet.reshape(nz, nh)
+        diag = np.zeros((n_flat, nz, nh))
+        src = np.zeros((n_flat, nz, nh))
+        for ind, spec in enumerate(
+            s for specs in module_specs for s in specs
+        ):
+            diag[ind] -= spec.get("sink_rate_per_year", 0.0) / SEC_PER_YEAR
+            src[ind] += spec.get("source_per_year", 0.0) / SEC_PER_YEAR
+            pv = spec.get("surf_restore_pv_cm_s", 0.0)
+            if pv != 0.0:
+                rate = pv / dz[0]
+                diag[ind, 0, :] -= rate
+                src[ind, 0, :] += rate * spec.get("surf_restore_target", 0.0)
+            diag[ind] *= wet_h
+            src[ind] *= wet_h
+
+        self._year_flat = build_sharded_transport3d_year(
+            mesh, coef, kv, dz_r, diag, src, t_span, n_steps, unroll=unroll
+        )
+        self._year0_flat = build_sharded_transport3d_year(
+            mesh, coef, kv, dz_r, diag, np.zeros_like(src), t_span, n_steps,
+            unroll=unroll,
+        )
+        flat_shape = (n_flat, nz, nlat, nlon)
+
+        @jax.jit
+        def comp_fcn(x):
+            return (
+                self._year_flat(x.reshape(flat_shape)).reshape(x.shape) - x
+            )
+
+        @jax.jit
+        def jvp0(v):
+            return (
+                self._year0_flat(v.reshape(flat_shape)).reshape(v.shape) - v
+            )
+
+        self._comp_fcn = comp_fcn
+        self._jvp = jvp0
+
+        self.state_sharding = NamedSharding(
+            mesh, P(None, None, None, "space", None)
+        )
+        self._wet = jax.device_put(
+            jnp.asarray(wet, dtype),
+            NamedSharding(mesh, P(None, "space", None)),
+        )
+
+        # region reductions over the 3D volume weights
+        if region_mask is None:
+            region_mask = mask
+        grid_weight = dz[:, None, None] * np.asarray(circ["TAREA"])[None] * wet
+        (
+            self.region_cnt,
+            mean_w,
+            onehot,
+            region_fill,
+        ) = _region_reduction_arrays_3d(mesh, region_mask, grid_weight, dtype)
+
+        @jax.jit
+        def dot(a, b):
+            prod = jnp.sum(a * b, axis=1)  # tracer axis (reference P1)
+            return jnp.einsum("mzab,rzab->mr", prod, mean_w)
+
+        self._dot = dot
+
+        @jax.jit
+        def region_broadcast_jit(scalars):
+            field = jnp.einsum("mr,rzab->mzab", scalars, onehot)
+            return (field + region_fill)[:, None, :, :, :]
+
+        self._region_broadcast = region_broadcast_jit
+
+        # column-local preconditioner: the vertical block of the reference's
+        # (delta_t * M - I) matrix (vmix tridiagonal + the module's local
+        # linear rates), solved exactly by PCR along depth.  Bands are
+        # state-independent, so they are "factored" once here.
+        delta_t = t_span[1] - t_span[0]
+        kv_np = np.asarray(kv, np.float64)
+        dz_r_np = np.asarray(dz_r, np.float64)
+        up = kv_np * dz_r_np[:-1, None]          # coupling to k+1, (nz-1, nh)
+        lo = kv_np * dz_r_np[1:, None]           # coupling to k-1
+        pad = np.zeros((1, nh))
+        du_b = delta_t * np.concatenate([up, pad], axis=0)   # (nz, nh)
+        dl_b = delta_t * np.concatenate([pad, lo], axis=0)
+        dmain = (
+            delta_t
+            * (
+                -(np.concatenate([up, pad], axis=0)
+                  + np.concatenate([pad, lo], axis=0))
+                + diag
+            )
+            - 1.0
+        )                                         # (n_flat, nz, nh)
+
+        def to_cols(arr, lead):
+            # (..., nz, nh) -> (..., nlat, nlon, nz) for the PCR solve
+            return np.moveaxis(
+                arr.reshape(lead + (nz, nlat, nlon)), -3, -1
+            )
+
+        band_sharding = NamedSharding(mesh, P("space", None, None))
+        self._pc_dl = jax.device_put(
+            jnp.asarray(to_cols(dl_b, ()), dtype), band_sharding
+        )
+        self._pc_du = jax.device_put(
+            jnp.asarray(to_cols(du_b, ()), dtype), band_sharding
+        )
+        self._pc_d = jax.device_put(
+            jnp.asarray(to_cols(dmain, (self.module_batch, t_dim)), dtype),
+            NamedSharding(mesh, P(None, None, "space", None, None)),
+        )
+
+        @jax.jit
+        def precond_apply(data, r):
+            r_cols = jnp.moveaxis(r, -3, -1)      # (M, T, nlat, nlon, nz)
+            sol = pcr_solve(
+                jnp.broadcast_to(self._pc_dl, r_cols.shape),
+                jnp.broadcast_to(self._pc_d, r_cols.shape),
+                jnp.broadcast_to(self._pc_du, r_cols.shape),
+                r_cols,
+            )
+            return jnp.moveaxis(sol, -1, -3)
+
+        self._precond_factor = lambda x: ()
+        self._precond_apply = precond_apply
+
+    # -- solver interface ------------------------------------------------------
+
+    def init_iterate(self, fill_value=0.5):
+        field = np.broadcast_to(
+            fill_value * np.asarray(self._wet, np.float64),
+            (self.module_batch, self.t_dim) + self.grid_shape,
+        )
+        return jax.device_put(
+            jnp.asarray(field, self.dtype), self.state_sharding
+        )
+
+    def jvp(self, x, fcn, v):
+        """exact: the family is linear, so J v = year0(v) - v"""
+        return self._jvp(v)

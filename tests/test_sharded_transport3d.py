@@ -73,6 +73,75 @@ def _reference_year(coef, kv, dz_r, diag, src, y0):
     return np.asarray(out).reshape(T_DIM, NZ, NLAT, NLON)
 
 
+MODULE_SPECS = [
+    [{"sink_rate_per_year": 0.5, "source_per_year": 1.0}],
+    [
+        {
+            "surf_restore_pv_cm_s": 5.0,
+            "surf_restore_target": 2.0,
+            "sink_rate_per_year": 0.1,
+        }
+    ],
+]
+
+
+def _two_basin_regions(mask):
+    """northern half of the wet cells as region 2 (P2 block independence)"""
+    region = mask.copy()
+    north = region[:, NLAT // 2 :, :]
+    north[north > 0] = 2
+    return region
+
+
+def _solve_family(n_space, jit_gmres, circ, n_steps, region_mask):
+    from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        ShardedTransport3dKernel,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+    kernel = ShardedTransport3dKernel(
+        mesh, circ, MODULE_SPECS, n_steps=n_steps, region_mask=region_mask
+    )
+    assert kernel.region_cnt == 2
+    solver = NewtonKrylovInCore(
+        kernel,
+        newton_rel_tol=1e-6,
+        krylov_rel_tol=1e-4,
+        newton_max_iter=6,
+        krylov_max_dim=60,
+        jit_gmres=jit_gmres,
+    )
+    x, fcn, info = solver.solve(kernel.init_iterate())
+    # per-(module, region) convergence of the cyclostationary residual
+    rel = info["fcn_norm"] / info["x_norm"]
+    assert rel.shape == (len(MODULE_SPECS), 2)
+    assert (rel < 1e-6).all()
+    return np.asarray(x)
+
+
+@pytest.fixture(scope="module")
+def solve_setup():
+    circ = _setup()[0]
+    n_steps = max(N_STEPS, synthetic.stable_steps_per_year(circ))
+    region_mask = _two_basin_regions(np.asarray(circ["mask"]))
+    x_ref = _solve_family(1, False, circ, n_steps, region_mask)
+    return circ, n_steps, region_mask, x_ref
+
+
+@pytest.mark.parametrize("n_space,jit_gmres", [(4, False), (2, True)])
+def test_sharded_solve_matches_single_device(n_space, jit_gmres, solve_setup):
+    """full Newton-Krylov solves of the 3D transport family agree across
+    mesh shapes and across the host-loop/jitted GMRES paths -- the sharded
+    counterpart of the reference's distributed preconditioner solve
+    (nk_ooc/cime_pop/model_state.py:317-337), with the whole solver on the
+    mesh rather than just the linear solve"""
+    circ, n_steps, region_mask, x_ref = solve_setup
+    got = _solve_family(n_space, jit_gmres, circ, n_steps, region_mask)
+    scale = np.abs(x_ref).max()
+    np.testing.assert_allclose(got, x_ref, rtol=0.0, atol=1e-11 * scale)
+
+
 @pytest.mark.parametrize("n_space", [2, 4])
 def test_sharded_year_matches_single_device(n_space):
     circ, coef, kv, dz_r, diag, src, y0 = _setup()

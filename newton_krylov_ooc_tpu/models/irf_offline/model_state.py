@@ -147,8 +147,12 @@ class ModelState(ModelStateBase):
     # -- rate fields from the module spec -------------------------------------
 
     def _module_rates(self, tracer_module):
-        """(diag, src): per-tracer implicit linear rates [1/s] and explicit
-        sources [tracer/s], each (tracer_cnt, nz, nlat*nlon)"""
+        """(diag, src, couple): per-tracer implicit linear rates [1/s],
+        explicit sources [tracer/s] (each (tracer_cnt, nz, nlat*nlon)), and
+        the cross-tracer surface-flux coupling matrix (tracer_cnt,
+        tracer_cnt) [1/s at the surface layer] or None when the module has
+        no off-diagonal gas-exchange terms (the reference's d_SF_X_d_Y
+        mechanism, nk_ooc/cime_pop/tracer_module_state.py:192-229)"""
         circ = ModelState._circ
         nz, nlat, nlon = circ["shape"]
         nh = nlat * nlon
@@ -156,8 +160,10 @@ class ModelState(ModelStateBase):
         dz_surf = circ["dz"][0]
 
         specs = tracer_module.rate_specs()
+        names = [spec["name"] for spec in specs]
         diag = np.zeros((len(specs), nz, nh))
         src = np.zeros((len(specs), nz, nh))
+        couple = np.zeros((len(specs), len(specs)))
         for ind, spec in enumerate(specs):
             diag[ind] -= spec["sink_rate_per_year"] / SEC_PER_YEAR
             src[ind] += spec["source_per_year"] / SEC_PER_YEAR
@@ -167,25 +173,39 @@ class ModelState(ModelStateBase):
                 rate = pv / dz_surf
                 diag[ind, 0, :] -= rate
                 src[ind, 0, :] += rate * spec["surf_restore_target"]
+            src[ind, 0, :] += spec["surf_flux_const_cm_s"] / dz_surf
+            for other, deriv in spec["surf_flux_d"].items():
+                rate = deriv / dz_surf
+                if other == spec["name"]:
+                    # self-damping folds into the implicit local rates
+                    diag[ind, 0, :] += rate
+                else:
+                    couple[ind, names.index(other)] += rate
             diag[ind] *= wet
             src[ind] *= wet
-        return diag, src
+        return diag, src, (couple if couple.any() else None)
 
     # -- year integration ------------------------------------------------------
 
-    def _year_fn(self, n_steps, dtype):
+    def _year_fn(self, n_steps, dtype, coupled):
         """cached jitted one-segment integration; every field AND the time
         span are operands, so a single compile serves all hist segments"""
-        key = (ModelState._circ_key, n_steps, dtype)
+        key = (ModelState._circ_key, n_steps, dtype, coupled)
         if key not in ModelState._year_cache:
             nz, nlat, nlon = ModelState._circ["shape"]
 
             @jax.jit
-            def run(y0, coef, kv, dz_r, diag, src, t_span):
+            def run(y0, coef, kv, dz_r, diag, src, couple, wet_surf, t_span):
                 def explicit_tend(t, y):
                     y3 = y.reshape(y.shape[:-2] + (nz, nlat, nlon))
-                    tend = transport_tend(coef, y3)
-                    return tend.reshape(y.shape) + src
+                    tend = transport_tend(coef, y3).reshape(y.shape) + src
+                    if couple is not None:
+                        # cross-tracer surface gas exchange (d_SF_X_d_Y)
+                        sflux = wet_surf * jnp.einsum(
+                            "xy,yh->xh", couple, y[:, 0, :]
+                        )
+                        tend = tend.at[:, 0, :].add(sflux)
+                    return tend
 
                 return imex_year(
                     explicit_tend,
@@ -206,7 +226,7 @@ class ModelState(ModelStateBase):
         dtype, device = self._dtype_and_device()
         nz, nlat, nlon = circ["shape"]
         nh = nlat * nlon
-        diag, src = self._module_rates(tracer_module)
+        diag, src, couple = self._module_rates(tracer_module)
         y = tracer_module.get_tracer_vals_all().reshape(-1, nz, nh)
 
         t0, t1 = self.time_range
@@ -223,9 +243,11 @@ class ModelState(ModelStateBase):
                 jnp.asarray(circ["dz_r"], dtype),
                 jnp.asarray(diag, dtype),
                 jnp.asarray(src, dtype),
+                None if couple is None else jnp.asarray(couple, dtype),
+                jnp.asarray(circ["wet"][0].reshape(-1), dtype),
             )
             y_dev = jnp.asarray(y, dtype)
-            fn = self._year_fn(seg_steps, dtype)
+            fn = self._year_fn(seg_steps, dtype, couple is not None)
             for seg in range(n_seg):
                 seg_span = jnp.asarray(
                     [
@@ -341,12 +363,14 @@ class ModelState(ModelStateBase):
     def _rate_operator_parts(self, tracer_module, dtype):
         """operands for the linearized year-rate operator of a module"""
         circ = ModelState._circ
-        diag, _src = self._module_rates(tracer_module)
+        diag, _src, couple = self._module_rates(tracer_module)
         return (
             jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), circ["coef"]),
             jnp.asarray(circ["kv"], dtype),
             jnp.asarray(circ["dz_r"], dtype),
             jnp.asarray(diag, dtype),
+            None if couple is None else jnp.asarray(couple, dtype),
+            jnp.asarray(circ["wet"][0].reshape(-1), dtype),
         )
 
     def apply_precond_jacobian(self, precond_fname, res_fname, solver_state):
@@ -399,7 +423,7 @@ class ModelState(ModelStateBase):
 
 
 @partial(jax.jit, static_argnames=("shape",))
-def _precond_solve(rhs, coef, kv, dz_r, diag, shape):
+def _precond_solve(rhs, coef, kv, dz_r, diag, couple, wet_surf, shape):
     """solve (delta_t * M - I) z = r for each tracer (batched over the
     leading axis); returns (z, converged_flags)
 
@@ -408,40 +432,70 @@ def _precond_solve(rhs, coef, kv, dz_r, diag, shape):
     a PCR solve, so the stiff direction (vmix rates up to delta_t*kappa/dz^2
     ~ 1e5) is removed from the Krylov iteration and only the O(delta_t *
     lateral rate) advection/diffusion part remains for it to damp.
+
+    couple (tracer_cnt, tracer_cnt) surface gas-exchange coupling, or None:
+    when present the tracers form ONE linear system (solved jointly, same
+    per-tracer vertical-block preconditioner) instead of independent ones.
     """
     nz, nlat, nlon = shape
+    nh = nlat * nlon
     delta_t = SEC_PER_YEAR
 
-    def matvec_flat(v, d):
-        v2 = v.reshape(nz, nlat * nlon)
-        out = delta_t * _rate_single(v2, coef, kv, dz_r, d, shape) - v2
-        return out.reshape(-1)
+    # vertical-block bands of delta_t * V - I, (nz, nh) for pcr_solve
+    up = kv * dz_r[:-1, None]
+    lo = kv * dz_r[1:, None]
+    pad = jnp.zeros((1, nh), kv.dtype)
+    du = delta_t * jnp.concatenate([up, pad], axis=0)
+    dl = delta_t * jnp.concatenate([pad, lo], axis=0)
+    dmain = delta_t * (-(jnp.concatenate([up, pad], axis=0)
+                         + jnp.concatenate([pad, lo], axis=0)) + diag) - 1.0
 
-    def one_tracer(r, d):
-        # vertical-block bands of delta_t * V - I, (nh, nz) for pcr_solve
-        up = kv * dz_r[:-1, None]
-        lo = kv * dz_r[1:, None]
-        pad = jnp.zeros((1, nlat * nlon), kv.dtype)
-        du = delta_t * jnp.concatenate([up, pad], axis=0)
-        dl = delta_t * jnp.concatenate([pad, lo], axis=0)
-        dmain = delta_t * (-(jnp.concatenate([up, pad], axis=0)
-                             + jnp.concatenate([pad, lo], axis=0)) + d) - 1.0
+    def vert_solve(v3):
+        """per-tracer vertical-block inverse; v3 (tracer_cnt, nz, nh)"""
+        return jax.vmap(
+            lambda d, r: pcr_solve(dl.T, d.T, du.T, r.T).T
+        )(dmain, v3)
 
-        def precond(v):
-            v2 = v.reshape(nz, nlat * nlon)
-            sol = pcr_solve(dl.T, dmain.T, du.T, v2.T).T
-            return sol.reshape(-1)
+    if couple is None:
 
-        x, ok, _k = bicgstab(
-            lambda v: matvec_flat(v, d),
-            r.reshape(-1),
-            precond=precond,
-            rtol=1.0e-10,
-            max_iter=50 * nlat * nlon,
-        )
-        return x.reshape(nz, nlat * nlon), ok
+        def one_tracer(r, d, dm):
+            def matvec(v):
+                v2 = v.reshape(nz, nh)
+                out = delta_t * _rate_single(v2, coef, kv, dz_r, d, shape) - v2
+                return out.reshape(-1)
 
-    return jax.vmap(one_tracer)(rhs, diag)
+            def precond(v):
+                return pcr_solve(dl.T, dm.T, du.T, v.reshape(nz, nh).T).T.reshape(-1)
+
+            x, ok, _k = bicgstab(
+                matvec,
+                r.reshape(-1),
+                precond=precond,
+                rtol=1.0e-10,
+                max_iter=50 * nh,
+            )
+            return x.reshape(nz, nh), ok
+
+        return jax.vmap(one_tracer)(rhs, diag, dmain)
+
+    # coupled: one system over all tracers of the module
+    def matvec_joint(v):
+        v3 = v.reshape(rhs.shape)
+        out = jax.vmap(
+            lambda vv, d: _rate_single(vv, coef, kv, dz_r, d, shape)
+        )(v3, diag)
+        sflux = wet_surf * jnp.einsum("xy,yh->xh", couple, v3[:, 0, :])
+        out = out.at[:, 0, :].add(sflux)
+        return (delta_t * out - v3).reshape(-1)
+
+    x, ok, _k = bicgstab(
+        matvec_joint,
+        rhs.reshape(-1),
+        precond=lambda v: vert_solve(v.reshape(rhs.shape)).reshape(-1),
+        rtol=1.0e-10,
+        max_iter=50 * nh * rhs.shape[0],
+    )
+    return x.reshape(rhs.shape), jnp.broadcast_to(ok, (rhs.shape[0],))
 
 
 def _rate_single(v2, coef, kv, dz_r, diag2, shape):

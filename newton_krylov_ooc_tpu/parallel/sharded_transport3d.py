@@ -59,7 +59,7 @@ def _extended_slices(arr, n_space, nl_loc):
 
 
 def build_sharded_transport3d_year(
-    mesh, coef, kv, dz_r, diag, src, t_span, n_steps, unroll=8
+    mesh, coef, kv, dz_r, diag, src, t_span, n_steps, unroll=8, couple=None
 ):
     """build the jitted sharded 3D transport year.
 
@@ -69,6 +69,9 @@ def build_sharded_transport3d_year(
     kv: (nz-1, nlat*nlon) vertical-mixing coupling; dz_r: (nz,)
     diag: (tracer, nz, nlat*nlon) implicit local rates
     src: (tracer, nz, nlat*nlon) explicit sources
+    couple: optional (tracer, tracer) surface gas-exchange coupling [1/s]
+        (the d_SF_X_d_Y mechanism); pointwise in the horizontal, so it is
+        shard-local -- no extra collectives
     Returns fn(y) -> y_end for y (tracer, nz, nlat, nlon) sharded
     P(None, None, 'space', None); the result keeps the sharding.
     """
@@ -105,6 +108,7 @@ def build_sharded_transport3d_year(
     diag_stack = jnp.asarray(interior_stack(diag, (t_dim, nz)), dtype)
     src_stack = jnp.asarray(interior_stack(src, (t_dim, nz)), dtype)
     dz_r_dev = jnp.asarray(dz_r, dtype)
+    couple_dev = None if couple is None else jnp.asarray(couple, dtype)
 
     fwd_perm = [(i, i + 1) for i in range(n_space - 1)]
     bwd_perm = [(i, i - 1) for i in range(1, n_space)]
@@ -126,11 +130,21 @@ def build_sharded_transport3d_year(
             north = jax.lax.ppermute(y4[..., :HALO, :], "space", bwd_perm)
             return jnp.concatenate([south, y4, north], axis=-2)
 
+        # surface wet mask of this shard's interior latitude block (for the
+        # shard-local gas-exchange coupling term)
+        wet_surf_l = coef_local["wet"][0, HALO:-HALO, :].reshape(-1)
+
         def explicit_tend(t, y):
             y4 = y.reshape(y.shape[:-1] + (nl_loc, nlon))
             tend_ext = transport_tend(coef_local, halo_ext(y4))
             tend = tend_ext[..., HALO:-HALO, :]
-            return tend.reshape(y.shape) + src_l
+            tend = tend.reshape(y.shape) + src_l
+            if couple_dev is not None:
+                sflux = wet_surf_l * jnp.einsum(
+                    "...xy,...yh->...xh", couple_dev, y[..., 0, :]
+                )
+                tend = tend.at[..., 0, :].add(sflux)
+            return tend
 
         return imex_year(
             explicit_tend,
@@ -266,25 +280,46 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
         wet_h = wet.reshape(nz, nh)
         diag = np.zeros((n_flat, nz, nh))
         src = np.zeros((n_flat, nz, nh))
-        for ind, spec in enumerate(
-            s for specs in module_specs for s in specs
-        ):
-            diag[ind] -= spec.get("sink_rate_per_year", 0.0) / SEC_PER_YEAR
-            src[ind] += spec.get("source_per_year", 0.0) / SEC_PER_YEAR
-            pv = spec.get("surf_restore_pv_cm_s", 0.0)
-            if pv != 0.0:
-                rate = pv / dz[0]
-                diag[ind, 0, :] -= rate
-                src[ind, 0, :] += rate * spec.get("surf_restore_target", 0.0)
-            diag[ind] *= wet_h
-            src[ind] *= wet_h
+        # block-diagonal surface gas-exchange coupling over the flat
+        # (module*tracer) axis: cross-tracer d_SF_X_d_Y terms couple only
+        # tracers of the same module
+        couple = np.zeros((n_flat, n_flat))
+        for m_ind, specs in enumerate(module_specs):
+            names = [s.get("name") for s in specs]
+            base = m_ind * t_dim
+            for t_ind, spec in enumerate(specs):
+                ind = base + t_ind
+                diag[ind] -= spec.get("sink_rate_per_year", 0.0) / SEC_PER_YEAR
+                src[ind] += spec.get("source_per_year", 0.0) / SEC_PER_YEAR
+                pv = spec.get("surf_restore_pv_cm_s", 0.0)
+                if pv != 0.0:
+                    rate = pv / dz[0]
+                    diag[ind, 0, :] -= rate
+                    src[ind, 0, :] += rate * spec.get("surf_restore_target", 0.0)
+                src[ind, 0, :] += spec.get("surf_flux_const_cm_s", 0.0) / dz[0]
+                for other, deriv in spec.get("surf_flux_d", {}).items():
+                    if other not in names:
+                        raise ValueError(
+                            f"surf_flux_d of {spec.get('name')} names a "
+                            f"tracer not in its module: {other}"
+                        )
+                    rate = deriv / dz[0]
+                    if other == spec.get("name"):
+                        diag[ind, 0, :] += rate
+                    else:
+                        couple[ind, base + names.index(other)] += rate
+                diag[ind] *= wet_h
+                src[ind] *= wet_h
+        if not couple.any():
+            couple = None
 
         self._year_flat = build_sharded_transport3d_year(
-            mesh, coef, kv, dz_r, diag, src, t_span, n_steps, unroll=unroll
+            mesh, coef, kv, dz_r, diag, src, t_span, n_steps, unroll=unroll,
+            couple=couple,
         )
         self._year0_flat = build_sharded_transport3d_year(
             mesh, coef, kv, dz_r, diag, np.zeros_like(src), t_span, n_steps,
-            unroll=unroll,
+            unroll=unroll, couple=couple,
         )
         flat_shape = (n_flat, nz, nlat, nlon)
 

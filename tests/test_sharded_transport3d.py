@@ -143,6 +143,110 @@ def test_sharded_solve_matches_single_device(n_space, jit_gmres, solve_setup):
 
 
 @pytest.mark.parametrize("n_space", [2, 4])
+def test_sharded_coupled_gas_exchange_year(n_space):
+    """the cross-tracer surface gas-exchange coupling (d_SF_X_d_Y) is
+    shard-local: the coupled sharded year equals an independent unsharded
+    IMEX integration carrying the same coupling term, and differs from the
+    uncoupled year (guarding against the term being silently dropped)"""
+    circ, coef, kv, dz_r, diag, src, y0 = _setup()
+    couple = np.zeros((T_DIM, T_DIM))
+    couple[1, 0] = 4.25e-3 / circ["dz"][0]
+
+    # independent single-device reference with the coupling in the tendency
+    wet_surf = (np.asarray(circ["mask"])[0] > 0).reshape(-1).astype(np.float64)
+    src2 = jnp.asarray(src.reshape(T_DIM, NZ, NLAT * NLON))
+    couple_j = jnp.asarray(couple)
+
+    def tend(t, y):
+        y3 = y.reshape(y.shape[:-1] + (NLAT, NLON))
+        out = transport_tend(coef, y3).reshape(y.shape) + src2
+        sflux = wet_surf * jnp.einsum("xy,yh->xh", couple_j, y[:, 0, :])
+        return out.at[:, 0, :].add(sflux)
+
+    expected = np.asarray(
+        imex_year(
+            tend,
+            lambda t: kv,
+            jnp.asarray(diag.reshape(T_DIM, NZ, NLAT * NLON)),
+            dz_r,
+            jnp.asarray(y0.reshape(T_DIM, NZ, NLAT * NLON)),
+            (0.0, YEAR),
+            N_STEPS,
+        )
+    ).reshape(T_DIM, NZ, NLAT, NLON)
+    uncoupled = _reference_year(coef, kv, dz_r, diag, src, y0)
+    assert np.abs(expected[1] - uncoupled[1]).max() > 1e-6 * np.abs(
+        expected[1]
+    ).max()
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+    fn = build_sharded_transport3d_year(
+        mesh, coef, kv, dz_r,
+        diag.reshape(T_DIM, NZ, NLAT * NLON),
+        src.reshape(T_DIM, NZ, NLAT * NLON),
+        (0.0, YEAR), N_STEPS, couple=couple,
+    )
+    y_dev = jax.device_put(
+        jnp.asarray(y0),
+        NamedSharding(mesh, P(None, None, "space", None)),
+    )
+    got = np.asarray(fn(y_dev))
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-13 * scale)
+
+
+def test_sharded_coupled_kernel_solve():
+    """whole-family sharded Newton-Krylov solve of a gas-exchange-coupled
+    module (the abio_dic_dic14 pattern) matches the single-device solve"""
+    circ = _setup()[0]
+    n_steps = max(N_STEPS, synthetic.stable_steps_per_year(circ))
+    specs = [
+        [
+            {
+                "name": "DIC",
+                "surf_flux_const_cm_s": 1.05e-2,
+                "surf_flux_d": {"DIC": -5.0e-3},
+            },
+            {
+                "name": "DIC14",
+                "surf_flux_d": {"DIC": 4.25e-3, "DIC14": -5.0e-3},
+                "sink_rate_per_year": 1.2097e-4,
+            },
+        ]
+    ]
+    from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        ShardedTransport3dKernel,
+    )
+
+    results = []
+    for n_space in (1, 2):
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+        kernel = ShardedTransport3dKernel(mesh, circ, specs, n_steps=n_steps)
+        solver = NewtonKrylovInCore(
+            kernel,
+            newton_rel_tol=1e-6,
+            krylov_rel_tol=1e-4,
+            newton_max_iter=8,
+            krylov_max_dim=60,
+        )
+        x, fcn, info = solver.solve(kernel.init_iterate())
+        rel = info["fcn_norm"] / info["x_norm"]
+        assert (rel < 1e-6).all()
+        results.append(np.asarray(x))
+    scale = np.abs(results[0]).max()
+    np.testing.assert_allclose(
+        results[1], results[0], rtol=0.0, atol=1e-11 * scale
+    )
+    # the DIC14/DIC surface ratio scatters around the exchange balance
+    # d_in/d_out = 0.85 (transport redistributes; decay is tiny)
+    surf = results[0][0, :, 0][:, np.asarray(circ["mask"])[0] > 0]
+    ratio = surf[1] / surf[0]
+    assert 0.80 < ratio.mean() < 0.90
+    assert (ratio > 0.5).all() and (ratio < 1.0).all()
+
+
+@pytest.mark.parametrize("n_space", [2, 4])
 def test_sharded_year_matches_single_device(n_space):
     circ, coef, kv, dz_r, diag, src, y0 = _setup()
     expected = _reference_year(coef, kv, dz_r, diag, src, y0)

@@ -12,9 +12,23 @@ ci_init irf_offline
 run_step "running setup_solver.sh for irf_offline" \
     ./scripts/setup_solver.sh --model_name irf_offline --fp_cnt 1 \
     --nz 4 --nlat 6 --nlon 8 --persist \
+    --tracer_module_names iage,abio_dic_dic14 \
     --workdir "$workdir" "$@"
 
 run_step "running nk_driver.sh for irf_offline" "$workdir/nk_driver.sh"
+
+# the coupled gas-exchange module's diagnostics made it into the stats file
+if ! python - "$workdir" <<'EOF'
+import sys
+from newton_krylov_ooc_tpu.utils.ncio import NCFile
+with NCFile(sys.argv[1] + "/Newton_stats.nc") as fptr:
+    assert fptr.has_var("SF_ABIO_DIC_horiz_int")
+    assert fptr.has_var("ABIO_D14C_horiz_mean")
+EOF
+then
+    echo "ERROR: gas-exchange stats vars missing"
+    err_cnt=$((err_cnt+1))
+fi
 
 # converged iterate exists and the log reports Newton convergence
 if ! grep -q "Newton convergence criterion satisfied" "$workdir"/*.log; then

@@ -161,9 +161,67 @@ def scipy_baseline(depth, ypos, y0, year):
     return elapsed, sol
 
 
+def _run_with_watchdog():
+    """driver resilience: a dead/hung accelerator tunnel can block the jax
+    backend init (or any later dispatch) indefinitely, and a hung call into
+    the runtime cannot be recovered in-process.  So the measurement itself
+    runs in a watchdogged CHILD process; if that hangs or dies, it is rerun
+    forced onto the CPU backend, so the driver always records a JSON line.
+    """
+    import subprocess
+
+    timeout_s = float(os.environ.get("NK_BENCH_WATCHDOG_S", "1500"))
+    last_err = None
+    for force_cpu in (False, True):
+        env = dict(os.environ, NK_BENCH_CHILD="1")
+        if force_cpu:
+            env["NK_BENCH_FORCE_CPU"] = last_err or "1"
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.realpath(__file__)],
+                timeout=timeout_s,
+                env=env,
+                stdout=subprocess.PIPE,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"accelerator session hung >{timeout_s:.0f}s"
+            continue
+        lines = proc.stdout.decode().strip().splitlines()
+        if proc.returncode == 0 and lines:
+            try:
+                json.loads(lines[-1])
+            except ValueError:
+                last_err = "child emitted no JSON"
+                continue
+            print(lines[-1])
+            return
+        last_err = f"accelerator session failed (rc={proc.returncode})"
+    print(
+        json.dumps(
+            {
+                "metric": "py_driver_2d iage fn-eval wall-clock",
+                "value": None,
+                "unit": "seconds",
+                "vs_baseline": None,
+                "error": last_err,
+            }
+        )
+    )
+
+
 def main():
+    device_fallback = os.environ.get("NK_BENCH_FORCE_CPU")
+
     import jax
     import jax.numpy as jnp
+
+    # some device plugins ignore the JAX_PLATFORMS env var (the axon tunnel
+    # does) and would still initialize; the config route is respected
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if device_fallback is not None:
+        jax.config.update("jax_platforms", "cpu")
+    elif platforms:
+        jax.config.update("jax_platforms", platforms)
 
     from newton_krylov_ooc_tpu.models.py_driver_2d.incore import IageKernel
 
@@ -224,6 +282,10 @@ def main():
         "step_halving_rel_err": rel_err,
         "device_ms_per_step": round(tpu_time / N_STEPS * 1.0e3, 6),
     }
+    if device_fallback is not None:
+        result["device_fallback"] = (
+            f"{device_fallback}; measured on the CPU backend"
+        )
 
     # device-utilization observability: XLA's own cost model for the SAME
     # mathematics (the scan-path year; the pallas megakernel is opaque to
@@ -531,4 +593,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("NK_BENCH_CHILD"):
+        main()
+    else:
+        _run_with_watchdog()

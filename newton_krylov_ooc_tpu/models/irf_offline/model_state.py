@@ -35,7 +35,10 @@ from ...ops.sparse import bicgstab
 from ...ops.tridiag import pcr_solve
 from ...ops.transport3d import (
     build_transport3d,
+    interp_month,
+    interp_transport_coef,
     mask_vmix_coeff,
+    mean_transport_coef,
     transport_tend,
     vmix_vertical_coeff,
 )
@@ -196,9 +199,16 @@ class ModelState(ModelStateBase):
 
             @jax.jit
             def run(y0, coef, kv, dz_r, diag, src, couple, wet_surf, t_span):
+                def year_frac(t):
+                    return jnp.mod(t / SEC_PER_YEAR, 1.0)
+
                 def explicit_tend(t, y):
+                    # seasonal circulation: face arrays carry a leading
+                    # time axis and interpolate periodically; a steady
+                    # pytree passes through untouched
+                    c = interp_transport_coef(coef, year_frac(t))
                     y3 = y.reshape(y.shape[:-2] + (nz, nlat, nlon))
-                    tend = transport_tend(coef, y3).reshape(y.shape) + src
+                    tend = transport_tend(c, y3).reshape(y.shape) + src
                     if couple is not None:
                         # cross-tracer surface gas exchange (d_SF_X_d_Y)
                         sflux = wet_surf * jnp.einsum(
@@ -207,9 +217,14 @@ class ModelState(ModelStateBase):
                         tend = tend.at[:, 0, :].add(sflux)
                     return tend
 
+                if kv.ndim == 3:
+                    vert_coeff = lambda t: interp_month(kv, year_frac(t))
+                else:
+                    vert_coeff = lambda t: kv
+
                 return imex_year(
                     explicit_tend,
-                    lambda t: kv,
+                    vert_coeff,
                     diag,
                     dz_r,
                     y0,
@@ -361,12 +376,21 @@ class ModelState(ModelStateBase):
     # -- preconditioner --------------------------------------------------------
 
     def _rate_operator_parts(self, tracer_module, dtype):
-        """operands for the linearized year-rate operator of a module"""
+        """operands for the linearized year-rate operator of a module;
+        a seasonal circulation contributes its ANNUAL MEAN (the reference's
+        ncra-averaged operator) -- the preconditioner is an approximate
+        inverse, so the time variation need not be carried there"""
         circ = ModelState._circ
         diag, _src, couple = self._module_rates(tracer_module)
+        kv = circ["kv"]
+        if kv.ndim == 3:
+            kv = kv.mean(axis=0)
         return (
-            jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), circ["coef"]),
-            jnp.asarray(circ["kv"], dtype),
+            jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype),
+                mean_transport_coef(circ["coef"]),
+            ),
+            jnp.asarray(kv, dtype),
             jnp.asarray(circ["dz_r"], dtype),
             jnp.asarray(diag, dtype),
             None if couple is None else jnp.asarray(couple, dtype),

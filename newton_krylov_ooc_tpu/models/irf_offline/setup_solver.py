@@ -41,6 +41,13 @@ def parse_args(args_list_in=None):
     parser.add_argument("--nz", type=int, default=10, help="synthetic grid levels")
     parser.add_argument("--nlat", type=int, default=12, help="synthetic grid rows")
     parser.add_argument("--nlon", type=int, default=16, help="synthetic grid cols")
+    parser.add_argument(
+        "--seasonal_months",
+        type=int,
+        default=0,
+        help="generate a seasonal synthetic circulation with this many "
+        "monthly samples (0 = steady annual mean)",
+    )
     add_setup_args(parser)
     return args_replace(parser.parse_args(args_remaining))
 
@@ -68,7 +75,12 @@ def main(args):
             'generating synthetic circulation, irf_fname="%s"',
             repro_fname(modelinfo, irf_fname),
         )
-        circ = synthetic.gen_circulation(args.nz, args.nlat, args.nlon)
+        circ = synthetic.gen_circulation(
+            args.nz,
+            args.nlat,
+            args.nlon,
+            n_seasons=args.seasonal_months or None,
+        )
         mkdir_exist_okay(os.path.dirname(irf_fname))
         synthetic.write_circulation(irf_fname, circ, CALLER)
         mkdir_exist_okay(os.path.dirname(grid_vars_fname))

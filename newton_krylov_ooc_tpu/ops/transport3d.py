@@ -31,10 +31,62 @@ advective+diffusive tendency vanishes identically (tracer conservation).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 _SIXTH = 1.0 / 6.0
+
+# coefficient arrays that may carry a leading (seasonal) time axis; the
+# selector/geometry arrays are mask-derived and always static
+_TIME_VARYING_KEYS = ("t_e", "t_n", "t_t", "cond_e", "cond_n")
+
+
+def transport_coef_n_time(coef):
+    """leading time-axis length of the face arrays (None if steady)"""
+    for key in _TIME_VARYING_KEYS:
+        arr = coef.get(key)
+        if arr is not None and arr.ndim == 4:
+            return arr.shape[0]
+    return None
+
+
+def interp_month(arr, frac):
+    """periodic linear interpolation along a leading time axis whose
+    samples sit at interval midpoints (m + 0.5)/n_time of the period;
+    frac is the (traced) fraction of the period in [0, 1)"""
+    n_t = arr.shape[0]
+    x = frac * n_t - 0.5
+    m0f = jnp.floor(x)
+    w1 = jnp.asarray(x - m0f, arr.dtype)
+    m0 = jnp.asarray(m0f, jnp.int32) % n_t
+    m1 = (m0 + 1) % n_t
+    a0 = jax.lax.dynamic_index_in_dim(arr, m0, 0, keepdims=False)
+    a1 = jax.lax.dynamic_index_in_dim(arr, m1, 0, keepdims=False)
+    return (1.0 - w1) * a0 + w1 * a1
+
+
+def mean_transport_coef(coef):
+    """annual-mean coefficient pytree of a (possibly seasonal) one --
+    what the reference's ncra-averaged IRF mean file would have produced;
+    used for the linearized preconditioner operator"""
+    out = dict(coef)
+    for key in _TIME_VARYING_KEYS:
+        arr = coef.get(key)
+        if arr is not None and arr.ndim == 4:
+            out[key] = arr.mean(axis=0)
+    return out
+
+
+def interp_transport_coef(coef, frac):
+    """sample a seasonal coefficient pytree at a fraction of the period;
+    steady entries (and a fully steady pytree) pass through unchanged"""
+    out = dict(coef)
+    for key in _TIME_VARYING_KEYS:
+        arr = coef.get(key)
+        if arr is not None and arr.ndim == 4:
+            out[key] = interp_month(arr, frac)
+    return out
 
 
 def _shift(arr, off, axis):
@@ -71,6 +123,13 @@ def build_transport3d(
     tarea: (nlat, nlon) [cm^2]; uet/vnt/wtt/hdiff_*: (nz, nlat, nlon)
     [cm^3/s] (None = term absent); adv_type: upwind3 | centered
 
+    SEASONAL circulation: any face field may instead be (n_time, nz, nlat,
+    nlon) -- e.g. the monthly IRF means the reference's setup ncra-averages
+    away (nk_ooc/cime_pop/setup_solver.py:100-166).  The resulting
+    time-varying coefficient arrays carry the leading time axis; sample
+    them at a time of year with interp_transport_coef before calling
+    transport_tend.
+
     Returned arrays are plain jnp values: pass the dict as a jit OPERAND
     (never closure-capture it -- large captured constants re-upload per
     call on remote-device backends).
@@ -92,7 +151,10 @@ def build_transport3d(
         """mask a face field: zero where either side of the face is dry"""
         if field is None:
             return None
-        vals = np.asarray(field, np.float64) * wet * other_wet
+        field = np.asarray(field, np.float64)
+        if field.ndim not in (3, 4):
+            raise ValueError("face fields must be rank 3 or (seasonal) 4")
+        vals = field * wet * other_wet  # broadcasts over a leading time axis
         return jnp.asarray(vals, dtype)
 
     wet_e = np.roll(wet, -1, axis=2)
@@ -110,7 +172,7 @@ def build_transport3d(
         "cond_n": prep(hdiff_n, wet_n),
     }
     if coef["t_t"] is not None:
-        coef["t_t"] = coef["t_t"].at[0, :, :].set(0.0)
+        coef["t_t"] = coef["t_t"].at[..., 0, :, :].set(0.0)
     if adv_type == "upwind3":
         # 3rd-order usable only where the far-upwind cell is wet and on-grid
         coef["sel3p_e"] = jnp.asarray(np.roll(wet, 1, axis=2), dtype)
@@ -222,20 +284,21 @@ def vmix_vertical_coeff(vdc, dz):
     """vertical-mixing coupling for the implicit (Crank-Nicolson) solve
 
     vdc: (nz, nlat, nlon) interface diffusivity below each level [cm^2/s]
-    (VDC convention; the bottom row is unused); dz: (nz,) [cm]
+    (VDC convention; the bottom row is unused), or seasonal
+    (n_time, nz, nlat, nlon); dz: (nz,) [cm]
 
-    returns (kv, dz_r): kv (nz-1, nlat*nlon) = kappa/dz_mid [m/s] and
-    dz_r (nz,) = 1/dz [1/m], the operands ops.imex.cn_vertical_increment
+    returns (kv, dz_r): kv ([n_time,] nz-1, nlat*nlon) = kappa/dz_mid [m/s]
+    and dz_r (nz,) = 1/dz [1/m], the operands ops.imex.cn_vertical_increment
     expects -- units follow gen_A.cpp:182-198 (cm -> m conversions) so the
     assembled rates match the preconditioner matrix exactly
     """
     vdc = np.asarray(vdc, np.float64)
     dz_m = 1.0e-2 * np.asarray(dz, np.float64)
     dz_mid = 0.5 * (dz_m[:-1] + dz_m[1:])
-    kappa = 1.0e-4 * vdc[:-1, :, :]  # cm^2/s -> m^2/s, interface below k
+    kappa = 1.0e-4 * vdc[..., :-1, :, :]  # cm^2/s -> m^2/s, interface below k
     kv = kappa / dz_mid[:, None, None]
     return (
-        jnp.asarray(kv.reshape(kv.shape[0], -1)),
+        jnp.asarray(kv.reshape(kv.shape[:-2] + (-1,))),
         jnp.asarray(1.0 / dz_m),
     )
 
@@ -243,7 +306,7 @@ def vmix_vertical_coeff(vdc, dz):
 def mask_vmix_coeff(kv, mask):
     """zero the vertical-mixing coupling across faces touching dry cells
 
-    kv: (nz-1, nlat*nlon); mask: (nz, nlat, nlon)
+    kv: ([n_time,] nz-1, nlat*nlon); mask: (nz, nlat, nlon)
     """
     wet = (np.asarray(mask).reshape(mask.shape[0], -1) > 0).astype(np.float64)
     return kv * jnp.asarray(wet[:-1, :] * wet[1:, :], kv.dtype)

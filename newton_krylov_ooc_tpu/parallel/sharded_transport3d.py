@@ -33,6 +33,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ops.imex import imex_year
 from ..ops.transport3d import (
     build_transport3d,
+    interp_month,
+    interp_transport_coef,
     mask_vmix_coeff,
     transport_tend,
     vmix_vertical_coeff,
@@ -45,14 +47,16 @@ HALO = 2  # upwind3 reaches two rows past a face
 
 
 def _extended_slices(arr, n_space, nl_loc):
-    """(n_space, nz, nl_loc + 2*HALO, nlon) stack of per-shard latitude
-    blocks extended by HALO rows each side, zero-padded off-grid"""
-    nz, nlat, nlon = arr.shape
-    padded = np.zeros((nz, nlat + 2 * HALO, nlon), arr.dtype)
-    padded[:, HALO : HALO + nlat, :] = arr
+    """(n_space, ..., nl_loc + 2*HALO, nlon) stack of per-shard latitude
+    blocks extended by HALO rows each side, zero-padded off-grid; the
+    latitude axis is -2, so leading axes (depth, a seasonal time axis)
+    ride along unchanged"""
+    pad = [(0, 0)] * arr.ndim
+    pad[-2] = (HALO, HALO)
+    padded = np.pad(arr, pad)
     return np.stack(
         [
-            padded[:, s * nl_loc : s * nl_loc + nl_loc + 2 * HALO, :]
+            padded[..., s * nl_loc : s * nl_loc + nl_loc + 2 * HALO, :]
             for s in range(n_space)
         ]
     )
@@ -103,7 +107,9 @@ def build_sharded_transport3d_year(
             [arr[..., s * nl_loc : (s + 1) * nl_loc, :] for s in range(n_space)]
         ).reshape((n_space,) + inner_shape + (nl_loc * nlon,))
 
-    kv_stack = jnp.asarray(interior_stack(kv, (nz - 1,)), dtype)
+    kv = np.asarray(kv)
+    kv_inner = kv.shape[:-1]  # (nz-1,) or seasonal (n_time, nz-1)
+    kv_stack = jnp.asarray(interior_stack(kv, kv_inner), dtype)
     t_dim = diag.shape[0]
     diag_stack = jnp.asarray(interior_stack(diag, (t_dim, nz)), dtype)
     src_stack = jnp.asarray(interior_stack(src, (t_dim, nz)), dtype)
@@ -134,9 +140,15 @@ def build_sharded_transport3d_year(
         # shard-local gas-exchange coupling term)
         wet_surf_l = coef_local["wet"][0, HALO:-HALO, :].reshape(-1)
 
+        def year_frac(t):
+            return jnp.mod(t / SEC_PER_YEAR, 1.0)
+
         def explicit_tend(t, y):
+            # seasonal circulation: time-varying local coefficient slices
+            # interpolate shard-locally (steady slices pass through)
+            c_t = interp_transport_coef(coef_local, year_frac(t))
             y4 = y.reshape(y.shape[:-1] + (nl_loc, nlon))
-            tend_ext = transport_tend(coef_local, halo_ext(y4))
+            tend_ext = transport_tend(c_t, halo_ext(y4))
             tend = tend_ext[..., HALO:-HALO, :]
             tend = tend.reshape(y.shape) + src_l
             if couple_dev is not None:
@@ -146,9 +158,14 @@ def build_sharded_transport3d_year(
                 tend = tend.at[..., 0, :].add(sflux)
             return tend
 
+        if kv_l.ndim == 3:
+            vert_coeff = lambda t: interp_month(kv_l, year_frac(t))
+        else:
+            vert_coeff = lambda t: kv_l
+
         return imex_year(
             explicit_tend,
-            lambda t: kv_l,
+            vert_coeff,
             diag_l,
             dz_r_dev,
             y.reshape(y.shape[:-2] + (nl_loc * nlon,)),
@@ -158,26 +175,28 @@ def build_sharded_transport3d_year(
         ).reshape(y.shape)
 
     state_spec = P(None, None, "space", None)
-    stack3 = P("space", None, None)
-    stack4 = P("space", None, None, None)
+
+    def stack_spec(arr):
+        """shard the leading stack axis; everything else replicates"""
+        return P("space", *([None] * (arr.ndim - 1)))
+
+    stacked = [(kv_stack, stack_spec(kv_stack)),
+               (diag_stack, stack_spec(diag_stack)),
+               (src_stack, stack_spec(src_stack))] + [
+        (arr, stack_spec(arr)) for arr in coef_stacks
+    ]
 
     sharded = shard_map(
         local_year,
         mesh=mesh,
-        in_specs=(state_spec, stack3, stack4, stack4)
-        + tuple(stack4 for _ in coef_names),
+        in_specs=(state_spec,) + tuple(spec for _arr, spec in stacked),
         out_specs=state_spec,
         check_vma=False,
     )
 
     operands = tuple(
         jax.device_put(arr, NamedSharding(mesh, spec))
-        for arr, spec in [
-            (kv_stack, stack3),
-            (diag_stack, stack4),
-            (src_stack, stack4),
-        ]
-        + [(arr, stack4) for arr in coef_stacks]
+        for arr, spec in stacked
     )
 
     @jax.jit
@@ -376,7 +395,11 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
         # linear rates), solved exactly by PCR along depth.  Bands are
         # state-independent, so they are "factored" once here.
         delta_t = t_span[1] - t_span[0]
+        # seasonal vertical mixing contributes its annual mean to the
+        # (approximate-inverse) preconditioner bands
         kv_np = np.asarray(kv, np.float64)
+        if kv_np.ndim == 3:
+            kv_np = kv_np.mean(axis=0)
         dz_r_np = np.asarray(dz_r, np.float64)
         up = kv_np * dz_r_np[:-1, None]          # coupling to k+1, (nz-1, nh)
         lo = kv_np * dz_r_np[1:, None]           # coupling to k-1

@@ -247,6 +247,111 @@ def test_sharded_coupled_kernel_solve():
 
 
 @pytest.mark.parametrize("n_space", [2, 4])
+def test_sharded_seasonal_year_matches_single_device(n_space):
+    """a SEASONAL circulation (monthly face transports + vertical mixing,
+    interpolated periodically inside the integration) shards identically:
+    the time interpolation is shard-local, so only the same two halo
+    ppermutes per stage communicate"""
+    from newton_krylov_ooc_tpu.ops.transport3d import (
+        interp_month,
+        interp_transport_coef,
+    )
+
+    mask = np.ones((NZ, NLAT, NLON), np.int32)
+    mask[:, 3, 2] = 0
+    mask[2:, 5, 4] = 0
+    circ = synthetic.gen_circulation(NZ, NLAT, NLON, mask=mask, n_seasons=4)
+    assert circ["UET"].ndim == 4
+    n_steps = max(N_STEPS, synthetic.stable_steps_per_year(circ))
+    coef = build_transport3d(
+        circ["mask"], circ["dz"], circ["TAREA"], uet=circ["UET"],
+        vnt=circ["VNT"], wtt=circ["WTT"], hdiff_e=circ["HDIFF_E"],
+        hdiff_n=circ["HDIFF_N"],
+    )
+    kv, dz_r = vmix_vertical_coeff(circ["VDC"], circ["dz"])
+    kv = mask_vmix_coeff(kv, circ["mask"])
+    assert kv.ndim == 3
+
+    rng = np.random.default_rng(11)
+    wet = (mask > 0).astype(np.float64)
+    diag = -rng.uniform(0.0, 1.0e-7, (T_DIM, NZ, NLAT, NLON)) * wet
+    src = rng.uniform(0.0, 1.0e-8, (T_DIM, NZ, NLAT, NLON)) * wet
+    y0 = rng.uniform(0.0, 1.0, (T_DIM, NZ, NLAT, NLON)) * wet
+
+    src2 = jnp.asarray(src.reshape(T_DIM, NZ, NLAT * NLON))
+
+    def tend(t, y):
+        c = interp_transport_coef(coef, jnp.mod(t / YEAR, 1.0))
+        y3 = y.reshape(y.shape[:-1] + (NLAT, NLON))
+        return transport_tend(c, y3).reshape(y.shape) + src2
+
+    expected = np.asarray(
+        imex_year(
+            tend,
+            lambda t: interp_month(kv, jnp.mod(t / YEAR, 1.0)),
+            jnp.asarray(diag.reshape(T_DIM, NZ, NLAT * NLON)),
+            dz_r,
+            jnp.asarray(y0.reshape(T_DIM, NZ, NLAT * NLON)),
+            (0.0, YEAR),
+            n_steps,
+        )
+    ).reshape(T_DIM, NZ, NLAT, NLON)
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+    fn = build_sharded_transport3d_year(
+        mesh, coef, kv, dz_r,
+        diag.reshape(T_DIM, NZ, NLAT * NLON),
+        src.reshape(T_DIM, NZ, NLAT * NLON),
+        (0.0, YEAR), n_steps,
+    )
+    y_dev = jax.device_put(
+        jnp.asarray(y0),
+        NamedSharding(mesh, P(None, None, "space", None)),
+    )
+    got = np.asarray(fn(y_dev))
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-13 * scale)
+
+
+def test_sharded_seasonal_kernel_solve():
+    """whole-family sharded solve under a seasonal circulation matches the
+    single-device solve (annual-mean vertical preconditioner, seasonal
+    forward operator)"""
+    mask = np.ones((NZ, NLAT, NLON), np.int32)
+    mask[:, 3, 2] = 0
+    circ = synthetic.gen_circulation(NZ, NLAT, NLON, mask=mask, n_seasons=4)
+    n_steps = max(N_STEPS, synthetic.stable_steps_per_year(circ))
+    from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        ShardedTransport3dKernel,
+    )
+
+    specs = [
+        [{"name": "IAGE", "source_per_year": 1.0,
+          "surf_restore_pv_cm_s": 5.0e-3}]
+    ]
+    results = []
+    for n_space in (1, 2):
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+        kernel = ShardedTransport3dKernel(mesh, circ, specs, n_steps=n_steps)
+        solver = NewtonKrylovInCore(
+            kernel,
+            newton_rel_tol=1e-6,
+            krylov_rel_tol=1e-4,
+            newton_max_iter=8,
+            krylov_max_dim=60,
+        )
+        x, _fcn, info = solver.solve(kernel.init_iterate())
+        rel = info["fcn_norm"] / info["x_norm"]
+        assert (rel < 1e-6).all()
+        results.append(np.asarray(x))
+    scale = np.abs(results[0]).max()
+    np.testing.assert_allclose(
+        results[1], results[0], rtol=0.0, atol=1e-11 * scale
+    )
+
+
+@pytest.mark.parametrize("n_space", [2, 4])
 def test_sharded_year_matches_single_device(n_space):
     circ, coef, kv, dz_r, diag, src, y0 = _setup()
     expected = _reference_year(coef, kv, dz_r, diag, src, y0)

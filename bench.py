@@ -171,11 +171,12 @@ def _run_with_watchdog():
     import subprocess
 
     timeout_s = float(os.environ.get("NK_BENCH_WATCHDOG_S", "1500"))
-    last_err = None
+    errs = []
     for force_cpu in (False, True):
+        label = "cpu fallback" if force_cpu else "accelerator session"
         env = dict(os.environ, NK_BENCH_CHILD="1")
         if force_cpu:
-            env["NK_BENCH_FORCE_CPU"] = last_err or "1"
+            env["NK_BENCH_FORCE_CPU"] = "; ".join(errs) or "1"
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.realpath(__file__)],
@@ -184,18 +185,19 @@ def _run_with_watchdog():
                 stdout=subprocess.PIPE,
             )
         except subprocess.TimeoutExpired:
-            last_err = f"accelerator session hung >{timeout_s:.0f}s"
+            errs.append(f"{label} hung >{timeout_s:.0f}s")
             continue
         lines = proc.stdout.decode().strip().splitlines()
         if proc.returncode == 0 and lines:
             try:
                 json.loads(lines[-1])
             except ValueError:
-                last_err = "child emitted no JSON"
+                errs.append(f"{label} emitted no JSON")
                 continue
             print(lines[-1])
             return
-        last_err = f"accelerator session failed (rc={proc.returncode})"
+        errs.append(f"{label} failed (rc={proc.returncode})")
+    last_err = "; ".join(errs)
     print(
         json.dumps(
             {

@@ -34,6 +34,7 @@ from ...ops.imex import imex_year
 from ...ops.sparse import bicgstab
 from ...ops.tridiag import pcr_solve
 from ...ops.transport3d import (
+    assemble_rate_fields,
     build_transport3d,
     interp_month,
     interp_transport_coef,
@@ -158,35 +159,10 @@ class ModelState(ModelStateBase):
         mechanism, nk_ooc/cime_pop/tracer_module_state.py:192-229)"""
         circ = ModelState._circ
         nz, nlat, nlon = circ["shape"]
-        nh = nlat * nlon
-        wet = circ["wet"].reshape(nz, nh)
-        dz_surf = circ["dz"][0]
-
-        specs = tracer_module.rate_specs()
-        names = [spec["name"] for spec in specs]
-        diag = np.zeros((len(specs), nz, nh))
-        src = np.zeros((len(specs), nz, nh))
-        couple = np.zeros((len(specs), len(specs)))
-        for ind, spec in enumerate(specs):
-            diag[ind] -= spec["sink_rate_per_year"] / SEC_PER_YEAR
-            src[ind] += spec["source_per_year"] / SEC_PER_YEAR
-            pv = spec["surf_restore_pv_cm_s"]
-            if pv != 0.0:
-                # gen_A `pv` convention: surface-layer rate pv/dz_surf [1/s]
-                rate = pv / dz_surf
-                diag[ind, 0, :] -= rate
-                src[ind, 0, :] += rate * spec["surf_restore_target"]
-            src[ind, 0, :] += spec["surf_flux_const_cm_s"] / dz_surf
-            for other, deriv in spec["surf_flux_d"].items():
-                rate = deriv / dz_surf
-                if other == spec["name"]:
-                    # self-damping folds into the implicit local rates
-                    diag[ind, 0, :] += rate
-                else:
-                    couple[ind, names.index(other)] += rate
-            diag[ind] *= wet
-            src[ind] *= wet
-        return diag, src, (couple if couple.any() else None)
+        wet = circ["wet"].reshape(nz, nlat * nlon)
+        return assemble_rate_fields(
+            tracer_module.rate_specs(), wet, circ["dz"][0], SEC_PER_YEAR
+        )
 
     # -- year integration ------------------------------------------------------
 

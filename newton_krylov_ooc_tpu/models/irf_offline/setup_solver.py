@@ -70,7 +70,15 @@ def main(args):
 
     irf_fname = modelinfo["irf_fname"]
     grid_vars_fname = modelinfo["grid_vars_fname"]
-    if not os.path.exists(irf_fname):
+    if os.path.exists(irf_fname):
+        if args.seasonal_months:
+            logger.warning(
+                'irf_fname="%s" already exists; --seasonal_months ignored '
+                "(and steps_per_year not re-derived) -- remove the file to "
+                "regenerate",
+                repro_fname(modelinfo, irf_fname),
+            )
+    else:
         logger.info(
             'generating synthetic circulation, irf_fname="%s"',
             repro_fname(modelinfo, irf_fname),

@@ -154,13 +154,25 @@ class TracerModuleState(TracerModuleStateBase):
                 raise ValueError(
                     f"derived_hist_var {name}: unknown type {spec.get('type')!r}"
                 )
+            if name in self.tracer_names:
+                raise ValueError(
+                    f"derived_hist_var {name} collides with a tracer of "
+                    f"module {self.name}"
+                )
             for key in ("numerator", "denominator"):
                 if spec.get(key) not in self.tracer_names:
                     raise ValueError(
                         f"derived_hist_var {name}: {key} {spec.get(key)!r} "
                         f"is not a tracer of module {self.name}"
                     )
-            res[name] = spec
+            res[name] = dict(
+                spec,
+                attrs={
+                    "long_name": name,
+                    "units": "permil",
+                    **spec.get("attrs", {}),
+                },
+            )
         return res
 
     def surf_flux_names(self):
@@ -204,13 +216,7 @@ class TracerModuleState(TracerModuleStateBase):
             for tracer_name, md in self._tracer_module_def["tracers"].items()
         }
         for name, spec in self.derived_hist_specs().items():
-            res[name] = {
-                "attrs": dict(
-                    spec.get(
-                        "attrs", {"long_name": name, "units": "permil"}
-                    )
-                )
-            }
+            res[name] = {"attrs": dict(spec["attrs"])}
         return res
 
     def hist_vars_metadata(self):

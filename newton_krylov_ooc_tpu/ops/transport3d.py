@@ -66,6 +66,54 @@ def interp_month(arr, frac):
     return (1.0 - w1) * a0 + w1 * a1
 
 
+def assemble_rate_fields(specs, wet, dz_surf, sec_per_year):
+    """local linear rates of a tracer module from its gen_A-vocabulary specs
+
+    specs: per-tracer dicts with (all optional) source_per_year,
+    sink_rate_per_year, surf_restore_pv_cm_s, surf_restore_target,
+    surf_flux_const_cm_s, surf_flux_d ({tracer_name: cm/s} linearized
+    gas-exchange derivatives -- the reference's d_SF_X_d_Y fields,
+    nk_ooc/cime_pop/tracer_module_state.py:192-229); wet: (nz, nh) 0/1
+    mask; dz_surf: surface layer thickness [cm].
+
+    Returns (diag, src, couple): implicit per-tracer rates [1/s] and
+    explicit sources [tracer/s], each (tracer_cnt, nz, nh), plus the
+    cross-tracer surface coupling matrix (tracer_cnt, tracer_cnt) [1/s at
+    the surface layer] or None when no off-diagonal terms exist.  The
+    surf_flux_d SELF-derivatives fold into diag (solved implicitly); only
+    the off-diagonal (nilpotent) part stays explicit in couple.
+    """
+    names = [spec.get("name") for spec in specs]
+    nz, nh = wet.shape
+    diag = np.zeros((len(specs), nz, nh))
+    src = np.zeros((len(specs), nz, nh))
+    couple = np.zeros((len(specs), len(specs)))
+    for ind, spec in enumerate(specs):
+        diag[ind] -= spec.get("sink_rate_per_year", 0.0) / sec_per_year
+        src[ind] += spec.get("source_per_year", 0.0) / sec_per_year
+        pv = spec.get("surf_restore_pv_cm_s", 0.0)
+        if pv != 0.0:
+            # gen_A `pv` convention: surface-layer rate pv/dz_surf [1/s]
+            rate = pv / dz_surf
+            diag[ind, 0, :] -= rate
+            src[ind, 0, :] += rate * spec.get("surf_restore_target", 0.0)
+        src[ind, 0, :] += spec.get("surf_flux_const_cm_s", 0.0) / dz_surf
+        for other, deriv in spec.get("surf_flux_d", {}).items():
+            if other not in names:
+                raise ValueError(
+                    f"surf_flux_d of {spec.get('name')} names a tracer "
+                    f"not in its module: {other}"
+                )
+            rate = deriv / dz_surf
+            if other == spec.get("name"):
+                diag[ind, 0, :] += rate
+            else:
+                couple[ind, names.index(other)] += rate
+        diag[ind] *= wet
+        src[ind] *= wet
+    return diag, src, (couple if couple.any() else None)
+
+
 def mean_transport_coef(coef):
     """annual-mean coefficient pytree of a (possibly seasonal) one --
     what the reference's ncra-averaged IRF mean file would have produced;
@@ -214,7 +262,8 @@ def transport_tend(coef, y):
     """advection + lateral-diffusion tendency dy/dt [tracer/s]
 
     y: (..., nz, nlat, nlon); returns the same shape, exactly zero on land.
-    Linear and time-invariant in y (annual-mean IRF circulation).
+    Linear in y.  coef must be a STEADY pytree here: sample a seasonal one
+    at the wanted time of year with interp_transport_coef first.
     """
     # upwind3 is encoded by the presence of the selector arrays, so it stays
     # static (pytree structure) when coef is passed as a jit operand

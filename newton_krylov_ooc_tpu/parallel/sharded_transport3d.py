@@ -32,6 +32,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.imex import imex_year
 from ..ops.transport3d import (
+    assemble_rate_fields,
     build_transport3d,
     interp_month,
     interp_transport_coef,
@@ -297,39 +298,23 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
         n_flat = self.module_batch * t_dim
         nh = nlat * nlon
         wet_h = wet.reshape(nz, nh)
+        # per-module rate fields via the shared gen_A-vocabulary assembly;
+        # cross-tracer d_SF_X_d_Y terms couple only tracers of the same
+        # module, so the flat (module*tracer) coupling is block-diagonal
         diag = np.zeros((n_flat, nz, nh))
         src = np.zeros((n_flat, nz, nh))
-        # block-diagonal surface gas-exchange coupling over the flat
-        # (module*tracer) axis: cross-tracer d_SF_X_d_Y terms couple only
-        # tracers of the same module
         couple = np.zeros((n_flat, n_flat))
+        any_couple = False
         for m_ind, specs in enumerate(module_specs):
-            names = [s.get("name") for s in specs]
             base = m_ind * t_dim
-            for t_ind, spec in enumerate(specs):
-                ind = base + t_ind
-                diag[ind] -= spec.get("sink_rate_per_year", 0.0) / SEC_PER_YEAR
-                src[ind] += spec.get("source_per_year", 0.0) / SEC_PER_YEAR
-                pv = spec.get("surf_restore_pv_cm_s", 0.0)
-                if pv != 0.0:
-                    rate = pv / dz[0]
-                    diag[ind, 0, :] -= rate
-                    src[ind, 0, :] += rate * spec.get("surf_restore_target", 0.0)
-                src[ind, 0, :] += spec.get("surf_flux_const_cm_s", 0.0) / dz[0]
-                for other, deriv in spec.get("surf_flux_d", {}).items():
-                    if other not in names:
-                        raise ValueError(
-                            f"surf_flux_d of {spec.get('name')} names a "
-                            f"tracer not in its module: {other}"
-                        )
-                    rate = deriv / dz[0]
-                    if other == spec.get("name"):
-                        diag[ind, 0, :] += rate
-                    else:
-                        couple[ind, base + names.index(other)] += rate
-                diag[ind] *= wet_h
-                src[ind] *= wet_h
-        if not couple.any():
+            blk = slice(base, base + t_dim)
+            diag[blk], src[blk], couple_m = assemble_rate_fields(
+                specs, wet_h, dz[0], SEC_PER_YEAR
+            )
+            if couple_m is not None:
+                couple[blk, blk] = couple_m
+                any_couple = True
+        if not any_couple:
             couple = None
 
         self._year_flat = build_sharded_transport3d_year(

@@ -209,7 +209,6 @@ def test_seasonal_solve_matches_dense_oracle(tmp_path):
     ModelState._circ_key = None
     ModelState.model_config_obj = ModelConfig(config["modelinfo"])
 
-    assert ModelState._circ is None or True  # class state reset below
     wet_idx = np.nonzero((mask > 0).reshape(-1))[0]
     n = len(wet_idx)
 

@@ -92,6 +92,93 @@ def ann_files_to_mean_file(dir_in, fname_fmt, year0, cnt, fname_out, caller):
     return files_to_mean_file(dir_in, fnames, np.ones(cnt), fname_out, caller)
 
 
+def mon_files_to_climatology_file(
+    dir_in, fname_fmt, year0, yr_cnt, fname_out, caller, month_dim="month"
+):
+    """monthly climatology across yr_cnt years of monthly-mean files: each
+    calendar month averaged over the years and stacked along a new leading
+    `month` dimension (length 12) replacing the record dimension.
+
+    This is the seasonal-circulation input for the irf_offline family --
+    the reference's workflow can only ncra-collapse the months into one
+    annual mean (nk_ooc/cime_pop/setup_solver.py:100-166); here the
+    seasonal cycle survives into the solver.  fname_fmt has {year} and
+    {month} fields.  Non-record variables are copied from the first file.
+    """
+    logger = logging.getLogger(__name__)
+    logger.debug(
+        "monthly climatology of %d years to %s", yr_cnt, fname_out
+    )
+    out_path = os.path.join(dir_in, fname_out)
+
+    first = os.path.join(dir_in, fname_fmt.format(year=year0, month=1))
+    with NCFile(first) as f0:
+        dims0 = {name: f0.dim_len(name) for name in f0.dimensions}
+        rec_dim = next(
+            (name for name, length in f0.dimensions.items() if not length), None
+        )
+        var_meta = {
+            name: (var.datatype, var.dimensions, var.attrs)
+            for name, var in f0.variables.items()
+        }
+        base_vals = {name: var[:] for name, var in f0.variables.items()}
+        history0 = f0.history
+
+    def is_record_float(name):
+        datatype, dimensions, _attrs = var_meta[name]
+        return (
+            rec_dim is not None
+            and name != rec_dim  # the record coordinate itself is replaced
+            and dimensions
+            and dimensions[0] == rec_dim
+            and np.issubdtype(np.dtype(datatype), np.floating)
+        )
+
+    accum = {
+        name: None for name in var_meta if is_record_float(name)
+    }
+    if not accum:
+        raise ValueError(f"{first} has no record-dimensioned float variables")
+    for month in range(1, 13):
+        for yr_inc in range(yr_cnt):
+            path = os.path.join(
+                dir_in, fname_fmt.format(year=year0 + yr_inc, month=month)
+            )
+            with NCFile(path) as fptr:
+                for name in accum:
+                    # collapse any per-file records, average over the years
+                    vals = np.asarray(fptr.var(name)[:], np.float64).mean(
+                        axis=0
+                    ) / yr_cnt
+                    if accum[name] is None:
+                        accum[name] = np.zeros((12,) + vals.shape)
+                    accum[name][month - 1] += vals
+
+    with NCFile(out_path, mode="w") as fout:
+        datestamp = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        msg = (
+            f"{datestamp}: {yr_cnt}-year monthly climatology computed by "
+            f"newton_krylov_ooc_tpu.utils.ncmean called from {caller}"
+        )
+        fout.history = msg if history0 is None else "\n".join([msg, history0])
+        fout.create_dimension(month_dim, 12)
+        for name, length in dims0.items():
+            if name != rec_dim:
+                fout.create_dimension(name, length)
+        for name, (datatype, dimensions, attrs) in var_meta.items():
+            if name in accum:
+                var = fout.create_variable(
+                    name, datatype, (month_dim,) + tuple(dimensions[1:]), attrs
+                )
+                var[:] = accum[name]
+            elif rec_dim is None or rec_dim not in dimensions:
+                var = fout.create_variable(name, datatype, dimensions, attrs)
+                var[:] = base_vals[name]
+            # other record vars (the time coordinate, non-float records)
+            # are dropped: the month axis replaces them
+    return out_path
+
+
 def mon_files_to_mean_file(dir_in, fname_fmt, year0, month0, cnt, fname_out, caller):
     """average cnt monthly-mean files with noleap month-length weights
     (fname_fmt has {year} and {month} fields; month0 need not be 1)"""

@@ -17,17 +17,23 @@ from newton_krylov_ooc_tpu.models.irf_offline import synthetic
 NZ, NLAT, NLON = 4, 6, 8
 
 
-def _build_config(tmp_path, tracer_module_names="iage", with_land=True):
+def _build_config(tmp_path, tracer_module_names="iage", with_land=True,
+                  workdir=None, n_seasons=None):
     from newton_krylov_ooc_tpu.models.irf_offline.model_state import ModelState
 
-    workdir = tmp_path / "workdir"
-    workdir.mkdir(exist_ok=True)
+    if workdir is None:
+        workdir = tmp_path / "workdir"
+        workdir.mkdir(exist_ok=True)
+    else:
+        workdir = type(tmp_path)(workdir)
 
     mask = np.ones((NZ, NLAT, NLON), np.int32)
     if with_land:
         mask[:, 2, 3] = 0       # an island column
         mask[2:, 4, 5] = 0      # a seamount
-    circ = synthetic.gen_circulation(NZ, NLAT, NLON, mask=mask)
+    circ = synthetic.gen_circulation(
+        NZ, NLAT, NLON, mask=mask, n_seasons=n_seasons
+    )
     irf_fname = str(workdir / "irf_mean.nc")
     grid_vars_fname = str(workdir / "grid_vars.nc")
     synthetic.write_circulation(irf_fname, circ)
@@ -329,6 +335,40 @@ def test_coupled_solve_matches_dense_oracle(tmp_path):
     with NCFile(os.path.join(workdir, "Newton_stats.nc")) as fptr:
         assert fptr.has_var("SF_ABIO_DIC_horiz_int")
         assert fptr.has_var("ABIO_D14C_horiz_mean")
+
+
+@pytest.mark.slow
+def test_kill_replay_irf_offline(tmp_path, monkeypatch):
+    """write-ahead-log crash recovery for the irf_offline family under its
+    hardest configuration -- SEASONAL circulation + the gas-exchange-coupled
+    abio_dic_dic14 module: the solve killed after EVERY step-log append
+    replays to the uninterrupted golden trajectory (same WAL contract the
+    test_problem kill-replay tests pin)"""
+    from test_solver_end_to_end import _kill_replay_check
+
+    from newton_krylov_ooc_tpu.models.irf_offline.model_state import ModelState
+
+    def setup_fn(workdir):
+        config, _circ = _build_config(
+            tmp_path,
+            tracer_module_names="abio_dic_dic14",
+            workdir=workdir,
+            n_seasons=4,
+        )
+        init = ModelState("gen_init_iterate")
+        init.dump(
+            config["solverinfo"]["init_iterate_fname"], caller="tests.irf"
+        )
+        return config
+
+    _kill_replay_check(
+        tmp_path,
+        monkeypatch,
+        module_names="abio_dic_dic14",
+        tracer_names=["ABIO_DIC", "ABIO_DIC14"],
+        setup_fn=setup_fn,
+        model_state_cls=ModelState,
+    )
 
 
 @pytest.mark.slow

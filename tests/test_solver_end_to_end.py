@@ -53,10 +53,13 @@ def _setup(workdir, reinvoke=False, module_names="iage", extra_args=()):
     return config
 
 
-def _drive_to_convergence(config, resume=False):
+def _drive_to_convergence(config, resume=False, cls=None):
     solverinfo = config["solverinfo"]
     solver = NewtonSolver(
-        ModelState, solverinfo=solverinfo, resume=resume, rewind=False
+        ModelState if cls is None else cls,
+        solverinfo=solverinfo,
+        resume=resume,
+        rewind=False,
     )
     while not solver.converged().all():
         solver.step()
@@ -172,7 +175,13 @@ def test_fresh_run_in_dirty_workdir(tmp_workdir):
 
 
 def _kill_replay_check(
-    tmp_path, monkeypatch, module_names, tracer_names, extra_args=()
+    tmp_path,
+    monkeypatch,
+    module_names,
+    tracer_names,
+    extra_args=(),
+    setup_fn=None,
+    model_state_cls=None,
 ):
     """golden-trace crash recovery at MAXIMUM fragmentation: the solve is
     killed immediately after EVERY step-log append (the write-ahead commit
@@ -191,11 +200,17 @@ def _kill_replay_check(
 
     from newton_krylov_ooc_tpu.core.solver_state import SolverState
 
+    if setup_fn is None:
+        setup_fn = lambda workdir: _setup(  # noqa: E731
+            workdir, module_names=module_names, extra_args=extra_args
+        )
+    cls = ModelState if model_state_cls is None else model_state_cls
+
     # -- uninterrupted golden run -----------------------------------------
     golden_dir = str(tmp_path / "golden")
     os.makedirs(golden_dir)
-    config = _setup(golden_dir, module_names=module_names, extra_args=extra_args)
-    golden = _drive_to_convergence(config)
+    config = setup_fn(golden_dir)
+    golden = _drive_to_convergence(config, cls=cls)
     golden_iteration = golden.get_iteration()
     golden_iterate = {
         name: golden._iterate.get_tracer_vals(name) for name in tracer_names
@@ -222,7 +237,7 @@ def _kill_replay_check(
     # -- killed run: die after each new step-log append -------------------
     killed_dir = str(tmp_path / "killed")
     os.makedirs(killed_dir)
-    config = _setup(killed_dir, module_names=module_names, extra_args=extra_args)
+    config = setup_fn(killed_dir)
     solverinfo = config["solverinfo"]
 
     orig_log_step = SolverState.log_step
@@ -244,7 +259,7 @@ def _kill_replay_check(
         budget["appends"] = 1  # one new step per process lifetime
         try:
             solver = NewtonSolver(
-                ModelState, solverinfo=solverinfo, resume=resume, rewind=False
+                cls, solverinfo=solverinfo, resume=resume, rewind=False
             )
             while not solver.converged().all():
                 solver.step()

@@ -591,6 +591,68 @@ def main():
             except Exception as exc:  # noqa: BLE001
                 result["irf3d_bench_error"] = f"{type(exc).__name__}: {exc}"
 
+        # FULL 3D spin-up: a two-module tracer family solved to its
+        # cyclostationary state at gx3 scale with the whole Newton-Krylov
+        # stack on device (exact linear JVPs, jitted GMRES, column-local
+        # PCR preconditioner).  The reference's equivalent is tens of
+        # batch-scheduler round trips of POP plus MPI SuperLU solves --
+        # "hours of wall-clock on a supercomputer" (SURVEY.md section 6).
+        # Skipped on the CPU fallback (it would dominate the watchdog
+        # budget without measuring the device).
+        if (
+            time.time() - bench_t0 < 540
+            and (device_fallback is None or os.environ.get("NK_BENCH_IRF3D_GRID"))
+        ):
+            try:
+                from jax.sharding import Mesh
+
+                from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+                from newton_krylov_ooc_tpu.models.irf_offline import synthetic
+                from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+                    ShardedTransport3dKernel,
+                )
+
+                grid_env = os.environ.get("NK_BENCH_IRF3D_GRID")
+                s_nz, s_nlat, s_nlon = (
+                    (int(v) for v in grid_env.split(","))
+                    if grid_env
+                    else (60, 116, 100)
+                )
+                circ = synthetic.gen_circulation(s_nz, s_nlat, s_nlon)
+                s_steps = max(2000, synthetic.stable_steps_per_year(circ))
+                # volumetric first-order sinks keep (I - B) well conditioned
+                specs = [
+                    [{"name": "DYE_A", "source_per_year": 0.1,
+                      "sink_rate_per_year": 0.5}],
+                    [{"name": "DYE_B", "source_per_year": 0.1,
+                      "sink_rate_per_year": 1.0,
+                      "surf_restore_pv_cm_s": 5.0e-3}],
+                ]
+                mesh = Mesh(np.asarray(jax.devices()[:1]), ("space",))
+                kernel = ShardedTransport3dKernel(
+                    mesh, circ, specs, n_steps=s_steps, dtype=jnp.float32
+                )
+                solver = NewtonKrylovInCore(
+                    kernel,
+                    newton_rel_tol=1.0e-5,
+                    krylov_rel_tol=1.0e-2,
+                    newton_max_iter=6,
+                    krylov_max_dim=20,
+                    jit_gmres=True,
+                )
+                start = time.time()
+                x_sol, fcn_sol, info = solver.solve(kernel.init_iterate())
+                jax.block_until_ready(x_sol)
+                solve_s = time.time() - start
+                rel = np.asarray(info["fcn_norm"]) / np.asarray(info["x_norm"])
+                assert np.isfinite(np.asarray(x_sol)).all()
+                assert (rel < 1.0e-5).all()
+                result["irf3d_full_solve_seconds"] = round(solve_s, 2)
+                result["irf3d_full_solve_modules"] = len(specs)
+                result["irf3d_full_solve_rel_resid"] = float(rel.max())
+            except Exception as exc:  # noqa: BLE001
+                result["irf3d_solve_bench_error"] = f"{type(exc).__name__}: {exc}"
+
     print(json.dumps(result))
 
 

@@ -2,23 +2,33 @@
 
 The single-device irf_offline year (ops/transport3d + ops/imex) tops out at
 one chip's HBM; a real POP-grid workload (gx1v7: 60x384x320) with many
-tracers wants the latitude dimension split over the mesh's 'space' axis --
-the same decomposition contract as parallel/sharded_year.py, extended to
-the 3D stencil:
+tracers wants the horizontal grid split over the mesh -- the same
+decomposition contract as parallel/sharded_year.py, extended to the 3D
+stencil and to a 2D process grid (the reference sizes its distributed
+preconditioner solve over an explicit power-of-2 nprow x npcol MPI grid,
+/root/reference/nk_ooc/cime_pop/model_state.py:439-450; here the same
+shape rides the device mesh):
 
   * implicit vertical solves stay COLUMN-LOCAL (no communication);
-  * the zonal direction is periodic and stays shard-local (jnp.roll);
   * the meridional stencil is upwind3, reaching TWO rows past a face, so
-    each explicit stage exchanges a DEPTH-2 latitude halo: exactly two
-    lax.ppermute collectives per stage, riding ICI on real hardware;
-  * every shard holds an EXTENDED coefficient slice (its latitude block
-    plus two rows each side, zero-padded at the physical boundaries), so
-    applying the plain transport_tend on the halo-extended state and
-    keeping the interior rows reproduces the global stencil exactly --
-    boundary shards need no special cases.
+    each explicit stage exchanges a DEPTH-2 latitude halo over the mesh's
+    'space' axis: two lax.ppermute collectives per stage, riding ICI on
+    real hardware;
+  * the zonal direction is periodic; it stays shard-local (jnp.roll) on a
+    1-D (latitude-only) mesh, and exchanges a periodically-wrapped DEPTH-2
+    longitude halo over the optional 'space_x' mesh axis when present --
+    two more ppermutes per stage with a cyclic permutation;
+  * every shard holds an EXTENDED coefficient slice (its block plus two
+    cells each side: zero-padded past the physical latitude boundaries,
+    periodically wrapped in longitude), so applying the plain
+    transport_tend on the halo-extended state and keeping the interior
+    cells reproduces the global stencil exactly -- boundary shards need no
+    special cases, and corner cells come out right because the upwind3
+    stencil is axis-aligned (no diagonal reach).
 
 Equality: tests/test_sharded_transport3d.py pins the sharded year against
-the single-device integration to float64 roundoff across mesh shapes.
+the single-device integration to float64 roundoff across 1-D and 2-D mesh
+shapes.
 """
 
 from __future__ import annotations
@@ -47,18 +57,41 @@ SEC_PER_YEAR = 365.0 * 86400.0
 HALO = 2  # upwind3 reaches two rows past a face
 
 
-def _extended_slices(arr, n_space, nl_loc):
-    """(n_space, ..., nl_loc + 2*HALO, nlon) stack of per-shard latitude
-    blocks extended by HALO rows each side, zero-padded off-grid; the
-    latitude axis is -2, so leading axes (depth, a seasonal time axis)
-    ride along unchanged"""
+def _extended_slices(arr, n_space, nl_loc, n_x=None, nx_loc=None):
+    """stack of per-shard blocks extended by HALO cells each side.
+
+    Latitude (axis -2) extensions are zero-padded past the physical
+    boundaries; longitude (axis -1) extensions, taken only when the mesh
+    has a zonal axis (n_x is not None), wrap periodically.  Returns
+    (n_space, ..., nl_loc + 2*HALO, nlon) for a 1-D decomposition and
+    (n_space, n_x, ..., nl_loc + 2*HALO, nx_loc + 2*HALO) for 2-D; leading
+    axes (depth, a seasonal time axis) ride along unchanged."""
     pad = [(0, 0)] * arr.ndim
     pad[-2] = (HALO, HALO)
     padded = np.pad(arr, pad)
+    if n_x is None:
+        return np.stack(
+            [
+                padded[..., s * nl_loc : s * nl_loc + nl_loc + 2 * HALO, :]
+                for s in range(n_space)
+            ]
+        )
+    pad_x = [(0, 0)] * arr.ndim
+    pad_x[-1] = (HALO, HALO)
+    padded = np.pad(padded, pad_x, mode="wrap")
     return np.stack(
         [
-            padded[..., s * nl_loc : s * nl_loc + nl_loc + 2 * HALO, :]
-            for s in range(n_space)
+            np.stack(
+                [
+                    padded[
+                        ...,
+                        sy * nl_loc : sy * nl_loc + nl_loc + 2 * HALO,
+                        sx * nx_loc : sx * nx_loc + nx_loc + 2 * HALO,
+                    ]
+                    for sx in range(n_x)
+                ]
+            )
+            for sy in range(n_space)
         ]
     )
 
@@ -68,7 +101,9 @@ def build_sharded_transport3d_year(
 ):
     """build the jitted sharded 3D transport year.
 
-    mesh: Mesh with a 'space' axis (other axes are ignored/replicated)
+    mesh: Mesh with a 'space' (latitude) axis and optionally a 'space_x'
+        (longitude) axis -- the 2D process grid; other axes are
+        ignored/replicated
     coef: the stencil pytree from ops.transport3d.build_transport3d
         (GLOBAL arrays; sliced into extended shard blocks here)
     kv: (nz-1, nlat*nlon) vertical-mixing coupling; dz_r: (nz,)
@@ -78,9 +113,11 @@ def build_sharded_transport3d_year(
         (the d_SF_X_d_Y mechanism); pointwise in the horizontal, so it is
         shard-local -- no extra collectives
     Returns fn(y) -> y_end for y (tracer, nz, nlat, nlon) sharded
-    P(None, None, 'space', None); the result keeps the sharding.
+    P(None, None, 'space', 'space_x'|None); the result keeps the sharding.
     """
     n_space = mesh.shape["space"]
+    split_x = "space_x" in mesh.shape
+    n_x = mesh.shape["space_x"] if split_x else 1
     wet_np = np.asarray(coef["wet"])
     nz, nlat, nlon = wet_np.shape
     if nlat % n_space != 0:
@@ -90,23 +127,47 @@ def build_sharded_transport3d_year(
         raise ValueError(
             f"latitude block {nl_loc} shorter than the halo depth {HALO}"
         )
+    if nlon % n_x != 0:
+        raise ValueError(f"nlon {nlon} does not split over {n_x} shards")
+    nx_loc = nlon // n_x
+    if n_x > 1 and nx_loc < HALO:
+        raise ValueError(
+            f"longitude block {nx_loc} shorter than the halo depth {HALO}"
+        )
     dtype = jnp.asarray(coef["wet"]).dtype
 
     coef_names = [name for name, arr in sorted(coef.items()) if arr is not None]
     coef_stacks = tuple(
         jnp.asarray(
-            _extended_slices(np.asarray(coef[name], np.float64), n_space, nl_loc),
+            _extended_slices(
+                np.asarray(coef[name], np.float64), n_space, nl_loc,
+                n_x if split_x else None, nx_loc,
+            ),
             dtype,
         )
         for name in coef_names
     )
 
-    # column-local fields sliced to interior latitude blocks
+    # column-local fields sliced to interior blocks
     def interior_stack(arr, inner_shape):
         arr = np.asarray(arr, np.float64).reshape(inner_shape + (nlat, nlon))
-        return np.stack(
+        blocks = np.stack(
             [arr[..., s * nl_loc : (s + 1) * nl_loc, :] for s in range(n_space)]
-        ).reshape((n_space,) + inner_shape + (nl_loc * nlon,))
+        )
+        if not split_x:
+            return blocks.reshape(
+                (n_space,) + inner_shape + (nl_loc * nlon,)
+            )
+        blocks = np.stack(
+            [
+                blocks[..., sx * nx_loc : (sx + 1) * nx_loc]
+                for sx in range(n_x)
+            ],
+            axis=1,
+        )
+        return blocks.reshape(
+            (n_space, n_x) + inner_shape + (nl_loc * nx_loc,)
+        )
 
     kv = np.asarray(kv)
     kv_inner = kv.shape[:-1]  # (nz-1,) or seasonal (n_time, nz-1)
@@ -119,27 +180,52 @@ def build_sharded_transport3d_year(
 
     fwd_perm = [(i, i + 1) for i in range(n_space - 1)]
     bwd_perm = [(i, i - 1) for i in range(1, n_space)]
+    # the zonal axis is periodic: cyclic permutations, wrap pair included
+    x_fwd_perm = [(i, (i + 1) % n_x) for i in range(n_x)]
+    x_bwd_perm = [(i, (i - 1) % n_x) for i in range(n_x)]
+    n_lead = 2 if split_x else 1
 
     def local_year(y, kv_l, diag_l, src_l, *coef_arrays):
-        # shard blocks arrive with the leading stack axis of size 1
-        kv_l = kv_l[0]
-        diag_l = diag_l[0]
-        src_l = src_l[0]
+        # shard blocks arrive with leading stack axes of size 1
+        lead = (0,) * n_lead
+        kv_l = kv_l[lead]
+        diag_l = diag_l[lead]
+        src_l = src_l[lead]
         coef_local = dict(
-            zip(coef_names, (arr[0] for arr in coef_arrays))
+            zip(coef_names, (arr[lead] for arr in coef_arrays))
         )
-        # y arrives (tracer, nz, nl_loc, nlon) per shard
+        # y arrives (tracer, nz, nl_loc, nx_loc) per shard
 
         def halo_ext(y4):
-            """HALO latitude rows per side: boundary shards receive zeros,
-            which the zero-padded extended coefficients annul"""
+            """HALO cells per side: latitude boundary shards receive zeros
+            (which the zero-padded extended coefficients annul); longitude
+            halos, when the zonal axis is split, wrap periodically.  The
+            longitude exchange runs on the latitude-extended block, so the
+            corner cells arrive filled too (they never enter an interior
+            stencil -- upwind3 is axis-aligned -- but keeping them exact
+            costs nothing)."""
             south = jax.lax.ppermute(y4[..., -HALO:, :], "space", fwd_perm)
             north = jax.lax.ppermute(y4[..., :HALO, :], "space", bwd_perm)
-            return jnp.concatenate([south, y4, north], axis=-2)
+            y4 = jnp.concatenate([south, y4, north], axis=-2)
+            if split_x:
+                if n_x > 1:
+                    west = jax.lax.ppermute(
+                        y4[..., -HALO:], "space_x", x_fwd_perm
+                    )
+                    east = jax.lax.ppermute(
+                        y4[..., :HALO], "space_x", x_bwd_perm
+                    )
+                else:
+                    west, east = y4[..., -HALO:], y4[..., :HALO]
+                y4 = jnp.concatenate([west, y4, east], axis=-1)
+            return y4
 
-        # surface wet mask of this shard's interior latitude block (for the
+        # surface wet mask of this shard's interior block (for the
         # shard-local gas-exchange coupling term)
-        wet_surf_l = coef_local["wet"][0, HALO:-HALO, :].reshape(-1)
+        wet_int = coef_local["wet"][0, HALO:-HALO, :]
+        if split_x:
+            wet_int = wet_int[:, HALO:-HALO]
+        wet_surf_l = wet_int.reshape(-1)
 
         def year_frac(t):
             return jnp.mod(t / SEC_PER_YEAR, 1.0)
@@ -148,9 +234,11 @@ def build_sharded_transport3d_year(
             # seasonal circulation: time-varying local coefficient slices
             # interpolate shard-locally (steady slices pass through)
             c_t = interp_transport_coef(coef_local, year_frac(t))
-            y4 = y.reshape(y.shape[:-1] + (nl_loc, nlon))
+            y4 = y.reshape(y.shape[:-1] + (nl_loc, nx_loc))
             tend_ext = transport_tend(c_t, halo_ext(y4))
             tend = tend_ext[..., HALO:-HALO, :]
+            if split_x:
+                tend = tend[..., HALO:-HALO]
             tend = tend.reshape(y.shape) + src_l
             if couple_dev is not None:
                 sflux = wet_surf_l * jnp.einsum(
@@ -169,17 +257,18 @@ def build_sharded_transport3d_year(
             vert_coeff,
             diag_l,
             dz_r_dev,
-            y.reshape(y.shape[:-2] + (nl_loc * nlon,)),
+            y.reshape(y.shape[:-2] + (nl_loc * nx_loc,)),
             t_span,
             n_steps,
             unroll=unroll,
         ).reshape(y.shape)
 
-    state_spec = P(None, None, "space", None)
+    state_spec = P(None, None, "space", "space_x" if split_x else None)
 
     def stack_spec(arr):
-        """shard the leading stack axis; everything else replicates"""
-        return P("space", *([None] * (arr.ndim - 1)))
+        """shard the leading stack axes; everything else replicates"""
+        lead_axes = ("space", "space_x") if split_x else ("space",)
+        return P(*lead_axes, *([None] * (arr.ndim - n_lead)))
 
     stacked = [(kv_stack, stack_spec(kv_stack)),
                (diag_stack, stack_spec(diag_stack)),
@@ -206,10 +295,11 @@ def build_sharded_transport3d_year(
 
     return year
 
-def _region_reduction_arrays_3d(mesh, region_mask, grid_weight, dtype):
+def _region_reduction_arrays_3d(mesh, region_mask, grid_weight, dtype,
+                                x_axis=None):
     """device-resident per-(module, region) reduction operators over a 3D
-    grid, latitude-sharded like the state (P2 block independence composed
-    with the spatial decomposition): (region_cnt, mean_w, onehot, fill)"""
+    grid, sharded like the state (P2 block independence composed with the
+    spatial decomposition): (region_cnt, mean_w, onehot, fill)"""
     from ..utils.regions import region_mean_weights
 
     region_mask = np.asarray(region_mask)
@@ -217,7 +307,7 @@ def _region_reduction_arrays_3d(mesh, region_mask, grid_weight, dtype):
     mean_w = region_mean_weights(region_mask, grid_weight).reshape(
         (region_cnt,) + region_mask.shape
     )
-    sharding = NamedSharding(mesh, P(None, None, "space", None))
+    sharding = NamedSharding(mesh, P(None, None, "space", x_axis))
     onehot = np.stack(
         [(region_mask == r + 1).astype(np.float64) for r in range(region_cnt)]
     )
@@ -228,7 +318,7 @@ def _region_reduction_arrays_3d(mesh, region_mask, grid_weight, dtype):
         jax.device_put(jnp.asarray(onehot, dtype), sharding),
         jax.device_put(
             jnp.asarray(fill, dtype),
-            NamedSharding(mesh, P(None, "space", None)),
+            NamedSharding(mesh, P(None, "space", x_axis)),
         ),
     )
 
@@ -253,7 +343,10 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
     (tests/test_sharded_transport3d.py pins this across mesh shapes).
 
     state layout: (module_batch, t_dim, nz, nlat, nlon), sharded
-    P(None, None, None, 'space', None).
+    P(None, None, None, 'space', None) on a latitude-only mesh or
+    P(None, None, None, 'space', 'space_x') on a 2D (lat x lon) process
+    grid -- the reference's nprow x npcol decomposition
+    (/root/reference/nk_ooc/cime_pop/model_state.py:439-450).
 
     module_specs: per-module lists of per-tracer rate specs with the
     irf_offline YAML keys (source_per_year, sink_rate_per_year,
@@ -268,6 +361,8 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
             dtype = jnp.result_type(float)
         self.dtype = dtype
         self.mesh = mesh
+        x_axis = "space_x" if "space_x" in mesh.shape else None
+        self._x_axis = x_axis
 
         mask = np.asarray(circ["mask"])
         nz, nlat, nlon = mask.shape
@@ -343,11 +438,11 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
         self._jvp = jvp0
 
         self.state_sharding = NamedSharding(
-            mesh, P(None, None, None, "space", None)
+            mesh, P(None, None, None, "space", x_axis)
         )
         self._wet = jax.device_put(
             jnp.asarray(wet, dtype),
-            NamedSharding(mesh, P(None, "space", None)),
+            NamedSharding(mesh, P(None, "space", x_axis)),
         )
 
         # region reductions over the 3D volume weights
@@ -359,7 +454,9 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
             mean_w,
             onehot,
             region_fill,
-        ) = _region_reduction_arrays_3d(mesh, region_mask, grid_weight, dtype)
+        ) = _region_reduction_arrays_3d(
+            mesh, region_mask, grid_weight, dtype, x_axis=x_axis
+        )
 
         @jax.jit
         def dot(a, b):
@@ -407,7 +504,7 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
                 arr.reshape(lead + (nz, nlat, nlon)), -3, -1
             )
 
-        band_sharding = NamedSharding(mesh, P("space", None, None))
+        band_sharding = NamedSharding(mesh, P("space", x_axis, None))
         self._pc_dl = jax.device_put(
             jnp.asarray(to_cols(dl_b, ()), dtype), band_sharding
         )
@@ -416,7 +513,7 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
         )
         self._pc_d = jax.device_put(
             jnp.asarray(to_cols(dmain, (self.module_batch, t_dim)), dtype),
-            NamedSharding(mesh, P(None, None, "space", None, None)),
+            NamedSharding(mesh, P(None, None, "space", x_axis, None)),
         )
 
         @jax.jit

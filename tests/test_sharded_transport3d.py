@@ -93,13 +93,21 @@ def _two_basin_regions(mask):
     return region
 
 
-def _solve_family(n_space, jit_gmres, circ, n_steps, region_mask):
+def _solve_family(n_space, jit_gmres, circ, n_steps, region_mask, n_x=None):
     from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
     from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
         ShardedTransport3dKernel,
     )
 
-    mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+    if n_x is None:
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+    else:
+        mesh = Mesh(
+            np.asarray(jax.devices("cpu")[: n_space * n_x]).reshape(
+                n_space, n_x
+            ),
+            ("space", "space_x"),
+        )
     kernel = ShardedTransport3dKernel(
         mesh, circ, MODULE_SPECS, n_steps=n_steps, region_mask=region_mask
     )
@@ -138,6 +146,44 @@ def test_sharded_solve_matches_single_device(n_space, jit_gmres, solve_setup):
     mesh rather than just the linear solve"""
     circ, n_steps, region_mask, x_ref = solve_setup
     got = _solve_family(n_space, jit_gmres, circ, n_steps, region_mask)
+    scale = np.abs(x_ref).max()
+    np.testing.assert_allclose(got, x_ref, rtol=0.0, atol=1e-11 * scale)
+
+
+@pytest.mark.parametrize("n_y,n_x", [(2, 2), (1, 3), (4, 2), (2, 1)])
+def test_sharded_year_2d_mesh_matches_single_device(n_y, n_x):
+    """the 2D (lat x lon) process-grid decomposition -- the reference's
+    nprow x npcol MPI grid (nk_ooc/cime_pop/model_state.py:439-450) on the
+    device mesh -- reproduces the single-device year to roundoff; the
+    zonal halos wrap periodically (cyclic ppermute)"""
+    circ, coef, kv, dz_r, diag, src, y0 = _setup()
+    expected = _reference_year(coef, kv, dz_r, diag, src, y0)
+
+    mesh = Mesh(
+        np.asarray(jax.devices("cpu")[: n_y * n_x]).reshape(n_y, n_x),
+        ("space", "space_x"),
+    )
+    fn = build_sharded_transport3d_year(
+        mesh, coef, kv, dz_r,
+        diag.reshape(T_DIM, NZ, NLAT * NLON),
+        src.reshape(T_DIM, NZ, NLAT * NLON),
+        (0.0, YEAR), N_STEPS,
+    )
+    y_dev = jax.device_put(
+        jnp.asarray(y0),
+        NamedSharding(mesh, P(None, None, "space", "space_x")),
+    )
+    got = np.asarray(fn(y_dev))
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-13 * scale)
+
+
+def test_sharded_solve_2d_mesh_matches_single_device(solve_setup):
+    """full Newton-Krylov family solve on the 2D (lat x lon) process grid
+    agrees with the single-device solve -- regions, jitted GMRES, and the
+    column-local preconditioner all compose with the 2D decomposition"""
+    circ, n_steps, region_mask, x_ref = solve_setup
+    got = _solve_family(2, True, circ, n_steps, region_mask, n_x=2)
     scale = np.abs(x_ref).max()
     np.testing.assert_allclose(got, x_ref, rtol=0.0, atol=1e-11 * scale)
 

@@ -11,7 +11,7 @@ ci_init irf_offline
 
 run_step "running setup_solver.sh for irf_offline" \
     ./scripts/setup_solver.sh --model_name irf_offline --fp_cnt 1 \
-    --nz 4 --nlat 6 --nlon 8 --persist \
+    --nz 4 --nlat 6 --nlon 8 --seasonal_months 4 --persist \
     --tracer_module_names iage,abio_dic_dic14 \
     --workdir "$workdir" "$@"
 

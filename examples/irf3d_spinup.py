@@ -72,13 +72,18 @@ def main():
         [{"name": "IAGE", "source_per_year": 1.0,
           "surf_restore_pv_cm_s": 5.0e-3}],
     ]
+    n_devices = n_y * (n_x or 1)
+    if len(jax.devices()) < n_devices:
+        raise SystemExit(
+            f"{n_devices} shards requested but only "
+            f"{len(jax.devices())} devices visible"
+        )
+    devices = jax.devices()[:n_devices]
     if n_x:
-        devices = jax.devices()[: n_y * n_x]
         mesh = Mesh(
             np.asarray(devices).reshape(n_y, n_x), ("space", "space_x")
         )
     else:
-        devices = jax.devices()[:n_y]
         mesh = Mesh(np.asarray(devices), ("space",))
     kernel = ShardedTransport3dKernel(
         mesh, circ, specs, n_steps=n_steps, dtype=jnp.result_type(float)

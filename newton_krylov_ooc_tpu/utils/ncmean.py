@@ -139,6 +139,15 @@ def mon_files_to_climatology_file(
     }
     if not accum:
         raise ValueError(f"{first} has no record-dimensioned float variables")
+    if (
+        month_dim in dims0
+        and month_dim != rec_dim
+        and dims0[month_dim] != 12
+    ):
+        raise ValueError(
+            f"{first} already has a {month_dim!r} dimension of length "
+            f"{dims0[month_dim]}; pass a different month_dim"
+        )
     for month in range(1, 13):
         for yr_inc in range(yr_cnt):
             path = os.path.join(
@@ -163,7 +172,9 @@ def mon_files_to_climatology_file(
         fout.history = msg if history0 is None else "\n".join([msg, history0])
         fout.create_dimension(month_dim, 12)
         for name, length in dims0.items():
-            if name != rec_dim:
+            # month_dim was just created at length 12; an input dimension
+            # of the same name (whatever its length) must not be re-created
+            if name != rec_dim and name != month_dim:
                 fout.create_dimension(name, length)
         for name, (datatype, dimensions, attrs) in var_meta.items():
             if name in accum:

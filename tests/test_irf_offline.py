@@ -6,6 +6,7 @@ solution of (B - I) x = -c with B the probed year propagator)."""
 
 import configparser
 import os
+import pathlib
 
 import numpy as np
 import pytest
@@ -25,7 +26,7 @@ def _build_config(tmp_path, tracer_module_names="iage", with_land=True,
         workdir = tmp_path / "workdir"
         workdir.mkdir(exist_ok=True)
     else:
-        workdir = type(tmp_path)(workdir)
+        workdir = pathlib.Path(workdir)
 
     mask = np.ones((NZ, NLAT, NLON), np.int32)
     if with_land:

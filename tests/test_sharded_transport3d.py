@@ -85,6 +85,19 @@ MODULE_SPECS = [
 ]
 
 
+def _mesh_and_spec(n_y, n_x=None):
+    """a latitude-only mesh (n_x None) or a 2D lat x lon process grid,
+    with the matching state PartitionSpec"""
+    if n_x is None:
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:n_y]), ("space",))
+        return mesh, P(None, None, "space", None)
+    mesh = Mesh(
+        np.asarray(jax.devices("cpu")[: n_y * n_x]).reshape(n_y, n_x),
+        ("space", "space_x"),
+    )
+    return mesh, P(None, None, "space", "space_x")
+
+
 def _two_basin_regions(mask):
     """northern half of the wet cells as region 2 (P2 block independence)"""
     region = mask.copy()
@@ -188,12 +201,13 @@ def test_sharded_solve_2d_mesh_matches_single_device(solve_setup):
     np.testing.assert_allclose(got, x_ref, rtol=0.0, atol=1e-11 * scale)
 
 
-@pytest.mark.parametrize("n_space", [2, 4])
-def test_sharded_coupled_gas_exchange_year(n_space):
+@pytest.mark.parametrize("n_space,n_x", [(2, None), (4, None), (2, 2)])
+def test_sharded_coupled_gas_exchange_year(n_space, n_x):
     """the cross-tracer surface gas-exchange coupling (d_SF_X_d_Y) is
     shard-local: the coupled sharded year equals an independent unsharded
     IMEX integration carrying the same coupling term, and differs from the
-    uncoupled year (guarding against the term being silently dropped)"""
+    uncoupled year (guarding against the term being silently dropped);
+    also on the 2D process grid, where the surface mask slices both ways"""
     circ, coef, kv, dz_r, diag, src, y0 = _setup()
     couple = np.zeros((T_DIM, T_DIM))
     couple[1, 0] = 4.25e-3 / circ["dz"][0]
@@ -225,17 +239,14 @@ def test_sharded_coupled_gas_exchange_year(n_space):
         expected[1]
     ).max()
 
-    mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+    mesh, spec = _mesh_and_spec(n_space, n_x)
     fn = build_sharded_transport3d_year(
         mesh, coef, kv, dz_r,
         diag.reshape(T_DIM, NZ, NLAT * NLON),
         src.reshape(T_DIM, NZ, NLAT * NLON),
         (0.0, YEAR), N_STEPS, couple=couple,
     )
-    y_dev = jax.device_put(
-        jnp.asarray(y0),
-        NamedSharding(mesh, P(None, None, "space", None)),
-    )
+    y_dev = jax.device_put(jnp.asarray(y0), NamedSharding(mesh, spec))
     got = np.asarray(fn(y_dev))
     scale = np.abs(expected).max()
     np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-13 * scale)
@@ -292,12 +303,13 @@ def test_sharded_coupled_kernel_solve():
     assert (ratio > 0.5).all() and (ratio < 1.0).all()
 
 
-@pytest.mark.parametrize("n_space", [2, 4])
-def test_sharded_seasonal_year_matches_single_device(n_space):
+@pytest.mark.parametrize("n_space,n_x", [(2, None), (4, None), (2, 3)])
+def test_sharded_seasonal_year_matches_single_device(n_space, n_x):
     """a SEASONAL circulation (monthly face transports + vertical mixing,
     interpolated periodically inside the integration) shards identically:
     the time interpolation is shard-local, so only the same two halo
-    ppermutes per stage communicate"""
+    ppermutes per stage communicate; on the 2D process grid the seasonal
+    leading time axis rides through the wrap-padded longitude slices"""
     from newton_krylov_ooc_tpu.ops.transport3d import (
         interp_month,
         interp_transport_coef,
@@ -343,17 +355,14 @@ def test_sharded_seasonal_year_matches_single_device(n_space):
         )
     ).reshape(T_DIM, NZ, NLAT, NLON)
 
-    mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+    mesh, spec = _mesh_and_spec(n_space, n_x)
     fn = build_sharded_transport3d_year(
         mesh, coef, kv, dz_r,
         diag.reshape(T_DIM, NZ, NLAT * NLON),
         src.reshape(T_DIM, NZ, NLAT * NLON),
         (0.0, YEAR), n_steps,
     )
-    y_dev = jax.device_put(
-        jnp.asarray(y0),
-        NamedSharding(mesh, P(None, None, "space", None)),
-    )
+    y_dev = jax.device_put(jnp.asarray(y0), NamedSharding(mesh, spec))
     got = np.asarray(fn(y_dev))
     scale = np.abs(expected).max()
     np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-13 * scale)

@@ -591,6 +591,52 @@ def main():
             except Exception as exc:  # noqa: BLE001
                 result["irf3d_bench_error"] = f"{type(exc).__name__}: {exc}"
 
+        # the same gx3 year as ONE whole-year pallas megakernel: all
+        # coefficients, CN bands, state, and Kahan compensation stay
+        # VMEM-resident for every step (the XLA scan above re-streams
+        # ~50 MB of stencil coefficients from HBM each step).  Accelerator
+        # only -- interpret mode at this scale is pointless.
+        if (
+            time.time() - bench_t0 < 510
+            and jax.devices()[0].platform != "cpu"
+            and "g_steps" in dir()
+        ):
+            try:
+                from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
+                    build_transport3d_year_pallas,
+                )
+
+                diag1 = np.zeros((1, g_nz, g_nlat * g_nlon), np.float32)
+                pallas_year = build_transport3d_year_pallas(
+                    coef, g_kv, g_dzr, diag1, diag1, (0.0, year), g_steps,
+                )
+                y0_p = jnp.asarray(
+                    np.asarray(y0_3d).reshape(1, g_nz, g_nlat, g_nlon)
+                )
+                out_p = pallas_year(y0_p)
+                out_p.block_until_ready()
+                out_p_np = np.asarray(out_p).reshape(g_nz, -1)
+                assert np.isfinite(out_p_np).all()
+                scan_np = np.asarray(out3d)
+                result["irf3d_pallas_vs_scan_rel"] = float(
+                    np.abs(out_p_np - scan_np).max() / np.abs(scan_np).max()
+                )
+                times_p = []
+                for _ in range(2):
+                    start = time.time()
+                    pallas_year(y0_p).block_until_ready()
+                    times_p.append(time.time() - start)
+                result["irf3d_gx3_year_pallas_seconds"] = round(
+                    min(times_p), 4
+                )
+                result["irf3d_pallas_cell_steps_per_second"] = round(
+                    g_nz * g_nlat * g_nlon * g_steps / min(times_p)
+                )
+            except Exception as exc:  # noqa: BLE001
+                result["irf3d_pallas_bench_error"] = (
+                    f"{type(exc).__name__}: {exc}"
+                )
+
         # FULL 3D spin-up: a two-module tracer family solved to its
         # cyclostationary state at gx3 scale with the whole Newton-Krylov
         # stack on device (exact linear JVPs, jitted GMRES, column-local

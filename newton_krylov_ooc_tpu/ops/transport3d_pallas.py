@@ -1,0 +1,274 @@
+"""whole-year pallas megakernel for the 3D offline IRF-transport model.
+
+The XLA-scan year (ops/imex.imex_year over ops/transport3d.transport_tend)
+re-reads the ~13 stencil coefficient fields from HBM every step; at gx3
+scale that is ~50 MB of streaming per step and the loop is HBM-bound.
+This kernel keeps the ENTIRE problem VMEM-resident -- coefficients, CN
+bands, state, and Kahan compensation -- and runs all n_steps inside one
+pallas_call, the 3D analog of the 2D megakernels in ops/imex_pallas.py.
+The step math is identical to imex_year's composition
+
+    CNh(t0)  [Heun CNf] x (n-1)  Heun  CNh(t_end)
+
+with Kahan-compensated float32 accumulation.  The CN right-hand side is
+computed in FLUX form (differences of neighboring levels first, then
+scaled) exactly as ops.imex.cn_vertical_increment does -- the
+algebraically identical band form loses ~h*eps*|kv/dz| absolutely to
+cancellation under stiff mixing (~1e-4 of the state at gx3 step sizes),
+while the flux form's error stays relative to the rhs itself.
+
+Steady circulation only: a seasonal coefficient pytree carries a 12x
+memory footprint that cannot stay VMEM-resident -- callers fall back to
+the XLA scan (imex_year interpolates in-loop) for seasonal runs.
+
+The reference runs this workload by submitting POP to a batch scheduler
+(/root/reference/nk_ooc/cime_pop/model_state.py:124-167); the stencil
+conventions follow the gen_A preconditioner-matrix spec
+(/root/reference/docs/source/users-guide/tracer-module-defn-file.rst:70-105).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .transport3d import transport_coef_n_time, transport_tend
+
+_VMEM_CAP = 110 << 20  # leave headroom below a v5e core's 128 MiB
+
+
+def _padded_field_bytes(nz, nlat, nlon):
+    """float32 VMEM bytes of one (nz, nlat, nlon) field after (8, 128)
+    tile padding of the trailing two axes"""
+    sub = -(-nlat // 8) * 8
+    lane = -(-nlon // 128) * 128
+    return 4 * nz * sub * lane
+
+
+def _shift_axis3(arr, off):
+    """result[..., k, :, :] = arr[..., k + off, :, :], zero-filled
+    off-grid (the vertical axis is closed)"""
+    lead = arr.shape[:-3]
+    trail = arr.shape[-2:]
+    pad = jnp.zeros(lead + (abs(off),) + trail, arr.dtype)
+    if off > 0:
+        return jnp.concatenate([arr[..., off:, :, :], pad], axis=-3)
+    return jnp.concatenate([pad, arr[..., :off, :, :]], axis=-3)
+
+
+def _pcr_axis3(dl, d, du, b, nz):
+    """parallel cyclic reduction along axis -3 of (..., nz, nlat, nlon)
+    arrays (reciprocal form; see ops/imex_pallas._pcr_minor2 for the
+    axis -2 original)"""
+
+    def sh(arr, s, fill):
+        lead = arr.shape[:-3]
+        trail = arr.shape[-2:]
+        pad = jnp.full(lead + (abs(s),) + trail, fill, b.dtype)
+        if s > 0:
+            return jnp.concatenate([arr[..., s:, :, :], pad], axis=-3)
+        return jnp.concatenate([pad, arr[..., :s, :, :]], axis=-3)
+
+    a_c = jnp.broadcast_to(dl, b.shape)
+    b_c = jnp.broadcast_to(d, b.shape)
+    c_c = jnp.broadcast_to(du, b.shape)
+    r_c = b
+    stride = 1
+    while stride < nz:
+        rb = 1.0 / b_c
+        alpha = -a_c * sh(rb, -stride, 1.0)
+        gamma = -c_c * sh(rb, stride, 1.0)
+        a_n = alpha * sh(a_c, -stride, 0.0)
+        c_n = gamma * sh(c_c, stride, 0.0)
+        b_c = b_c + alpha * sh(c_c, -stride, 0.0) + gamma * sh(a_c, stride, 0.0)
+        r_c = r_c + alpha * sh(r_c, -stride, 0.0) + gamma * sh(r_c, stride, 0.0)
+        a_c, c_c = a_n, c_n
+        stride *= 2
+    return r_c / b_c
+
+
+def build_transport3d_year_pallas(
+    coef, kv, dz_r, diag, src, t_span, n_steps, couple=None
+):
+    """build fn(y0, interpret=False) -> y_end, the whole-year megakernel.
+
+    coef: STEADY stencil pytree from ops.transport3d.build_transport3d
+    kv: (nz-1, nlat*nlon) steady vertical-mixing coupling; dz_r: (nz,)
+    diag: (T, nz, nlat*nlon) implicit local rates [1/s]
+    src: (T, nz, nlat*nlon) explicit sources
+    couple: optional STATIC (T, T) surface gas-exchange coupling [1/s]
+        (the d_SF_X_d_Y mechanism) -- compiled in as scalar constants
+    y0: (T, nz, nlat, nlon) float32 (other dtypes are cast)
+
+    Raises ValueError for seasonal inputs or when the VMEM footprint
+    exceeds the per-kernel budget (shard the grid instead:
+    parallel/sharded_transport3d.py).
+    """
+    if transport_coef_n_time(coef) is not None:
+        raise ValueError(
+            "seasonal coefficients cannot stay VMEM-resident; "
+            "use the XLA-scan year (ops.imex.imex_year)"
+        )
+    kv = np.asarray(kv, np.float32)
+    if kv.ndim != 2:
+        raise ValueError("seasonal vertical mixing is not supported here")
+    dtype = jnp.float32
+    wet = np.asarray(coef["wet"], np.float32)
+    nz, nlat, nlon = wet.shape
+    t_dim = int(np.asarray(diag).shape[0])
+    dt = float((t_span[1] - t_span[0]) / n_steps)
+    n_steps = int(n_steps)
+
+    coef_names = [
+        name for name, arr in sorted(coef.items()) if arr is not None
+    ]
+    coef_arrays = tuple(
+        jnp.asarray(np.asarray(coef[name], np.float32)) for name in coef_names
+    )
+
+    # constant Crank-Nicolson bands: (M y)[k] = dl[k] y[k-1] + dmain[k] y[k]
+    # + du[k] y[k+1] with dmain = -(du + dl) + diag (the flux-form operator
+    # of ops.imex.cn_vertical_increment, expanded)
+    dz_r_np = np.asarray(dz_r, np.float64)
+    kv3 = np.asarray(kv, np.float64).reshape(nz - 1, nlat, nlon)
+    up = kv3 * dz_r_np[:-1, None, None]
+    lo = kv3 * dz_r_np[1:, None, None]
+    zrow = np.zeros((1, nlat, nlon))
+    du_b = np.concatenate([up, zrow], axis=0)
+    dl_b = np.concatenate([zrow, lo], axis=0)
+    diag4 = np.asarray(diag, np.float64).reshape(t_dim, nz, nlat, nlon)
+    src4 = np.asarray(src, np.float32).reshape(t_dim, nz, nlat, nlon)
+
+    couple_np = None
+    if couple is not None:
+        couple_np = np.asarray(couple, np.float64)
+        if couple_np.shape != (t_dim, t_dim):
+            raise ValueError("couple must be (tracer, tracer)")
+
+    field = _padded_field_bytes(nz, nlat, nlon)
+    # coefficients + 2 shared band fields + per-tracer (diag, src, y0,
+    # out-as-state, compensation scratch) + ~6T peak-live transients
+    # inside tend/heun/PCR (advisory; Mosaic's compile-time VMEM check
+    # is the authority and surfaces as a clear error)
+    est = field * (len(coef_arrays) + 2 + t_dim * (5 + 6))
+    if est > _VMEM_CAP:
+        raise ValueError(
+            f"~{est >> 20} MiB estimated VMEM for {t_dim} tracers of "
+            f"{nz}x{nlat}x{nlon} exceeds the ~{_VMEM_CAP >> 20} MiB "
+            "budget; shard the grid (parallel/sharded_transport3d.py)"
+        )
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(est + (4 << 20), 32 << 20)
+    )
+
+    n_coef = len(coef_arrays)
+
+    def kernel(*refs):
+        coef_local = {
+            name: refs[ind][:] for ind, name in enumerate(coef_names)
+        }
+        dlb = refs[n_coef][:]
+        dub = refs[n_coef + 1][:]
+        # NOTE: the local rates ride as their own operand -- recovering
+        # diag as dmain + du + dl in float32 cancels catastrophically
+        # (rates ~1e-7/s against mixing bands ~1e-1/s), biasing the
+        # integrated rates by ~10%
+        diag_v = refs[n_coef + 2][:]
+        src_v = refs[n_coef + 3][:]
+        y0_ref = refs[n_coef + 4]
+        y_out_ref = refs[n_coef + 5]
+        c_scr = refs[n_coef + 6]
+        y_scr = y_out_ref  # the output buffer doubles as the state
+        wet_surf = coef_local["wet"][0]
+        band_sum = dub + dlb
+
+        def cn_incr(y, h):
+            # solve (I - h/2 M) dv = h (M y); the rhs takes neighbor
+            # DIFFERENCES first (flux-form accuracy: the band form
+            # dl*y_prev + dmain*y + du*y_next cancels catastrophically
+            # under stiff mixing, losing ~h*eps*|kv/dz| of the state)
+            d_up = _shift_axis3(y, 1) - y    # du_b's zero last row annuls
+            d_dn = _shift_axis3(y, -1) - y   # dl_b's zero first row annuls
+            m_v = dub * d_up + dlb * d_dn + diag_v * y
+            half = 0.5 * h
+            b_main = 1.0 + half * band_sum - half * diag_v
+            return _pcr_axis3(
+                -half * dlb, b_main, -half * dub, h * m_v, nz
+            )
+
+        def tend(y):
+            out = transport_tend(coef_local, y) + src_v
+            if couple_np is not None:
+                surf = y[:, 0]  # (T, nlat, nlon)
+                rows = []
+                for x_ind in range(t_dim):
+                    acc = None
+                    for y_ind in range(t_dim):
+                        c_val = float(couple_np[x_ind, y_ind])
+                        if c_val != 0.0:
+                            term = c_val * surf[y_ind]
+                            acc = term if acc is None else acc + term
+                    rows.append(
+                        jnp.zeros_like(surf[0]) if acc is None else acc
+                    )
+                sflux = wet_surf * jnp.stack(rows)
+                out = out.at[:, 0].add(sflux)
+            return out
+
+        def kahan(delta):
+            adj = delta + c_scr[:]
+            y_old = y_scr[:]
+            y_new = y_old + adj
+            c_scr[:] = adj - (y_new - y_old)
+            y_scr[:] = y_new
+
+        def heun():
+            y = y_scr[:]
+            f1 = tend(y)
+            f2 = tend(y + dt * f1)
+            kahan(0.5 * dt * (f1 + f2))
+
+        y_scr[:] = y0_ref[:]
+        c_scr[:] = jnp.zeros_like(y0_ref[:])
+        kahan(cn_incr(y_scr[:], 0.5 * dt))
+
+        def body(_i, carry):
+            heun()
+            kahan(cn_incr(y_scr[:], dt))
+            return carry
+
+        jax.lax.fori_loop(0, n_steps - 1, body, 0)
+        heun()
+        kahan(cn_incr(y_scr[:], 0.5 * dt))
+        y_out_ref[:] = y_scr[:]
+
+    shape4 = (t_dim, nz, nlat, nlon)
+    operands = coef_arrays + (
+        jnp.asarray(dl_b, dtype),
+        jnp.asarray(du_b, dtype),
+        jnp.asarray(diag4, dtype),
+        jnp.asarray(src4, dtype),
+    )
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def year(y0, interpret=False):
+        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(shape4, dtype),
+            in_specs=[vmem() for _ in range(len(operands) + 1)],
+            out_specs=vmem(),
+            scratch_shapes=[
+                pltpu.VMEM(shape4, dtype),
+            ],
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(*operands, jnp.asarray(y0, dtype).reshape(shape4))
+
+    return year

@@ -1,0 +1,141 @@
+"""whole-year 3D-transport pallas megakernel vs the XLA-scan reference.
+
+Interpret-mode (CPU) equality: the kernel must reproduce the float64
+imex_year + transport_tend integration to the float32 discretization
+level (~1e-5 of the state; Kahan accumulation keeps the year-end error
+near the single-step level).  Guards: seasonal inputs and VMEM-oversized
+grids raise instead of silently falling over.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newton_krylov_ooc_tpu.models.irf_offline import synthetic
+from newton_krylov_ooc_tpu.ops.imex import imex_year
+from newton_krylov_ooc_tpu.ops.transport3d import (
+    build_transport3d,
+    mask_vmix_coeff,
+    transport_tend,
+    vmix_vertical_coeff,
+)
+from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
+    build_transport3d_year_pallas,
+)
+
+NZ, NLAT, NLON, T_DIM = 4, 8, 6, 2
+YEAR = 365.0 * 86400.0
+N_STEPS = 480  # inside the synthetic circulation's explicit bound
+
+
+@pytest.fixture(scope="module")
+def problem():
+    mask = np.ones((NZ, NLAT, NLON), np.int32)
+    mask[:, 3, 2] = 0
+    mask[2:, 5, 4] = 0
+    circ = synthetic.gen_circulation(NZ, NLAT, NLON, mask=mask)
+    assert synthetic.stable_steps_per_year(circ) <= N_STEPS
+    coef = build_transport3d(
+        circ["mask"], circ["dz"], circ["TAREA"], uet=circ["UET"],
+        vnt=circ["VNT"], wtt=circ["WTT"], hdiff_e=circ["HDIFF_E"],
+        hdiff_n=circ["HDIFF_N"],
+    )
+    kv, dz_r = vmix_vertical_coeff(circ["VDC"], circ["dz"])
+    kv = mask_vmix_coeff(kv, circ["mask"])
+    rng = np.random.default_rng(9)
+    wet = (mask > 0).astype(np.float64)
+    diag = -rng.uniform(0.0, 1.0e-7, (T_DIM, NZ, NLAT, NLON)) * wet
+    src = rng.uniform(0.0, 1.0e-8, (T_DIM, NZ, NLAT, NLON)) * wet
+    y0 = rng.uniform(0.0, 1.0, (T_DIM, NZ, NLAT, NLON)) * wet
+    return circ, coef, kv, dz_r, diag, src, y0, wet
+
+
+def _scan_reference(coef, kv, dz_r, diag, src, y0, couple=None, wet=None):
+    """float64 imex_year ground truth, optionally with the gas-exchange
+    coupling in the explicit tendency"""
+    src2 = jnp.asarray(src.reshape(T_DIM, NZ, NLAT * NLON))
+    if couple is not None:
+        wet_surf = wet[0].reshape(-1)
+        couple_j = jnp.asarray(couple)
+
+    def tend(t, y):
+        y3 = y.reshape(y.shape[:-1] + (NLAT, NLON))
+        out = transport_tend(coef, y3).reshape(y.shape) + src2
+        if couple is not None:
+            sflux = wet_surf * jnp.einsum("xy,yh->xh", couple_j, y[:, 0, :])
+            out = out.at[:, 0, :].add(sflux)
+        return out
+
+    return np.asarray(
+        imex_year(
+            tend,
+            lambda t: kv,
+            jnp.asarray(diag.reshape(T_DIM, NZ, NLAT * NLON)),
+            dz_r,
+            jnp.asarray(y0.reshape(T_DIM, NZ, NLAT * NLON)),
+            (0.0, YEAR),
+            N_STEPS,
+        )
+    ).reshape(T_DIM, NZ, NLAT, NLON)
+
+
+def test_megakernel_matches_scan(problem):
+    _circ, coef, kv, dz_r, diag, src, y0, wet = problem
+    expected = _scan_reference(coef, kv, dz_r, diag, src, y0)
+    fn = build_transport3d_year_pallas(
+        coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+        src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+    )
+    got = np.asarray(fn(jnp.asarray(y0), interpret=True))
+    scale = np.abs(expected).max()
+    # float32 single-step CN error is ~3e-6 of the state; the dynamics
+    # damp rather than accumulate it (measured year-end ~1.5e-6)
+    np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-5 * scale)
+    assert np.abs(got * (1.0 - wet)).max() == 0.0  # land stays exactly dry
+
+
+def test_megakernel_coupled_gas_exchange(problem):
+    circ, coef, kv, dz_r, diag, src, y0, wet = problem
+    couple = np.zeros((T_DIM, T_DIM))
+    couple[1, 0] = 4.25e-3 / circ["dz"][0]
+    couple[1, 1] = -2.0e-3 / circ["dz"][0]
+    expected = _scan_reference(
+        coef, kv, dz_r, diag, src, y0, couple=couple, wet=wet
+    )
+    uncoupled = _scan_reference(coef, kv, dz_r, diag, src, y0)
+    scale = np.abs(expected).max()
+    assert np.abs(expected[1] - uncoupled[1]).max() > 1e-6 * scale
+
+    fn = build_transport3d_year_pallas(
+        coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+        src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS, couple=couple,
+    )
+    got = np.asarray(fn(jnp.asarray(y0), interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-5 * scale)
+
+
+def test_megakernel_rejects_seasonal():
+    circ = synthetic.gen_circulation(NZ, NLAT, NLON, n_seasons=4)
+    coef = build_transport3d(
+        circ["mask"], circ["dz"], circ["TAREA"], uet=circ["UET"],
+        vnt=circ["VNT"], wtt=circ["WTT"],
+    )
+    kv, dz_r = vmix_vertical_coeff(circ["VDC"], circ["dz"])
+    diag = np.zeros((1, NZ, NLAT * NLON))
+    with pytest.raises(ValueError, match="seasonal"):
+        build_transport3d_year_pallas(
+            coef, np.asarray(kv)[0], dz_r, diag, diag, (0.0, YEAR), 16
+        )
+
+
+def test_megakernel_rejects_oversized_grid(problem):
+    """a grid past the VMEM budget raises with a pointer at the sharded
+    path instead of failing inside the compiler"""
+    circ, coef, kv, dz_r, diag, src, _y0, _wet = problem
+    # the tiny test grid tiles to a tracer batch far past the VMEM budget
+    big = np.tile(diag.reshape(T_DIM, NZ, -1), (512, 1, 1))
+    with pytest.raises(ValueError, match="VMEM"):
+        build_transport3d_year_pallas(
+            coef, kv, dz_r, big, big, (0.0, YEAR), 16
+        )

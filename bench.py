@@ -637,6 +637,80 @@ def main():
                     f"{type(exc).__name__}: {exc}"
                 )
 
+        # gx1-scale year throughput (POP gx1v7 extents 60x384x320, the
+        # reference's PRODUCTION grid -- its preconditioner solve alone
+        # takes 256 MPI ranks at 2.3 GB each): one XLA-scan year of 7.4M
+        # cells on a single chip.  Accelerator only.
+        if (
+            time.time() - bench_t0 < 520
+            and jax.devices()[0].platform != "cpu"
+        ):
+            try:
+                from newton_krylov_ooc_tpu.models.irf_offline import synthetic
+                from newton_krylov_ooc_tpu.ops.imex import imex_year
+                from newton_krylov_ooc_tpu.ops.transport3d import (
+                    build_transport3d,
+                    mask_vmix_coeff,
+                    transport_tend,
+                    vmix_vertical_coeff,
+                )
+
+                from functools import partial as _partial
+
+                x_nz, x_nlat, x_nlon = 60, 384, 320
+                circ1 = synthetic.gen_circulation(x_nz, x_nlat, x_nlon)
+                x_steps = max(
+                    2000, synthetic.stable_steps_per_year(circ1)
+                )
+                coef1 = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, jnp.float32),
+                    build_transport3d(
+                        circ1["mask"], circ1["dz"], circ1["TAREA"],
+                        uet=circ1["UET"], vnt=circ1["VNT"],
+                        wtt=circ1["WTT"], hdiff_e=circ1["HDIFF_E"],
+                        hdiff_n=circ1["HDIFF_N"],
+                    ),
+                )
+                x_kv, x_dzr = vmix_vertical_coeff(circ1["VDC"], circ1["dz"])
+                x_kv = jnp.asarray(
+                    mask_vmix_coeff(x_kv, circ1["mask"]), jnp.float32
+                )
+                x_dzr = jnp.asarray(x_dzr, jnp.float32)
+
+                @_partial(jax.jit, static_argnames=("n_steps",))
+                def gx1_year(y0, cf, kv, dzr, n_steps):
+                    def tend(t, y):
+                        y3 = y.reshape(x_nz, x_nlat, x_nlon)
+                        return transport_tend(cf, y3).reshape(y.shape)
+
+                    return imex_year(
+                        tend, lambda t: kv, jnp.zeros((), jnp.float32),
+                        dzr, y0, (0.0, year), n_steps,
+                    )
+
+                y0_gx1 = jnp.asarray(
+                    np.random.default_rng(0)
+                    .uniform(0.0, 1.0, (x_nz, x_nlat * x_nlon))
+                    .astype(np.float32)
+                )
+                out1 = gx1_year(y0_gx1, coef1, x_kv, x_dzr, x_steps)
+                out1.block_until_ready()
+                assert np.isfinite(np.asarray(out1)).all()
+                start = time.time()
+                gx1_year(
+                    y0_gx1, coef1, x_kv, x_dzr, x_steps
+                ).block_until_ready()
+                gx1_s = time.time() - start
+                result["irf3d_gx1_year_seconds"] = round(gx1_s, 4)
+                result["irf3d_gx1_cells"] = x_nz * x_nlat * x_nlon
+                result["irf3d_gx1_cell_steps_per_second"] = round(
+                    x_nz * x_nlat * x_nlon * x_steps / gx1_s
+                )
+            except Exception as exc:  # noqa: BLE001
+                result["irf3d_gx1_bench_error"] = (
+                    f"{type(exc).__name__}: {exc}"
+                )
+
         # FULL 3D spin-up: a two-module tracer family solved to its
         # cyclostationary state at gx3 scale with the whole Newton-Krylov
         # stack on device (exact linear JVPs, jitted GMRES, column-local

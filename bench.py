@@ -762,9 +762,21 @@ def main():
                       "surf_restore_pv_cm_s": 5.0e-3}],
                 ]
                 mesh = Mesh(np.asarray(jax.devices()[:1]), ("space",))
-                kernel = ShardedTransport3dKernel(
-                    mesh, circ, specs, n_steps=s_steps, dtype=jnp.float32
-                )
+                # prefer the whole-year pallas megakernel for the spin-up
+                # (two modules share one kernel; falls back to the XLA
+                # scan if the joint state overflows the VMEM budget)
+                try:
+                    kernel = ShardedTransport3dKernel(
+                        mesh, circ, specs, n_steps=s_steps,
+                        dtype=jnp.float32, use_pallas=True,
+                    )
+                    result["irf3d_full_solve_path"] = "pallas"
+                except ValueError:
+                    kernel = ShardedTransport3dKernel(
+                        mesh, circ, specs, n_steps=s_steps,
+                        dtype=jnp.float32,
+                    )
+                    result["irf3d_full_solve_path"] = "xla_scan"
                 solver = NewtonKrylovInCore(
                     kernel,
                     newton_rel_tol=1.0e-5,

@@ -97,7 +97,8 @@ def _extended_slices(arr, n_space, nl_loc, n_x=None, nx_loc=None):
 
 
 def build_sharded_transport3d_year(
-    mesh, coef, kv, dz_r, diag, src, t_span, n_steps, unroll=8, couple=None
+    mesh, coef, kv, dz_r, diag, src, t_span, n_steps, unroll=8, couple=None,
+    local_tend=None, local_data=None,
 ):
     """build the jitted sharded 3D transport year.
 
@@ -112,6 +113,14 @@ def build_sharded_transport3d_year(
     couple: optional (tracer, tracer) surface gas-exchange coupling [1/s]
         (the d_SF_X_d_Y mechanism); pointwise in the horizontal, so it is
         shard-local -- no extra collectives
+    local_tend: optional COLUMN-LOCAL extra tendency hook
+        local_tend(t, y_local, data_local) -> same shape as y_local
+        ((tracer, nz, nh_loc) flat horizontal) -- nonlinear
+        biogeochemistry/sinking terms that never cross columns, hence
+        never cross shards; jax.jvp through the returned year
+        differentiates them exactly (including the halo collectives)
+    local_data: dict of global (..., nlat, nlon) arrays handed to
+        local_tend as shard-local interior slices (e.g. light fields)
     Returns fn(y) -> y_end for y (tracer, nz, nlat, nlon) sharded
     P(None, None, 'space', 'space_x'|None); the result keeps the sharding.
     """
@@ -172,6 +181,17 @@ def build_sharded_transport3d_year(
     kv = np.asarray(kv)
     kv_inner = kv.shape[:-1]  # (nz-1,) or seasonal (n_time, nz-1)
     kv_stack = jnp.asarray(interior_stack(kv, kv_inner), dtype)
+    data_names = sorted(local_data) if local_data else []
+    data_stacks = tuple(
+        jnp.asarray(
+            interior_stack(
+                np.asarray(local_data[name], np.float64),
+                np.asarray(local_data[name]).shape[:-2],
+            ),
+            dtype,
+        )
+        for name in data_names
+    )
     t_dim = diag.shape[0]
     diag_stack = jnp.asarray(interior_stack(diag, (t_dim, nz)), dtype)
     src_stack = jnp.asarray(interior_stack(src, (t_dim, nz)), dtype)
@@ -185,14 +205,17 @@ def build_sharded_transport3d_year(
     x_bwd_perm = [(i, (i - 1) % n_x) for i in range(n_x)]
     n_lead = 2 if split_x else 1
 
-    def local_year(y, kv_l, diag_l, src_l, *coef_arrays):
+    def local_year(y, kv_l, diag_l, src_l, *rest):
         # shard blocks arrive with leading stack axes of size 1
         lead = (0,) * n_lead
         kv_l = kv_l[lead]
         diag_l = diag_l[lead]
         src_l = src_l[lead]
         coef_local = dict(
-            zip(coef_names, (arr[lead] for arr in coef_arrays))
+            zip(coef_names, (arr[lead] for arr in rest[: len(coef_names)]))
+        )
+        data_local = dict(
+            zip(data_names, (arr[lead] for arr in rest[len(coef_names) :]))
         )
         # y arrives (tracer, nz, nl_loc, nx_loc) per shard
 
@@ -245,6 +268,8 @@ def build_sharded_transport3d_year(
                     "...xy,...yh->...xh", couple_dev, y[..., 0, :]
                 )
                 tend = tend.at[..., 0, :].add(sflux)
+            if local_tend is not None:
+                tend = tend + local_tend(t, y, data_local)
             return tend
 
         if kv_l.ndim == 3:
@@ -273,7 +298,7 @@ def build_sharded_transport3d_year(
     stacked = [(kv_stack, stack_spec(kv_stack)),
                (diag_stack, stack_spec(diag_stack)),
                (src_stack, stack_spec(src_stack))] + [
-        (arr, stack_spec(arr)) for arr in coef_stacks
+        (arr, stack_spec(arr)) for arr in coef_stacks + data_stacks
     ]
 
     sharded = shard_map(
@@ -352,11 +377,18 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
     irf_offline YAML keys (source_per_year, sink_rate_per_year,
     surf_restore_pv_cm_s, surf_restore_target); all modules must share the
     tracer count.
+
+    use_pallas=True swaps the year for the single-device whole-year
+    pallas megakernel (ops/transport3d_pallas.py: coefficients, bands,
+    state, and Kahan compensation VMEM-resident across every step);
+    requires a 1-device mesh, a steady circulation, float32, and a grid
+    inside the VMEM budget -- anything else raises.
     """
 
     def __init__(self, mesh, circ, module_specs, n_steps, dtype=None,
                  region_mask=None, adv_type="upwind3",
-                 t_span=(0.0, SEC_PER_YEAR), unroll=8):
+                 t_span=(0.0, SEC_PER_YEAR), unroll=8, use_pallas=False,
+                 pallas_interpret=False):
         if dtype is None:
             dtype = jnp.result_type(float)
         self.dtype = dtype
@@ -412,14 +444,44 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
         if not any_couple:
             couple = None
 
-        self._year_flat = build_sharded_transport3d_year(
-            mesh, coef, kv, dz_r, diag, src, t_span, n_steps, unroll=unroll,
-            couple=couple,
-        )
-        self._year0_flat = build_sharded_transport3d_year(
-            mesh, coef, kv, dz_r, diag, np.zeros_like(src), t_span, n_steps,
-            unroll=unroll, couple=couple,
-        )
+        if use_pallas:
+            # single-device steady fast path: the whole year as one
+            # VMEM-resident pallas megakernel (raises for seasonal
+            # circulations, multi-device meshes, non-f32, or grids past
+            # the VMEM budget -- explicit beats a silent fallback)
+            from ..ops.transport3d_pallas import (
+                build_transport3d_year_pallas,
+            )
+
+            if int(np.prod(mesh.devices.shape)) != 1:
+                raise ValueError(
+                    "use_pallas=True is the single-device megakernel; "
+                    "multi-device meshes use the shard_map year"
+                )
+            if dtype != jnp.float32:
+                raise ValueError("the pallas megakernel is float32-only")
+            year_p = build_transport3d_year_pallas(
+                coef, kv, dz_r, diag, src, t_span, n_steps, couple=couple
+            )
+            year0_p = build_transport3d_year_pallas(
+                coef, kv, dz_r, diag, np.zeros_like(src), t_span, n_steps,
+                couple=couple,
+            )
+            self._year_flat = lambda y: year_p(
+                y, interpret=pallas_interpret
+            )
+            self._year0_flat = lambda y: year0_p(
+                y, interpret=pallas_interpret
+            )
+        else:
+            self._year_flat = build_sharded_transport3d_year(
+                mesh, coef, kv, dz_r, diag, src, t_span, n_steps,
+                unroll=unroll, couple=couple,
+            )
+            self._year0_flat = build_sharded_transport3d_year(
+                mesh, coef, kv, dz_r, diag, np.zeros_like(src), t_span,
+                n_steps, unroll=unroll, couple=couple,
+            )
         flat_shape = (n_flat, nz, nlat, nlon)
 
         @jax.jit
@@ -544,3 +606,278 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
     def jvp(self, x, fcn, v):
         """exact: the family is linear, so J v = year0(v) - v"""
         return self._jvp(v)
+
+
+def light_lim_3d(dz, nlat, nlon):
+    """3D light limitation: 25 m e-folding in depth, gaussian in latitude
+    (the light_lim_2d shape of nk_ooc/py_driver_2d/phosphorus.py:50-55 on
+    a latitude-index coordinate)"""
+    dz_m = 1.0e-2 * np.asarray(dz, np.float64)
+    depth_mid = np.cumsum(dz_m) - 0.5 * dz_m
+    lat_frac = (np.arange(nlat) + 0.5) / nlat
+    lat_fac = np.exp(-(((lat_frac - 0.5) / 0.25) ** 2))
+    return np.broadcast_to(
+        np.exp(-depth_mid / 25.0)[:, None, None] * lat_fac[None, :, None],
+        (len(dz_m), nlat, nlon),
+    )
+
+
+class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
+    """sharded NONLINEAR solver kernel: a phosphorus cycle (po4/dop/pop,
+    the py_driver_2d phosphorus biogeochemistry) riding the 3D offline
+    IRF-transport circulation.
+
+    The reference cannot express this problem at all: its 3D workload
+    delegates every tendency to POP on a batch scheduler
+    (/root/reference/nk_ooc/cime_pop/model_state.py:124-167) and its
+    nonlinear phosphorus lives only in the 1D/2D in-process toy models.
+    Here the Michaelis-Menten uptake, remineralization, and particulate
+    sinking run COLUMN-LOCALLY inside the sharded 3D year (the local_tend
+    hook -- no extra collectives), Jacobian-vector products are exact
+    jax.jvp through the year (halo ppermutes differentiate), and the
+    preconditioner is the column-local banded (tracer-innermost,
+    bandwidth-3) solve of (dt * J_col - I) with vertical mixing +
+    linearized uptake/remin + masked sinking -- the 3D composition of the
+    reference's own phosphorus preconditioner design
+    (nk_ooc/py_driver_2d/phosphorus.py:197-274).
+
+    Particulate sinking crosses only interfaces whose BOTH cells are wet
+    (mass reaching the seafloor stays in the bottom wet cell), so the
+    volume-integrated total phosphorus is conserved exactly by the
+    tendency; the Newton solve preserves it to solver tolerance (the
+    conservation null mode of J regularizes through the -I of the
+    preconditioner block).
+
+    state layout: (1, 3, nz, nlat, nlon), sharded
+    P(None, None, None, 'space', 'space_x'|None).
+    """
+
+    def __init__(self, mesh, circ, params=None, n_steps=365, dtype=None,
+                 region_mask=None, t_span=(0.0, SEC_PER_YEAR), unroll=8):
+        from ..models.py_driver_2d.phosphorus import DEFAULT_PARAMS
+
+        if dtype is None:
+            dtype = jnp.result_type(float)
+        self.dtype = dtype
+        self.mesh = mesh
+        x_axis = "space_x" if "space_x" in mesh.shape else None
+        self._x_axis = x_axis
+        self.params = p = dict(DEFAULT_PARAMS if params is None else params)
+
+        mask = np.asarray(circ["mask"])
+        nz, nlat, nlon = mask.shape
+        nh = nlat * nlon
+        self.grid_shape = (nz, nlat, nlon)
+        self.module_batch, self.t_dim = 1, 3
+        wet = (mask > 0).astype(np.float64)
+        wet_h = wet.reshape(nz, nh)
+        dz = np.asarray(circ["dz"], np.float64)
+
+        coef = build_transport3d(
+            mask, dz, circ["TAREA"],
+            uet=circ.get("UET"), vnt=circ.get("VNT"), wtt=circ.get("WTT"),
+            hdiff_e=circ.get("HDIFF_E"), hdiff_n=circ.get("HDIFF_N"),
+        )
+        kv, dz_r = vmix_vertical_coeff(circ["VDC"], dz)
+        kv = mask_vmix_coeff(kv, mask)
+        dz_r_j = jnp.asarray(np.asarray(dz_r), dtype)
+
+        light = light_lim_3d(dz, nlat, nlon) * wet
+        # sinking crosses an interface only between two wet cells
+        sink_open = wet[:-1] * wet[1:]                   # (nz-1, lat, lon)
+        dz_m = 1.0e-2 * dz
+        self._depth_mid_m = np.cumsum(dz_m) - 0.5 * dz_m
+
+        def local_tend(_t, y, dl):
+            po4, dop, pop = y[..., 0, :, :], y[..., 1, :, :], y[..., 2, :, :]
+            uptake = (
+                p["max_uptake_rate"] * dl["light"] * po4
+                / (po4 + p["po4_halfsat"])
+            )
+            dop_remin = p["dop_remin_rate"] * dop
+            pop_remin = p["pop_remin_rate"] * pop
+            d_po4 = -uptake + dop_remin + pop_remin
+            d_dop = p["sigma"] * uptake - dop_remin
+            d_pop = (1.0 - p["sigma"]) * uptake - pop_remin
+            # flux across the bottom interface of cell k (downward), open
+            # interfaces only; telescopes, so total P is conserved
+            flux = p["pop_sink_vel"] * pop[..., :-1, :] * dl["sink_open"]
+            zero = jnp.zeros(pop.shape[:-2] + (1,) + pop.shape[-1:], y.dtype)
+            full = jnp.concatenate([zero, flux, zero], axis=-2)
+            d_pop = d_pop + dz_r_j[:, None] * (
+                full[..., :-1, :] - full[..., 1:, :]
+            )
+            return jnp.stack([d_po4, d_dop, d_pop], axis=-3)
+
+        zeros3 = np.zeros((3, nz, nh))
+        self._year_flat = build_sharded_transport3d_year(
+            mesh, coef, kv, dz_r, zeros3, zeros3, t_span, n_steps,
+            unroll=unroll, local_tend=local_tend,
+            local_data={
+                "light": light,
+                "sink_open": sink_open,
+            },
+        )
+        flat_shape = (3, nz, nlat, nlon)
+
+        def fcn(x):
+            return (
+                self._year_flat(x.reshape(flat_shape)).reshape(x.shape) - x
+            )
+
+        self._comp_fcn = jax.jit(fcn)
+        # the jitted GMRES linearizes this once per solve
+        self.linearize_target = fcn
+        self._jvp_fn = jax.jit(
+            lambda x, v: jax.jvp(fcn, (x,), (v,))[1]
+        )
+
+        self.state_sharding = NamedSharding(
+            mesh, P(None, None, None, "space", x_axis)
+        )
+        self._wet = jax.device_put(
+            jnp.asarray(wet, dtype),
+            NamedSharding(mesh, P(None, "space", x_axis)),
+        )
+
+        if region_mask is None:
+            region_mask = mask
+        self._region_mask_np = np.asarray(region_mask)
+        grid_weight = dz[:, None, None] * np.asarray(circ["TAREA"])[None] * wet
+        (
+            self.region_cnt,
+            mean_w,
+            onehot,
+            region_fill,
+        ) = _region_reduction_arrays_3d(
+            mesh, region_mask, grid_weight, dtype, x_axis=x_axis
+        )
+
+        @jax.jit
+        def dot(a, b):
+            prod = jnp.sum(a * b, axis=1)
+            return jnp.einsum("mzab,rzab->mr", prod, mean_w)
+
+        self._dot = dot
+
+        @jax.jit
+        def region_broadcast_jit(scalars):
+            field = jnp.einsum("mr,rzab->mzab", scalars, onehot)
+            return (field + region_fill)[:, None, :, :, :]
+
+        self._region_broadcast = region_broadcast_jit
+
+        # column-local banded (tracer-innermost, bandwidth 3) block of
+        # (dt * J_col - I): vertical mixing (annual mean when seasonal) +
+        # linearized uptake/remin + masked sinking, LU-refactored from the
+        # current iterate once per Newton solve
+        kv_np = np.asarray(kv, np.float64)
+        if kv_np.ndim == 3:
+            kv_np = kv_np.mean(axis=0)
+        kv_j = jnp.asarray(kv_np, dtype)                 # (nz-1, nh)
+        light_j = jnp.asarray(light.reshape(nz, nh), dtype)
+        open_j = jnp.asarray(sink_open.reshape(nz - 1, nh), dtype)
+        dt_year = float(t_span[1] - t_span[0])
+        n3 = 3 * nz
+        rows = np.arange(n3)
+        z_of = rows // 3
+        t_of = rows % 3
+        po4_rows = np.nonzero(t_of == 0)[0]
+        dop_rows = np.nonzero(t_of == 1)[0]
+        pop_rows = np.nonzero(t_of == 2)[0]
+
+        @jax.jit
+        def precond_factor(x):
+            from ..ops.banded import banded_lu_factor_blocks as lu_blocks
+
+            po4 = x[0, 0].reshape(nz, nh)
+            u1 = (
+                p["max_uptake_rate"] * light_j * p["po4_halfsat"]
+                / (po4 + p["po4_halfsat"]) ** 2
+            )
+
+            bands = jnp.zeros((nh, n3, 7), dtype)
+            zero_row = jnp.zeros((1, nh), dtype)
+            up = jnp.concatenate([kv_j * dz_r_j[:-1, None], zero_row], 0)
+            lo = jnp.concatenate([zero_row, kv_j * dz_r_j[1:, None]], 0)
+            up_rows = up[z_of, :].T                      # (nh, n3)
+            lo_rows = lo[z_of, :].T
+            bands = bands.at[:, :, 6].add(up_rows)
+            bands = bands.at[:, :, 0].add(lo_rows)
+            bands = bands.at[:, :, 3].add(-(up_rows + lo_rows))
+
+            u1_cols = u1.T                               # (nh, nz)
+            bands = bands.at[:, po4_rows, 3].add(-u1_cols)
+            bands = bands.at[:, po4_rows, 4].add(p["dop_remin_rate"])
+            bands = bands.at[:, po4_rows, 5].add(p["pop_remin_rate"])
+            bands = bands.at[:, dop_rows, 2].add(p["sigma"] * u1_cols)
+            bands = bands.at[:, dop_rows, 3].add(-p["dop_remin_rate"])
+            bands = bands.at[:, pop_rows, 1].add((1.0 - p["sigma"]) * u1_cols)
+            bands = bands.at[:, pop_rows, 3].add(-p["pop_remin_rate"])
+
+            vel = p["pop_sink_vel"]
+            gain = vel * dz_r_j[:, None] * jnp.concatenate(
+                [zero_row, open_j], 0
+            )                                            # from the cell above
+            loss = vel * dz_r_j[:, None] * jnp.concatenate(
+                [open_j, zero_row], 0
+            )
+            bands = bands.at[:, pop_rows, 0].add(gain.T)
+            bands = bands.at[:, pop_rows, 3].add(-loss.T)
+
+            mat = dt_year * bands
+            mat = mat.at[:, :, 3].add(-1.0)              # the -I block
+            return lu_blocks(mat)
+
+        @jax.jit
+        def precond_apply(lu, r):
+            from ..ops.banded import banded_lu_solve_blocks as solve_blocks
+
+            # (1, 3, nz, nlat, nlon) -> per-column tracer-innermost rows
+            cols = jnp.transpose(
+                r[0].reshape(3, nz, nh), (2, 1, 0)
+            ).reshape(nh, n3)
+            sol = solve_blocks(lu, cols)
+            sol = jnp.transpose(sol.reshape(nh, nz, 3), (2, 1, 0))
+            return sol.reshape(r.shape)
+
+        self._precond_factor = precond_factor
+        self._precond_apply = precond_apply
+
+    # -- solver interface ------------------------------------------------------
+
+    def init_iterate(self):
+        """depth-interpolated po4/dop/pop profiles (the 2D kernel's
+        values), wet-masked and broadcast over the horizontal"""
+        profiles = (
+            ([130.0, 260.0], [5.5e-3, 4.1]),
+            ([95.0, 140.0], [7.1e-2, 1.5e-4]),
+            ([170.0, 250.0], [1.8e-2, 7.9e-4]),
+        )
+        wet = np.asarray(self._wet, np.float64)
+        dm = self._depth_mid_m
+        cols = [np.interp(dm, d, v) for d, v in profiles]
+        field = np.stack([wet * c[:, None, None] for c in cols])[None]
+        return jax.device_put(
+            jnp.asarray(field, self.dtype), self.state_sharding
+        )
+
+    def jvp(self, x, fcn, v):
+        """exact forward-mode JVP through the sharded nonlinear 3D year"""
+        return self._jvp_fn(x, v)
+
+    def apply_limiter(self, x, increment):
+        """phosphorus tracers are bounded below by zero (the reference's
+        lob: 0.0)"""
+        from ..utils.regions import comp_scalef_lob
+
+        x_np = self._clamp_lob_base(np.asarray(x)[0])
+        inc_np = np.asarray(increment)[0]
+        scalef = np.ones((1, self.region_cnt))
+        for t_ind in range(x_np.shape[0]):
+            comp = comp_scalef_lob(
+                self.region_cnt, self._region_mask_np, x_np[t_ind],
+                inc_np[t_ind], 0.0,
+            )
+            scalef[0] = np.minimum(scalef[0], comp)
+        return scalef

@@ -430,3 +430,58 @@ def test_sharded_year_matches_single_device(n_space):
     scale = np.abs(expected).max()
     np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-13 * scale)
     assert np.isfinite(got).all()
+
+
+def test_phosphorus3d_nonlinear_solve():
+    """NONLINEAR 3D biogeochemistry (po4/dop/pop Michaelis-Menten uptake,
+    remineralization, seafloor-blocked particulate sinking) riding the 3D
+    IRF circulation -- a problem class the reference cannot express (its
+    3D tendencies live inside batch-submitted POP).  The sharded Newton
+    solve (exact jax.jvp through the halo collectives, column-local
+    banded preconditioner) must: conserve total phosphorus exactly,
+    converge, and agree across mesh shapes to roundoff."""
+    from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        ShardedPhosphorus3dKernel,
+    )
+
+    mask = np.ones((NZ, NLAT, NLON), np.int32)
+    mask[:, 3, 2] = 0
+    mask[2:, 5, 4] = 0
+    circ = synthetic.gen_circulation(NZ, NLAT, NLON, mask=mask)
+    n_steps = max(N_STEPS, synthetic.stable_steps_per_year(circ))
+    results = []
+    for n_y, n_x in ((1, None), (2, 2)):
+        mesh, _spec = _mesh_and_spec(n_y, n_x)
+        kernel = ShardedPhosphorus3dKernel(mesh, circ, n_steps=n_steps)
+        x0 = kernel.init_iterate()
+        ones = jnp.ones_like(x0)
+        # the tendency conserves total P exactly (sinking telescopes,
+        # uptake/remin shuffle between the three pools)
+        fcn0 = kernel.comp_fcn(x0)
+        assert np.abs(np.asarray(kernel._dot(fcn0, ones))).max() < 1e-12
+
+        solver = NewtonKrylovInCore(
+            kernel,
+            newton_rel_tol=1e-6,
+            krylov_rel_tol=1e-3,
+            newton_max_iter=10,
+            krylov_max_dim=40,
+            jit_gmres=True,
+        )
+        x, _fcn, info = solver.solve(x0)
+        rel = np.asarray(info["fcn_norm"]) / np.asarray(info["x_norm"])
+        assert (rel < 1e-6).all()
+        # the solve walks along the conservation null space: total P of
+        # the cyclostationary state equals the initial iterate's
+        np.testing.assert_allclose(
+            np.asarray(kernel._dot(x, ones)),
+            np.asarray(kernel._dot(x0, ones)),
+            rtol=1e-9,
+        )
+        assert np.asarray(x).min() >= 0.0  # lower bound held
+        results.append(np.asarray(x))
+    scale = np.abs(results[0]).max()
+    np.testing.assert_allclose(
+        results[1], results[0], rtol=0.0, atol=1e-11 * scale
+    )

@@ -115,6 +115,65 @@ def test_megakernel_coupled_gas_exchange(problem):
     np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-5 * scale)
 
 
+def test_kernel_pallas_solve_matches_xla(problem):
+    """a full Newton-Krylov spin-up through
+    ShardedTransport3dKernel(use_pallas=True) lands on the same
+    cyclostationary state as the XLA-scan kernel (float32 path)"""
+    from jax.sharding import Mesh
+
+    from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        ShardedTransport3dKernel,
+    )
+
+    circ = problem[0]
+    specs = [[{"name": "DYE", "source_per_year": 0.1,
+               "sink_rate_per_year": 0.5,
+               "surf_restore_pv_cm_s": 5.0e-3}]]
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:1]), ("space",))
+    results = []
+    for use_pallas in (False, True):
+        kernel = ShardedTransport3dKernel(
+            mesh, circ, specs, n_steps=N_STEPS, dtype=jnp.float32,
+            use_pallas=use_pallas, pallas_interpret=use_pallas,
+        )
+        solver = NewtonKrylovInCore(
+            kernel,
+            newton_rel_tol=1e-5,
+            krylov_rel_tol=1e-2,
+            newton_max_iter=4,
+            krylov_max_dim=12,
+            jit_gmres=True,
+        )
+        x, _fcn, info = solver.solve(kernel.init_iterate())
+        rel = np.asarray(info["fcn_norm"]) / np.asarray(info["x_norm"])
+        assert (rel < 1e-5).all()
+        results.append(np.asarray(x))
+    scale = np.abs(results[0]).max()
+    # both solvers drive the residual under 1e-5; the iterates agree to
+    # that same level (different f32 rounding paths, same math)
+    np.testing.assert_allclose(
+        results[1], results[0], rtol=0.0, atol=3e-5 * scale
+    )
+
+
+def test_kernel_pallas_rejects_multi_device(problem):
+    from jax.sharding import Mesh
+
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        ShardedTransport3dKernel,
+    )
+
+    circ = problem[0]
+    specs = [[{"name": "DYE", "sink_rate_per_year": 0.5}]]
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:2]), ("space",))
+    with pytest.raises(ValueError, match="single-device"):
+        ShardedTransport3dKernel(
+            mesh, circ, specs, n_steps=N_STEPS, dtype=jnp.float32,
+            use_pallas=True,
+        )
+
+
 def test_megakernel_rejects_seasonal():
     circ = synthetic.gen_circulation(NZ, NLAT, NLON, n_seasons=4)
     coef = build_transport3d(

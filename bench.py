@@ -521,72 +521,79 @@ def main():
             except Exception as exc:  # noqa: BLE001
                 result["sharded_bench_error"] = f"{type(exc).__name__}: {exc}"
 
+        def _time_irf3d_year(nz3, nlat3, nlon3, reps):
+            """one on-device IMEX-scan year of the 3D IRF-transport
+            stencil at the given POP extents (upwind3 advection + lateral
+            diffusion + implicit vertical mixing); returns the build
+            artifacts and the best-of-reps wall-clock"""
+            from functools import partial as _partial
+
+            from newton_krylov_ooc_tpu.models.irf_offline import synthetic
+            from newton_krylov_ooc_tpu.ops.imex import imex_year
+            from newton_krylov_ooc_tpu.ops.transport3d import (
+                build_transport3d,
+                mask_vmix_coeff,
+                transport_tend,
+                vmix_vertical_coeff,
+            )
+
+            circ3 = synthetic.gen_circulation(nz3, nlat3, nlon3)
+            steps3 = max(2000, synthetic.stable_steps_per_year(circ3))
+            coef3 = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32),
+                build_transport3d(
+                    circ3["mask"], circ3["dz"], circ3["TAREA"],
+                    uet=circ3["UET"], vnt=circ3["VNT"], wtt=circ3["WTT"],
+                    hdiff_e=circ3["HDIFF_E"], hdiff_n=circ3["HDIFF_N"],
+                ),
+            )
+            kv3, dzr3 = vmix_vertical_coeff(circ3["VDC"], circ3["dz"])
+            kv3 = jnp.asarray(
+                mask_vmix_coeff(kv3, circ3["mask"]), jnp.float32
+            )
+            dzr3 = jnp.asarray(dzr3, jnp.float32)
+
+            @_partial(jax.jit, static_argnames=("n_steps",))
+            def year_fn(y0, cf, kv, dzr, n_steps):
+                def tend(t, y):
+                    y3 = y.reshape(nz3, nlat3, nlon3)
+                    return transport_tend(cf, y3).reshape(y.shape)
+
+                return imex_year(
+                    tend, lambda t: kv, jnp.zeros((), jnp.float32),
+                    dzr, y0, (0.0, year), n_steps,
+                )
+
+            y0_ = jnp.asarray(
+                np.random.default_rng(0)
+                .uniform(0.0, 1.0, (nz3, nlat3 * nlon3))
+                .astype(np.float32)
+            )
+            out = year_fn(y0_, coef3, kv3, dzr3, steps3)
+            out.block_until_ready()
+            assert np.isfinite(np.asarray(out)).all()
+            times = []
+            for _ in range(reps):
+                start = time.time()
+                year_fn(y0_, coef3, kv3, dzr3, steps3).block_until_ready()
+                times.append(time.time() - start)
+            return circ3, coef3, kv3, dzr3, steps3, y0_, out, min(times)
+
         # gx3-scale 3D offline IRF-transport year (irf_offline family):
-        # the cime_pop-class workload -- ~700k wet cells of upwind3
-        # advection + lateral diffusion + implicit vertical mixing from
-        # POP-convention circulation fields -- as one on-device IMEX scan.
-        # The reference runs this by submitting POP to a batch scheduler.
+        # the cime_pop-class workload -- ~700k wet cells as one on-device
+        # IMEX scan.  The reference runs this by submitting POP to a
+        # batch scheduler.
         if time.time() - bench_t0 < 480:
             try:
-                from functools import partial as _partial
-
-                from newton_krylov_ooc_tpu.models.irf_offline import synthetic
-                from newton_krylov_ooc_tpu.ops.imex import imex_year
-                from newton_krylov_ooc_tpu.ops.transport3d import (
-                    build_transport3d,
-                    mask_vmix_coeff,
-                    transport_tend,
-                    vmix_vertical_coeff,
-                )
-
                 g_nz, g_nlat, g_nlon = 60, 116, 100  # POP gx3v7 extents
-                circ = synthetic.gen_circulation(g_nz, g_nlat, g_nlon)
-                g_steps = max(
-                    2000, synthetic.stable_steps_per_year(circ)
-                )
-                coef = jax.tree_util.tree_map(
-                    lambda a: jnp.asarray(a, jnp.float32),
-                    build_transport3d(
-                        circ["mask"], circ["dz"], circ["TAREA"],
-                        uet=circ["UET"], vnt=circ["VNT"], wtt=circ["WTT"],
-                        hdiff_e=circ["HDIFF_E"], hdiff_n=circ["HDIFF_N"],
-                    ),
-                )
-                g_kv, g_dzr = vmix_vertical_coeff(circ["VDC"], circ["dz"])
-                g_kv = jnp.asarray(
-                    mask_vmix_coeff(g_kv, circ["mask"]), jnp.float32
-                )
-                g_dzr = jnp.asarray(g_dzr, jnp.float32)
-
-                @_partial(jax.jit, static_argnames=("n_steps",))
-                def irf_year(y0, cf, kv, dzr, n_steps):
-                    def tend(t, y):
-                        y3 = y.reshape(g_nz, g_nlat, g_nlon)
-                        return transport_tend(cf, y3).reshape(y.shape)
-
-                    return imex_year(
-                        tend, lambda t: kv, jnp.zeros((), jnp.float32),
-                        dzr, y0, (0.0, year), n_steps,
-                    )
-
-                y0_3d = jnp.asarray(
-                    np.random.default_rng(0)
-                    .uniform(0.0, 1.0, (g_nz, g_nlat * g_nlon))
-                    .astype(np.float32)
-                )
-                out3d = irf_year(y0_3d, coef, g_kv, g_dzr, g_steps)
-                out3d.block_until_ready()
-                assert np.isfinite(np.asarray(out3d)).all()
-                times = []
-                for _ in range(2):
-                    start = time.time()
-                    irf_year(y0_3d, coef, g_kv, g_dzr, g_steps).block_until_ready()
-                    times.append(time.time() - start)
-                result["irf3d_gx3_year_seconds"] = round(min(times), 4)
+                (
+                    circ, coef, g_kv, g_dzr, g_steps, y0_3d, out3d, g_best
+                ) = _time_irf3d_year(g_nz, g_nlat, g_nlon, reps=2)
+                result["irf3d_gx3_year_seconds"] = round(g_best, 4)
                 result["irf3d_n_steps"] = g_steps
                 result["irf3d_cells"] = g_nz * g_nlat * g_nlon
                 result["irf3d_cell_steps_per_second"] = round(
-                    g_nz * g_nlat * g_nlon * g_steps / min(times)
+                    g_nz * g_nlat * g_nlon * g_steps / g_best
                 )
             except Exception as exc:  # noqa: BLE001
                 result["irf3d_bench_error"] = f"{type(exc).__name__}: {exc}"
@@ -646,61 +653,10 @@ def main():
             and jax.devices()[0].platform != "cpu"
         ):
             try:
-                from newton_krylov_ooc_tpu.models.irf_offline import synthetic
-                from newton_krylov_ooc_tpu.ops.imex import imex_year
-                from newton_krylov_ooc_tpu.ops.transport3d import (
-                    build_transport3d,
-                    mask_vmix_coeff,
-                    transport_tend,
-                    vmix_vertical_coeff,
-                )
-
-                from functools import partial as _partial
-
                 x_nz, x_nlat, x_nlon = 60, 384, 320
-                circ1 = synthetic.gen_circulation(x_nz, x_nlat, x_nlon)
-                x_steps = max(
-                    2000, synthetic.stable_steps_per_year(circ1)
+                *_rest, x_steps, _y0, _out, gx1_s = _time_irf3d_year(
+                    x_nz, x_nlat, x_nlon, reps=1
                 )
-                coef1 = jax.tree_util.tree_map(
-                    lambda a: jnp.asarray(a, jnp.float32),
-                    build_transport3d(
-                        circ1["mask"], circ1["dz"], circ1["TAREA"],
-                        uet=circ1["UET"], vnt=circ1["VNT"],
-                        wtt=circ1["WTT"], hdiff_e=circ1["HDIFF_E"],
-                        hdiff_n=circ1["HDIFF_N"],
-                    ),
-                )
-                x_kv, x_dzr = vmix_vertical_coeff(circ1["VDC"], circ1["dz"])
-                x_kv = jnp.asarray(
-                    mask_vmix_coeff(x_kv, circ1["mask"]), jnp.float32
-                )
-                x_dzr = jnp.asarray(x_dzr, jnp.float32)
-
-                @_partial(jax.jit, static_argnames=("n_steps",))
-                def gx1_year(y0, cf, kv, dzr, n_steps):
-                    def tend(t, y):
-                        y3 = y.reshape(x_nz, x_nlat, x_nlon)
-                        return transport_tend(cf, y3).reshape(y.shape)
-
-                    return imex_year(
-                        tend, lambda t: kv, jnp.zeros((), jnp.float32),
-                        dzr, y0, (0.0, year), n_steps,
-                    )
-
-                y0_gx1 = jnp.asarray(
-                    np.random.default_rng(0)
-                    .uniform(0.0, 1.0, (x_nz, x_nlat * x_nlon))
-                    .astype(np.float32)
-                )
-                out1 = gx1_year(y0_gx1, coef1, x_kv, x_dzr, x_steps)
-                out1.block_until_ready()
-                assert np.isfinite(np.asarray(out1)).all()
-                start = time.time()
-                gx1_year(
-                    y0_gx1, coef1, x_kv, x_dzr, x_steps
-                ).block_until_ready()
-                gx1_s = time.time() - start
                 result["irf3d_gx1_year_seconds"] = round(gx1_s, 4)
                 result["irf3d_gx1_cells"] = x_nz * x_nlat * x_nlon
                 result["irf3d_gx1_cell_steps_per_second"] = round(
@@ -762,33 +718,50 @@ def main():
                       "surf_restore_pv_cm_s": 5.0e-3}],
                 ]
                 mesh = Mesh(np.asarray(jax.devices()[:1]), ("space",))
+
+                def run_spinup(use_pallas):
+                    kernel = ShardedTransport3dKernel(
+                        mesh, circ, specs, n_steps=s_steps,
+                        dtype=jnp.float32, use_pallas=use_pallas,
+                    )
+                    solver = NewtonKrylovInCore(
+                        kernel,
+                        newton_rel_tol=1.0e-5,
+                        krylov_rel_tol=1.0e-2,
+                        newton_max_iter=6,
+                        krylov_max_dim=20,
+                        jit_gmres=True,
+                    )
+                    start = time.time()
+                    x_sol, _fcn, info = solver.solve(kernel.init_iterate())
+                    jax.block_until_ready(x_sol)
+                    return x_sol, info, time.time() - start
+
                 # prefer the whole-year pallas megakernel for the spin-up
-                # (two modules share one kernel; falls back to the XLA
-                # scan if the joint state overflows the VMEM budget)
-                try:
-                    kernel = ShardedTransport3dKernel(
-                        mesh, circ, specs, n_steps=s_steps,
-                        dtype=jnp.float32, use_pallas=True,
-                    )
-                    result["irf3d_full_solve_path"] = "pallas"
-                except ValueError:
-                    kernel = ShardedTransport3dKernel(
-                        mesh, circ, specs, n_steps=s_steps,
-                        dtype=jnp.float32,
-                    )
-                    result["irf3d_full_solve_path"] = "xla_scan"
-                solver = NewtonKrylovInCore(
-                    kernel,
-                    newton_rel_tol=1.0e-5,
-                    krylov_rel_tol=1.0e-2,
-                    newton_max_iter=6,
-                    krylov_max_dim=20,
-                    jit_gmres=True,
+                # when it fits (cheap advisory estimate BEFORE building
+                # anything; accelerator only -- pallas on the CPU backend
+                # needs interpret mode); fall back to the XLA scan on ANY
+                # pallas-path failure, including at solve time (Mosaic's
+                # compile-time VMEM check is the authority)
+                from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
+                    megakernel_fits_vmem,
                 )
-                start = time.time()
-                x_sol, fcn_sol, info = solver.solve(kernel.init_iterate())
-                jax.block_until_ready(x_sol)
-                solve_s = time.time() - start
+
+                solve_out = None
+                if jax.devices()[0].platform != "cpu" and megakernel_fits_vmem(
+                    s_nz, s_nlat, s_nlon, sum(len(m) for m in specs)
+                ):
+                    try:
+                        solve_out = run_spinup(True)
+                        result["irf3d_full_solve_path"] = "pallas"
+                    except Exception as exc:  # noqa: BLE001
+                        result["irf3d_pallas_solve_fallback"] = (
+                            f"{type(exc).__name__}: {exc}"
+                        )
+                if solve_out is None:
+                    solve_out = run_spinup(False)
+                    result["irf3d_full_solve_path"] = "xla_scan"
+                x_sol, info, solve_s = solve_out
                 rel = np.asarray(info["fcn_norm"]) / np.asarray(info["x_norm"])
                 assert np.isfinite(np.asarray(x_sol)).all()
                 assert (rel < 1.0e-5).all()

@@ -42,23 +42,27 @@ def _piecewise_frac(t, xs, fs):
     return val
 
 
-def _pcr_minor2(dl, d, du, b, nz, recip):
-    """parallel cyclic reduction along the second-minor axis (axis -2) of
-    rank-2 (nz, lanes) or rank-3 (T, nz, ny) arrays.
+def _pcr_minor2(dl, d, du, b, nz, recip, axis=-2):
+    """parallel cyclic reduction along `axis` (default -2, the second-minor
+    axis of rank-2 (nz, lanes) or rank-3 (T, nz, ny) arrays; pass -3 for
+    (..., nz, nlat, nlon) 3D states).
 
     recip=True uses one reciprocal per round instead of two divides --
     bitwise identical on TPU (divide lowers to reciprocal-multiply there),
     a ~1-ulp/round difference in interpret mode.
     """
     dtype = b.dtype
-    lead = b.shape[:-2]
-    lanes = b.shape[-1]
+    ndim = b.ndim
+    ax = axis % ndim
 
     def sh(arr, s, fill):
-        pad = jnp.full(lead + (abs(s), lanes), fill, dtype)
+        pad_shape = b.shape[:ax] + (abs(s),) + b.shape[ax + 1 :]
+        pad = jnp.full(pad_shape, fill, dtype)
+        keep = [slice(None)] * ndim
+        keep[ax] = slice(s, None) if s > 0 else slice(None, s)
         if s > 0:
-            return jnp.concatenate([arr[..., s:, :], pad], axis=-2)
-        return jnp.concatenate([pad, arr[..., :s, :]], axis=-2)
+            return jnp.concatenate([arr[tuple(keep)], pad], axis=ax)
+        return jnp.concatenate([pad, arr[tuple(keep)]], axis=ax)
 
     a_c, b_c, c_c, r_c = dl, d, du, b
     stride = 1

@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .transport3d import transport_coef_n_time, transport_tend
+from .imex_pallas import _pcr_minor2
+from .transport3d import _shift, transport_coef_n_time, transport_tend
 
 _VMEM_CAP = 110 << 20  # leave headroom below a v5e core's 128 MiB
 
@@ -51,46 +52,41 @@ def _padded_field_bytes(nz, nlat, nlon):
     return 4 * nz * sub * lane
 
 
+def megakernel_fits_vmem(nz, nlat, nlon, t_dim, n_coef=13):
+    """advisory: does a t_dim-tracer megakernel of this grid fit the VMEM
+    budget?  Callers can test BEFORE building anything; the same estimate
+    gates build_transport3d_year_pallas, and Mosaic's compile-time check
+    remains the authority on hardware."""
+    return _estimate_vmem(nz, nlat, nlon, t_dim, n_coef) <= _VMEM_CAP
+
+
+def _estimate_vmem(nz, nlat, nlon, t_dim, n_coef):
+    # coefficients + 2 shared band fields + per-tracer (diag, src, y0,
+    # out-as-state, compensation scratch) + ~6T peak-live transients
+    # inside tend/heun/PCR (advisory; Mosaic's compile-time VMEM check
+    # is the authority and surfaces as a clear error)
+    return _padded_field_bytes(nz, nlat, nlon) * (n_coef + 2 + t_dim * 11)
+
+
 def _shift_axis3(arr, off):
     """result[..., k, :, :] = arr[..., k + off, :, :], zero-filled
-    off-grid (the vertical axis is closed)"""
-    lead = arr.shape[:-3]
-    trail = arr.shape[-2:]
-    pad = jnp.zeros(lead + (abs(off),) + trail, arr.dtype)
-    if off > 0:
-        return jnp.concatenate([arr[..., off:, :, :], pad], axis=-3)
-    return jnp.concatenate([pad, arr[..., :off, :, :]], axis=-3)
+    off-grid (the vertical axis is closed; ops.transport3d._shift on the
+    depth axis)"""
+    return _shift(arr, off, -3)
 
 
 def _pcr_axis3(dl, d, du, b, nz):
-    """parallel cyclic reduction along axis -3 of (..., nz, nlat, nlon)
-    arrays (reciprocal form; see ops/imex_pallas._pcr_minor2 for the
-    axis -2 original)"""
-
-    def sh(arr, s, fill):
-        lead = arr.shape[:-3]
-        trail = arr.shape[-2:]
-        pad = jnp.full(lead + (abs(s),) + trail, fill, b.dtype)
-        if s > 0:
-            return jnp.concatenate([arr[..., s:, :, :], pad], axis=-3)
-        return jnp.concatenate([pad, arr[..., :s, :, :]], axis=-3)
-
-    a_c = jnp.broadcast_to(dl, b.shape)
-    b_c = jnp.broadcast_to(d, b.shape)
-    c_c = jnp.broadcast_to(du, b.shape)
-    r_c = b
-    stride = 1
-    while stride < nz:
-        rb = 1.0 / b_c
-        alpha = -a_c * sh(rb, -stride, 1.0)
-        gamma = -c_c * sh(rb, stride, 1.0)
-        a_n = alpha * sh(a_c, -stride, 0.0)
-        c_n = gamma * sh(c_c, stride, 0.0)
-        b_c = b_c + alpha * sh(c_c, -stride, 0.0) + gamma * sh(a_c, stride, 0.0)
-        r_c = r_c + alpha * sh(r_c, -stride, 0.0) + gamma * sh(r_c, stride, 0.0)
-        a_c, c_c = a_n, c_n
-        stride *= 2
-    return r_c / b_c
+    """reciprocal-form PCR along axis -3 of (..., nz, nlat, nlon) arrays
+    (ops/imex_pallas._pcr_minor2 with the depth axis named explicitly)"""
+    return _pcr_minor2(
+        jnp.broadcast_to(dl, b.shape),
+        jnp.broadcast_to(d, b.shape),
+        jnp.broadcast_to(du, b.shape),
+        b,
+        nz,
+        recip=True,
+        axis=-3,
+    )
 
 
 def build_transport3d_year_pallas(
@@ -151,12 +147,7 @@ def build_transport3d_year_pallas(
         if couple_np.shape != (t_dim, t_dim):
             raise ValueError("couple must be (tracer, tracer)")
 
-    field = _padded_field_bytes(nz, nlat, nlon)
-    # coefficients + 2 shared band fields + per-tracer (diag, src, y0,
-    # out-as-state, compensation scratch) + ~6T peak-live transients
-    # inside tend/heun/PCR (advisory; Mosaic's compile-time VMEM check
-    # is the authority and surfaces as a clear error)
-    est = field * (len(coef_arrays) + 2 + t_dim * (5 + 6))
+    est = _estimate_vmem(nz, nlat, nlon, t_dim, len(coef_arrays))
     if est > _VMEM_CAP:
         raise ValueError(
             f"~{est >> 20} MiB estimated VMEM for {t_dim} tracers of "

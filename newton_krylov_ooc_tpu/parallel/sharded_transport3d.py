@@ -348,6 +348,43 @@ def _region_reduction_arrays_3d(mesh, region_mask, grid_weight, dtype,
     )
 
 
+def _wire_3d_solver_interface(kernel, mesh, wet, region_mask, grid_weight,
+                              dtype, x_axis):
+    """shared solver-interface wiring for the 3D kernels: state sharding,
+    the device-resident wet mask, and the per-(module, region) weighted
+    dot / region-broadcast operators over the 3D volume weights"""
+    kernel.state_sharding = NamedSharding(
+        mesh, P(None, None, None, "space", x_axis)
+    )
+    kernel._wet = jax.device_put(
+        jnp.asarray(wet, dtype),
+        NamedSharding(mesh, P(None, "space", x_axis)),
+    )
+    kernel._region_mask_np = np.asarray(region_mask)
+    (
+        kernel.region_cnt,
+        mean_w,
+        onehot,
+        region_fill,
+    ) = _region_reduction_arrays_3d(
+        mesh, region_mask, grid_weight, dtype, x_axis=x_axis
+    )
+
+    @jax.jit
+    def dot(a, b):
+        prod = jnp.sum(a * b, axis=1)  # tracer axis (reference P1)
+        return jnp.einsum("mzab,rzab->mr", prod, mean_w)
+
+    kernel._dot = dot
+
+    @jax.jit
+    def region_broadcast_jit(scalars):
+        field = jnp.einsum("mr,rzab->mzab", scalars, onehot)
+        return (field + region_fill)[:, None, :, :, :]
+
+    kernel._region_broadcast = region_broadcast_jit
+
+
 class ShardedTransport3dKernel(_ShardedKernelInterface):
     """in-core solver kernel: a family of linear 3D IRF-transport tracer
     modules solved for their cyclostationary state over a latitude-sharded
@@ -499,40 +536,12 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
         self._comp_fcn = comp_fcn
         self._jvp = jvp0
 
-        self.state_sharding = NamedSharding(
-            mesh, P(None, None, None, "space", x_axis)
-        )
-        self._wet = jax.device_put(
-            jnp.asarray(wet, dtype),
-            NamedSharding(mesh, P(None, "space", x_axis)),
-        )
-
-        # region reductions over the 3D volume weights
         if region_mask is None:
             region_mask = mask
         grid_weight = dz[:, None, None] * np.asarray(circ["TAREA"])[None] * wet
-        (
-            self.region_cnt,
-            mean_w,
-            onehot,
-            region_fill,
-        ) = _region_reduction_arrays_3d(
-            mesh, region_mask, grid_weight, dtype, x_axis=x_axis
+        _wire_3d_solver_interface(
+            self, mesh, wet, region_mask, grid_weight, dtype, x_axis
         )
-
-        @jax.jit
-        def dot(a, b):
-            prod = jnp.sum(a * b, axis=1)  # tracer axis (reference P1)
-            return jnp.einsum("mzab,rzab->mr", prod, mean_w)
-
-        self._dot = dot
-
-        @jax.jit
-        def region_broadcast_jit(scalars):
-            field = jnp.einsum("mr,rzab->mzab", scalars, onehot)
-            return (field + region_fill)[:, None, :, :, :]
-
-        self._region_broadcast = region_broadcast_jit
 
         # column-local preconditioner: the vertical block of the reference's
         # (delta_t * M - I) matrix (vmix tridiagonal + the module's local
@@ -670,7 +679,6 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
         self.grid_shape = (nz, nlat, nlon)
         self.module_batch, self.t_dim = 1, 3
         wet = (mask > 0).astype(np.float64)
-        wet_h = wet.reshape(nz, nh)
         dz = np.asarray(circ["dz"], np.float64)
 
         coef = build_transport3d(
@@ -678,8 +686,12 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
             uet=circ.get("UET"), vnt=circ.get("VNT"), wtt=circ.get("WTT"),
             hdiff_e=circ.get("HDIFF_E"), hdiff_n=circ.get("HDIFF_N"),
         )
-        kv, dz_r = vmix_vertical_coeff(circ["VDC"], dz)
-        kv = mask_vmix_coeff(kv, mask)
+        if circ.get("VDC") is not None:
+            kv, dz_r = vmix_vertical_coeff(circ["VDC"], dz)
+            kv = mask_vmix_coeff(kv, mask)
+        else:
+            kv = jnp.zeros((nz - 1, nh))
+            dz_r = jnp.asarray(1.0 / (1.0e-2 * dz))
         dz_r_j = jnp.asarray(np.asarray(dz_r), dtype)
 
         light = light_lim_3d(dz, nlat, nlon) * wet
@@ -732,40 +744,12 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
             lambda x, v: jax.jvp(fcn, (x,), (v,))[1]
         )
 
-        self.state_sharding = NamedSharding(
-            mesh, P(None, None, None, "space", x_axis)
-        )
-        self._wet = jax.device_put(
-            jnp.asarray(wet, dtype),
-            NamedSharding(mesh, P(None, "space", x_axis)),
-        )
-
         if region_mask is None:
             region_mask = mask
-        self._region_mask_np = np.asarray(region_mask)
         grid_weight = dz[:, None, None] * np.asarray(circ["TAREA"])[None] * wet
-        (
-            self.region_cnt,
-            mean_w,
-            onehot,
-            region_fill,
-        ) = _region_reduction_arrays_3d(
-            mesh, region_mask, grid_weight, dtype, x_axis=x_axis
+        _wire_3d_solver_interface(
+            self, mesh, wet, region_mask, grid_weight, dtype, x_axis
         )
-
-        @jax.jit
-        def dot(a, b):
-            prod = jnp.sum(a * b, axis=1)
-            return jnp.einsum("mzab,rzab->mr", prod, mean_w)
-
-        self._dot = dot
-
-        @jax.jit
-        def region_broadcast_jit(scalars):
-            field = jnp.einsum("mr,rzab->mzab", scalars, onehot)
-            return (field + region_fill)[:, None, :, :, :]
-
-        self._region_broadcast = region_broadcast_jit
 
         # column-local banded (tracer-innermost, bandwidth 3) block of
         # (dt * J_col - I): vertical mixing (annual mean when seasonal) +
@@ -869,15 +853,4 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
     def apply_limiter(self, x, increment):
         """phosphorus tracers are bounded below by zero (the reference's
         lob: 0.0)"""
-        from ..utils.regions import comp_scalef_lob
-
-        x_np = self._clamp_lob_base(np.asarray(x)[0])
-        inc_np = np.asarray(increment)[0]
-        scalef = np.ones((1, self.region_cnt))
-        for t_ind in range(x_np.shape[0]):
-            comp = comp_scalef_lob(
-                self.region_cnt, self._region_mask_np, x_np[t_ind],
-                inc_np[t_ind], 0.0,
-            )
-            scalef[0] = np.minimum(scalef[0], comp)
-        return scalef
+        return self._apply_limiter_lob0(x, increment)

@@ -401,6 +401,23 @@ class _ShardedKernelInterface:
         self._comp_fcn = jax.jit(lambda y: self._year(y) - y)
         self._jvp = jax.jit(lambda v: self._year0(v) - v)
 
+    def _apply_limiter_lob0(self, x, increment):
+        """shared zero-lower-bound limiter: the largest per-(module,
+        region) scale factor keeping x + scalef * increment >= 0 across
+        every tracer (requires self._region_mask_np)"""
+        from ..utils.regions import comp_scalef_lob
+
+        x_np = self._clamp_lob_base(np.asarray(x)[0])
+        inc_np = np.asarray(increment)[0]
+        scalef = np.ones((1, self.region_cnt))
+        for t_ind in range(x_np.shape[0]):
+            comp = comp_scalef_lob(
+                self.region_cnt, self._region_mask_np, x_np[t_ind],
+                inc_np[t_ind], 0.0,
+            )
+            scalef[0] = np.minimum(scalef[0], comp)
+        return scalef
+
     def _clamp_lob_base(self, x_np, lob=0.0, tol=1.0e-5):
         """clamp ulp/tolerance-level undershoots of the lower bound out of
         a limiter base (unlimited post-Newton fixed-point updates can sit
@@ -1141,18 +1158,7 @@ class ShardedPhosphorusKernel(_ShardedKernelInterface):
         lob: 0.0); the per-region scale factor keeps x + scalef*increment
         non-negative, preventing the Michaelis-Menten singularity at
         po4 = -halfsat from ever entering a trial state"""
-        from ..utils.regions import comp_scalef_lob
-
-        x_np = self._clamp_lob_base(np.asarray(x)[0])
-        inc_np = np.asarray(increment)[0]
-        scalef = np.ones((1, self.region_cnt))
-        for t in range(x_np.shape[0]):
-            comp = comp_scalef_lob(
-                self.region_cnt, self._region_mask_np, x_np[t], inc_np[t],
-                0.0,
-            )
-            scalef[0] = np.minimum(scalef[0], comp)
-        return scalef
+        return self._apply_limiter_lob0(x, increment)
 
 
 

@@ -467,6 +467,32 @@ def main():
                 result["gmres_host_loop_seconds"] = round(host_s, 4)
                 result["gmres_jitted_seconds"] = round(jit_s, 4)
                 result["gmres_iterations"] = int(jit_its)
+
+                # the fused one-dispatch Newton solve (ops/newton_jit.py)
+                # vs the host-driven outer loop: every fn eval, Armijo
+                # trial, and convergence readback in the host path pays
+                # the dispatch floor; the fused path pays it once
+                host_nk = NewtonKrylovInCore(
+                    gkern, newton_rel_tol=1e-4, krylov_rel_tol=1e-2,
+                    newton_max_iter=10, jit_gmres=True,
+                )
+                fused_nk = NewtonKrylovInCore(
+                    gkern, newton_rel_tol=1e-4, krylov_rel_tol=1e-2,
+                    newton_max_iter=10, jit_newton=True,
+                )
+                xf, _, _ = fused_nk.solve(gx)  # compile
+                jax.block_until_ready(xf)
+                host_nk.solve(gx)  # warm
+                start = time.time()
+                _, _, info_h = host_nk.solve(gx)
+                host_solve_s = time.time() - start
+                start = time.time()
+                xf, _, info_f = fused_nk.solve(gx)
+                jax.block_until_ready(xf)
+                fused_solve_s = time.time() - start
+                result["newton_host_solve_seconds"] = round(host_solve_s, 4)
+                result["newton_fused_solve_seconds"] = round(fused_solve_s, 4)
+                result["newton_fused_iterations"] = int(info_f["iterations"])
             except Exception as exc:  # noqa: BLE001
                 result["gmres_bench_error"] = f"{type(exc).__name__}: {exc}"
 

@@ -54,6 +54,7 @@ class NewtonKrylovInCore:
         armijo_alpha=1e-4,
         armijo_max_ind=10,
         jit_gmres=False,
+        jit_newton=False,
     ):
         self.kernel = kernel
         self.newton_rel_tol = newton_rel_tol
@@ -78,6 +79,29 @@ class NewtonKrylovInCore:
             self._jit_gmres = JittedGMRES(
                 kernel, krylov_max_dim, krylov_rel_tol
             )
+        # jit_newton: fuse the ENTIRE solve -- Newton loop, limiter, Armijo
+        # backtracking, fixed-point updates, and the inner GMRES -- into one
+        # jitted program (ops/newton_jit.py), so a spin-up solve is a single
+        # device dispatch.  Iterates match the host-driven path to roundoff
+        # (tests/test_newton_jit.py).  The kernel's limiter must have a
+        # traced twin (limiter_scalef_jit) when it is non-trivial; absent
+        # that attribute the limiter is a no-op, matching the linear
+        # kernels' host apply_limiter.
+        self._jit_solve = None
+        if jit_newton:
+            from ..ops.newton_jit import build_newton_krylov
+
+            self._jit_solve = build_newton_krylov(
+                kernel,
+                newton_rel_tol=newton_rel_tol,
+                krylov_rel_tol=krylov_rel_tol,
+                newton_max_iter=newton_max_iter,
+                newton_min_iter=newton_min_iter,
+                krylov_max_dim=krylov_max_dim,
+                post_newton_fp_iter=post_newton_fp_iter,
+                armijo_alpha=armijo_alpha,
+                armijo_max_ind=armijo_max_ind,
+            )
 
     def solve(self, x0, checkpoint_dir=None):
         """run Newton to convergence; returns (x, fcn, info)
@@ -88,6 +112,14 @@ class NewtonKrylovInCore:
         """
         logger = logging.getLogger(__name__)
         kernel = self.kernel
+
+        if self._jit_solve is not None:
+            if checkpoint_dir is not None:
+                raise ValueError(
+                    "jit_newton fuses the whole solve into one device call; "
+                    "per-step checkpointing needs the host-driven path"
+                )
+            return self._solve_fused(x0)
 
         x = x0
         iteration = 0
@@ -146,6 +178,51 @@ class NewtonKrylovInCore:
             "fcn_norm": fcn_norm,
             "x_norm": x_norm,
             "stats": self.stats,
+        }
+        return x, fcn, info
+
+    def _solve_fused(self, x0):
+        """one-dispatch solve via ops/newton_jit.py; host work is limited
+        to unpacking stats and re-raising the host path's failure modes"""
+        logger = logging.getLogger(__name__)
+        x, fcn, dev_info = self._jit_solve(x0)
+        iterations = int(dev_info["iterations"])
+        fn_hist = np.asarray(dev_info["fcn_norm_hist"])
+        xn_hist = np.asarray(dev_info["x_norm_hist"])
+        armijo_ok = np.asarray(dev_info["armijo_ok"])[:iterations]
+        if not armijo_ok.all():
+            raise RuntimeError("Armijo_ind exceeds limit")
+        for it in range(iterations + 1):
+            self.stats.append(
+                {
+                    "iteration": it,
+                    "fcn_norm": fn_hist[it].copy(),
+                    "x_norm": xn_hist[it].copy(),
+                }
+            )
+            logger.info(
+                "newton iteration=%d max rel resid=%e",
+                it,
+                float(
+                    (fn_hist[it] / np.maximum(xn_hist[it], 1e-300)).max()
+                ),
+            )
+        if not np.asarray(dev_info["converged"]).all():
+            raise RuntimeError("number of maximum Newton iterations exceeded")
+        info = {
+            "iterations": iterations,
+            "fcn_norm": fn_hist[iterations],
+            "x_norm": xn_hist[iterations],
+            "stats": self.stats,
+            "krylov_iterations": np.asarray(
+                dev_info["krylov_iterations"]
+            )[:iterations],
+            "armijo_factor": np.asarray(
+                dev_info["armijo_factor"]
+            )[:iterations],
+            "limiter_scalef": np.asarray(
+                dev_info["limiter_scalef"]
+            )[:iterations],
         }
         return x, fcn, info
 

@@ -369,6 +369,8 @@ def _wire_3d_solver_interface(kernel, mesh, wet, region_mask, grid_weight,
     ) = _region_reduction_arrays_3d(
         mesh, region_mask, grid_weight, dtype, x_axis=x_axis
     )
+    kernel._onehot = onehot
+    kernel._region_fill = region_fill
 
     @jax.jit
     def dot(a, b):
@@ -854,3 +856,6 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
         """phosphorus tracers are bounded below by zero (the reference's
         lob: 0.0)"""
         return self._apply_limiter_lob0(x, increment)
+
+    def limiter_scalef_jit(self, x, increment):
+        return self._limiter_scalef_lob0_jit(x, increment)

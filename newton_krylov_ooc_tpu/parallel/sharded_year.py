@@ -381,6 +381,30 @@ class _ShardedKernelInterface:
     def apply_limiter(self, x, increment):
         return np.ones((self.module_batch, self.region_cnt))
 
+    def limiter_scalef_jit(self, x, increment):
+        """traced twin of apply_limiter for the fused solver
+        (ops/newton_jit.py); the base-interface limiter is a no-op"""
+        return jnp.ones((self.module_batch, self.region_cnt), self.dtype)
+
+    def _limiter_scalef_lob0_jit(self, x, increment, lob=0.0):
+        """traced twin of _apply_limiter_lob0: the largest per-(module,
+        region) scale factor keeping x + scalef * increment >= lob across
+        every tracer.  Sub-tolerance undershoots of the bound are clamped
+        out of the base like the host path, but a genuinely infeasible
+        state cannot raise inside jit -- the fused solver's Armijo/
+        convergence flags surface the resulting divergence instead."""
+        base = jnp.maximum(x, lob)
+        violation = base + increment < lob
+        denom = jnp.where(violation, increment, -jnp.ones_like(increment))
+        scalef_cell = jnp.where(violation, (lob - base) / denom, 1.0)
+        per_cell = jnp.min(scalef_cell, axis=1)       # (M, *spatial)
+        masked = jnp.where(
+            self._onehot[None] > 0, per_cell[:, None], jnp.inf
+        )                                             # (M, R, *spatial)
+        spatial_axes = tuple(range(2, masked.ndim))
+        scalef = jnp.min(masked, axis=spatial_axes)   # (M, R)
+        return jnp.minimum(scalef, 1.0).astype(self.dtype)
+
     def _finish_linear_family_setup(self, mesh, ypos, region_mask,
                                     grid_weight, tracer_diag_pc, t_dim):
         """shared wiring tail for LINEAR family kernels (self._year /
@@ -1160,6 +1184,9 @@ class ShardedPhosphorusKernel(_ShardedKernelInterface):
         po4 = -halfsat from ever entering a trial state"""
         return self._apply_limiter_lob0(x, increment)
 
+    def limiter_scalef_jit(self, x, increment):
+        return self._limiter_scalef_lob0_jit(x, increment)
+
 
 
 
@@ -1276,6 +1303,9 @@ class ShardedForcedFamilyKernel(_ShardedKernelInterface):
                 inc_np[b, 0], 0.0, out=scalef[b],
             )
         return scalef
+
+    def limiter_scalef_jit(self, x, increment):
+        return self._limiter_scalef_lob0_jit(x, increment)
 
 
 __all__ = [

@@ -495,6 +495,11 @@ int main(int argc, char **argv) {
         out.add_dim("rows_p1", nrows + 1);
         out.add_dim("nnz", data.size());
         out.add_dim("cells", ncells);
+        /* grid decomposition of the flat cell index (cell = k*nhoriz + h):
+         * lets the device solver regroup rows into vertical lines for the
+         * column-tridiagonal preconditioner without re-reading the grid */
+        out.add_dim("grid_nz", nz);
+        out.add_dim("grid_nhoriz", nhoriz);
         out.add_var("row_ptr", nc3::NC_DOUBLE, {"rows_p1"}).data = row_ptr;
         out.add_var("col_ind", nc3::NC_DOUBLE, {"nnz"}).data = col_ind;
         out.add_var("data", nc3::NC_DOUBLE, {"nnz"}).data = data;

@@ -5,10 +5,13 @@ program on an explicit nprow x npcol process grid
 (`/root/reference/nk_ooc/cime_pop/model_state.py:317-337`, grid sizing at
 `:439-450`).  Here the same systems solve on a JAX device mesh: the
 ELL-packed matrix rows shard over a 1-D mesh axis, each BiCGSTAB iteration
-all-gathers the (Jacobi-preconditioned) search direction over ICI — the
-analog of SuperLU_DIST's row exchange — and `psum` assembles the global dot
-products.  The whole iteration is one `lax.while_loop` under `shard_map`, so
-a solve is a single device dispatch regardless of iteration count.
+all-gathers the preconditioned search direction over ICI — the analog of
+SuperLU_DIST's row exchange — and `psum` assembles the global dot products.
+The whole iteration is one `lax.while_loop` under `shard_map`, so a solve is
+a single device dispatch regardless of iteration count.  Preconditioning is
+pointwise Jacobi, or — given the gen_A grid decomposition — the rows repack
+into vertical lines (whole lines per shard) and each iteration applies exact
+shard-local column-tridiagonal solves at zero added communication.
 
 Right-hand sides batch along a leading axis (one per tracer, as in the
 reference's `-v tracer_a,tracer_b` invocation); converged systems freeze via
@@ -26,7 +29,13 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.sparse import csr_to_ell, jacobi_inverse_diagonal, solve_csr_systems
+from ..ops.sparse import (
+    column_tridiag_from_csr,
+    csr_to_ell,
+    jacobi_inverse_diagonal,
+    solve_csr_systems,
+)
+from ..ops.tridiag import pcr_solve
 
 _AXIS = "rows"
 
@@ -55,6 +64,97 @@ def pad_ell_rows(vals, cols, n_shards):
     return vals_p, cols_p, rows
 
 
+def _local_bicgstab_loop(matvec, precond, rhs_l, rtol, max_iter):
+    """masked batched BiCGSTAB while-loop on shard-local data
+
+    matvec/precond map (n_rhs, rows_local) -> (n_rhs, rows_local); matvec
+    owns whatever collectives it needs, precond must be shard-local.
+    """
+    n_rhs = rhs_l.shape[0]
+
+    def dot(a, b):
+        return jax.lax.psum(jnp.sum(a * b, axis=1), _AXIS)
+
+    def resid_norm(r):
+        return jnp.sqrt(dot(r, r))
+
+    bnorm = resid_norm(rhs_l)
+    tol = rtol * bnorm
+
+    x0 = jnp.zeros_like(rhs_l)
+    ones = jnp.ones((n_rhs,), rhs_l.dtype)
+    # the residual norm is carried in the loop state so each iteration
+    # pays one cross-device reduction for it, not one in cond + one in
+    # body (XLA cannot CSE across the separate computations)
+    state0 = (
+        x0,
+        rhs_l,
+        rhs_l,
+        jnp.zeros_like(rhs_l),
+        jnp.zeros_like(rhs_l),
+        ones,
+        ones,
+        ones,
+        bnorm,
+        jnp.zeros((n_rhs,), jnp.bool_),
+        jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(state):
+        (*_rest, rnorm, broke, k) = state
+        return jnp.any((rnorm > tol) & ~broke) & (k < max_iter)
+
+    def safe_div(num, den):
+        ok = den != 0
+        return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0), ok
+
+    def body(state):
+        x, r, r_hat, p, v, rho, alpha, omega, rnorm, broke, k = state
+        active = (rnorm > tol) & ~broke
+        act = active[:, None]
+
+        rho_new = dot(r_hat, r)
+        beta, ok_b = safe_div(rho_new * alpha, rho * omega)
+        p_new = r + beta[:, None] * (p - omega[:, None] * v)
+        p_hat = precond(p_new)
+        v_new = matvec(p_hat)
+        denom = dot(r_hat, v_new)
+        alpha_new, ok_a = safe_div(rho_new, denom)
+        s = r - alpha_new[:, None] * v_new
+        s_hat = precond(s)
+        t = matvec(s_hat)
+        tt = dot(t, t)
+        omega_new, _ = safe_div(dot(t, s), tt)
+        x_new = x + alpha_new[:, None] * p_hat + omega_new[:, None] * s_hat
+        r_new = s - omega_new[:, None] * t
+        broke_new = broke | (
+            active & (~ok_b | ~ok_a | (omega_new == 0.0) | (rho_new == 0.0))
+        )
+
+        # freeze systems that are done (or broke) this iteration
+        x = jnp.where(act, x_new, x)
+        r = jnp.where(act, r_new, r)
+        p = jnp.where(act, p_new, p)
+        v = jnp.where(act, v_new, v)
+        rho = jnp.where(active, rho_new, rho)
+        alpha = jnp.where(active, alpha_new, alpha)
+        omega = jnp.where(active, omega_new, omega)
+        rnorm = jnp.where(active, resid_norm(r_new), rnorm)
+        return (x, r, r_hat, p, v, rho, alpha, omega, rnorm, broke_new,
+                k + 1)
+
+    state = jax.lax.while_loop(cond, body, state0)
+    x, rnorm = state[0], state[8]
+    return x, rnorm <= tol
+
+
+def _ell_matvec_gathered(vals_l, cols_l, x_l):
+    """shard-local rows x global vector: all-gather then contract -- the ICI
+    analog of the MPI row exchange"""
+    x_g = jax.lax.all_gather(x_l, _AXIS, axis=1, tiled=True)
+    return jnp.einsum("rk,brk->br", vals_l, x_g[:, cols_l])
+
+
 @partial(jax.jit, static_argnames=("mesh", "rtol", "max_iter"))
 def _sharded_bicgstab(mesh, vals, cols, d_inv, rhs, rtol, max_iter):
     """batched Jacobi-BiCGSTAB on row-sharded ELL data
@@ -64,88 +164,13 @@ def _sharded_bicgstab(mesh, vals, cols, d_inv, rhs, rtol, max_iter):
     """
 
     def local_solve(vals_l, cols_l, d_inv_l, rhs_l):
-        n_rhs = rhs_l.shape[0]
-
-        def dot(a, b):
-            return jax.lax.psum(jnp.sum(a * b, axis=1), _AXIS)
-
-        def matvec(x_l):
-            # gather the full vector: the ICI analog of the MPI row exchange
-            x_g = jax.lax.all_gather(x_l, _AXIS, axis=1, tiled=True)
-            return jnp.einsum("rk,brk->br", vals_l, x_g[:, cols_l])
-
-        def resid_norm(r):
-            return jnp.sqrt(dot(r, r))
-
-        bnorm = resid_norm(rhs_l)
-        tol = rtol * bnorm
-
-        x0 = jnp.zeros_like(rhs_l)
-        ones = jnp.ones((n_rhs,), rhs_l.dtype)
-        # the residual norm is carried in the loop state so each iteration
-        # pays one cross-device reduction for it, not one in cond + one in
-        # body (XLA cannot CSE across the separate computations)
-        state0 = (
-            x0,
+        return _local_bicgstab_loop(
+            lambda x_l: _ell_matvec_gathered(vals_l, cols_l, x_l),
+            lambda v: d_inv_l[None, :] * v,
             rhs_l,
-            rhs_l,
-            jnp.zeros_like(rhs_l),
-            jnp.zeros_like(rhs_l),
-            ones,
-            ones,
-            ones,
-            bnorm,
-            jnp.zeros((n_rhs,), jnp.bool_),
-            jnp.asarray(0, jnp.int32),
+            rtol,
+            max_iter,
         )
-
-        def cond(state):
-            (*_rest, rnorm, broke, k) = state
-            return jnp.any((rnorm > tol) & ~broke) & (k < max_iter)
-
-        def safe_div(num, den):
-            ok = den != 0
-            return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0), ok
-
-        def body(state):
-            x, r, r_hat, p, v, rho, alpha, omega, rnorm, broke, k = state
-            active = (rnorm > tol) & ~broke
-            act = active[:, None]
-
-            rho_new = dot(r_hat, r)
-            beta, ok_b = safe_div(rho_new * alpha, rho * omega)
-            p_new = r + beta[:, None] * (p - omega[:, None] * v)
-            p_hat = d_inv_l[None, :] * p_new
-            v_new = matvec(p_hat)
-            denom = dot(r_hat, v_new)
-            alpha_new, ok_a = safe_div(rho_new, denom)
-            s = r - alpha_new[:, None] * v_new
-            s_hat = d_inv_l[None, :] * s
-            t = matvec(s_hat)
-            tt = dot(t, t)
-            omega_new, _ = safe_div(dot(t, s), tt)
-            x_new = x + alpha_new[:, None] * p_hat + omega_new[:, None] * s_hat
-            r_new = s - omega_new[:, None] * t
-            broke_new = broke | (
-                active & (~ok_b | ~ok_a | (omega_new == 0.0) | (rho_new == 0.0))
-            )
-
-            # freeze systems that are done (or broke) this iteration
-            x = jnp.where(act, x_new, x)
-            r = jnp.where(act, r_new, r)
-            p = jnp.where(act, p_new, p)
-            v = jnp.where(act, v_new, v)
-            rho = jnp.where(active, rho_new, rho)
-            alpha = jnp.where(active, alpha_new, alpha)
-            omega = jnp.where(active, omega_new, omega)
-            rnorm = jnp.where(active, resid_norm(r_new), rnorm)
-            return (x, r, r_hat, p, v, rho, alpha, omega, rnorm, broke_new,
-                    k + 1)
-
-        state = jax.lax.while_loop(cond, body, state0)
-        x, rnorm = state[0], state[8]
-        converged = rnorm <= tol
-        return x, converged
 
     return shard_map(
         local_solve,
@@ -156,6 +181,82 @@ def _sharded_bicgstab(mesh, vals, cols, d_inv, rhs, rtol, max_iter):
     )(vals, cols, d_inv, rhs)
 
 
+@partial(jax.jit, static_argnames=("mesh", "rtol", "max_iter"))
+def _sharded_bicgstab_line(mesh, vals, cols, dl, d, du, rhs, rtol, max_iter):
+    """batched BiCGSTAB with exact vertical-line preconditioning
+
+    The system is in line-packed order (rows grouped into (line, level)
+    slots), so whole vertical lines live on one shard and the
+    column-tridiagonal preconditioner solve (PCR along the level axis) is
+    purely shard-local -- no collective beyond the matvec all-gather.
+    dl/d/du: (n_lines, nz) sharded on lines; vals/cols shard on (packed)
+    rows; rhs is (n_rhs, rows) sharded on axis 1.
+    """
+
+    def local_solve(vals_l, cols_l, dl_l, d_l, du_l, rhs_l):
+        nz = dl_l.shape[1]
+
+        def precond(v):
+            packed = v.reshape(v.shape[0], -1, nz)
+            return pcr_solve(
+                dl_l[None], d_l[None], du_l[None], packed
+            ).reshape(v.shape)
+
+        return _local_bicgstab_loop(
+            lambda x_l: _ell_matvec_gathered(vals_l, cols_l, x_l),
+            precond,
+            rhs_l,
+            rtol,
+            max_iter,
+        )
+
+    return shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(_AXIS), P(_AXIS), P(_AXIS), P(_AXIS), P(_AXIS),
+                  P(None, _AXIS)),
+        out_specs=(P(None, _AXIS), P(None)),
+        check_vma=False,
+    )(vals, cols, dl, d, du, rhs)
+
+
+def _line_pack_system(row_ptr, col_ind, data, rhs_np, row_to_cell, nhoriz,
+                      n_shards):
+    """permute a gen_A system into line-packed slot order (host-side numpy)
+
+    Slot s = line * nz + level; identity rows fill the slots of inactive
+    cells and whole identity lines pad n_lines to a multiple of n_shards, so
+    sharding the slot axis keeps every vertical line on one device.
+    Returns (vals_s, cols_s, dl, d, du, rhs_s, slot_of_row).
+    """
+    dl, d, du, slot_of_row = column_tridiag_from_csr(
+        row_ptr, col_ind, data, row_to_cell, nhoriz
+    )
+    n_lines, nz = dl.shape
+    n_lines_pad = -(-n_lines // n_shards) * n_shards
+    if n_lines_pad != n_lines:
+        pad = ((0, n_lines_pad - n_lines), (0, 0))
+        dl = np.pad(dl, pad)
+        du = np.pad(du, pad)
+        d = np.pad(d, pad, constant_values=1.0)
+    n_slots = n_lines_pad * nz
+
+    vals_e, cols_e = csr_to_ell(row_ptr, col_ind, data)
+    width = max(vals_e.shape[1], 1)
+    vals_s = np.zeros((n_slots, width))
+    cols_s = np.zeros((n_slots, width), np.int64)
+    vals_s[slot_of_row, : vals_e.shape[1]] = vals_e
+    cols_s[slot_of_row, : cols_e.shape[1]] = slot_of_row[cols_e]
+    pad_slot = np.ones(n_slots, bool)
+    pad_slot[slot_of_row] = False
+    vals_s[pad_slot, 0] = 1.0
+    cols_s[pad_slot, 0] = np.nonzero(pad_slot)[0]
+
+    rhs_s = np.zeros((rhs_np.shape[0], n_slots))
+    rhs_s[:, slot_of_row] = rhs_np
+    return vals_s, cols_s, dl, d, du, rhs_s, slot_of_row
+
+
 def solve_csr_systems_sharded(
     row_ptr,
     col_ind,
@@ -164,6 +265,8 @@ def solve_csr_systems_sharded(
     mesh=None,
     rtol=1.0e-12,
     max_iter=10000,
+    row_to_cell=None,
+    nhoriz=None,
 ):
     """solve A x_i = b_i over a device mesh (host entry)
 
@@ -171,17 +274,52 @@ def solve_csr_systems_sharded(
     shard over `mesh` (a 1-D Mesh; default: one axis over every visible
     device).  Falls back to the single-device solve when only one device is
     available.
+
+    With row_to_cell + nhoriz the rows repack into vertical lines (whole
+    lines per shard) and BiCGSTAB preconditions with exact shard-local
+    column-tridiagonal solves instead of pointwise Jacobi -- the same
+    upgrade as the unsharded path, at zero added communication.
     """
     if mesh is None:
         devices = jax.devices()
         if len(devices) == 1:
             return solve_csr_systems(
-                row_ptr, col_ind, data, rhs_batch, rtol=rtol, max_iter=max_iter
+                row_ptr, col_ind, data, rhs_batch, rtol=rtol,
+                max_iter=max_iter, row_to_cell=row_to_cell, nhoriz=nhoriz,
             )
         mesh = Mesh(np.asarray(devices), (_AXIS,))
     if len(mesh.axis_names) != 1:
         raise ValueError("solve_csr_systems_sharded needs a 1-D mesh")
     n_shards = mesh.devices.size
+
+    if row_to_cell is not None and nhoriz is not None:
+        rhs_np = np.asarray(rhs_batch, np.float64)
+        n_rows = len(row_ptr) - 1
+        if rhs_np.ndim != 2 or rhs_np.shape[1] != n_rows:
+            raise ValueError(
+                f"rhs_batch must be (n_rhs, {n_rows}); got {rhs_np.shape}"
+            )
+        vals_s, cols_s, dl, d, du, rhs_s, slot_of_row = _line_pack_system(
+            row_ptr, col_ind, data, rhs_np, row_to_cell, nhoriz, n_shards
+        )
+        mesh_ax = Mesh(mesh.devices, (_AXIS,))
+        logging.getLogger(__name__).info(
+            "sharded line-precond sparse solve: %d rows in %d slots x %d rhs "
+            "over %d devices",
+            n_rows, vals_s.shape[0], rhs_s.shape[0], n_shards,
+        )
+        x, ok = _sharded_bicgstab_line(
+            mesh_ax,
+            jnp.asarray(vals_s),
+            jnp.asarray(cols_s),
+            jnp.asarray(dl),
+            jnp.asarray(d),
+            jnp.asarray(du),
+            jnp.asarray(rhs_s),
+            float(rtol),
+            int(max_iter),
+        )
+        return np.asarray(x)[:, slot_of_row], np.asarray(ok)
 
     vals_np, cols_np = csr_to_ell(row_ptr, col_ind, data)
     vals_np, cols_np, n_rows = pad_ell_rows(vals_np, cols_np, n_shards)

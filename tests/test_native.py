@@ -558,3 +558,109 @@ def test_gen_a_pv_and_sink_file_options(tmp_path):
     expected[:nhoriz] -= delta_t * pv_field.reshape(-1) / dz[0]
     assert np.allclose(np.diag(a_dense), expected, rtol=1e-12)
     assert np.allclose(a_dense - np.diag(np.diag(a_dense)), 0.0)
+
+
+@needs_native
+def test_column_line_preconditioner(tmp_path):
+    """vertical-line (column tridiagonal) preconditioning: the extracted
+    lines match the dense matrix, the solve agrees with Jacobi-BiCGSTAB, and
+    on a vmix-stiff transport matrix it needs far fewer iterations"""
+    from newton_krylov_ooc_tpu.ops.sparse import (
+        column_tridiag_from_csr,
+        line_precond_apply,
+        solve_csr_systems,
+    )
+
+    nz, nlat, nlon = 6, 4, 5
+    nhoriz = nlat * nlon
+    rng = np.random.default_rng(23)
+    mask = np.ones((nz, nlat, nlon), np.int32)
+    mask[3:, 2, 1] = 0  # seamount: columns of unequal active depth
+    mask[:, 0, 3] = 0   # fully masked column
+    dz = rng.uniform(25.0e2, 50.0e2, nz)  # thin layers -> stiff vmix
+    tarea = rng.uniform(0.8e14, 1.2e14, (nlat, nlon))
+    uet = rng.normal(0.0, 1.0e12, (nz, nlat, nlon))
+    vnt = rng.normal(0.0, 1.0e12, (nz, nlat, nlon))
+    wtt = rng.normal(0.0, 1.0e11, (nz, nlat, nlon))
+    hde = rng.uniform(0.0, 1.0e12, (nz, nlat, nlon))
+    hdn = rng.uniform(0.0, 1.0e12, (nz, nlat, nlon))
+
+    reg_fname = tmp_path / "grid_vars.nc"
+    with NCFile(str(reg_fname), mode="w") as fptr:
+        fptr.create_dimensions_verify({"z_t": nz, "nlat": nlat, "nlon": nlon})
+        var = fptr.create_variable("region_mask", "i4", ("z_t", "nlat", "nlon"))
+        var[:] = mask
+
+    circ_fname = tmp_path / "irf.nc"
+    with NCFile(str(circ_fname), mode="w") as fptr:
+        fptr.create_dimensions_verify({"z_t": nz, "nlat": nlat, "nlon": nlon})
+        fptr.create_variable("dz", "f8", ("z_t",))[:] = dz
+        fptr.create_variable("TAREA", "f8", ("nlat", "nlon"))[:] = tarea
+        vdc = fptr.create_variable("VDC", "f8", ("z_t", "nlat", "nlon"))
+        vdc[:] = np.full((nz, nlat, nlon), 5.0e4)  # strong mixing
+        for name, vals in [("UET", uet), ("VNT", vnt), ("WTT", wtt),
+                           ("HDIFF_E", hde), ("HDIFF_N", hdn)]:
+            fptr.create_variable(name, "f8", ("z_t", "nlat", "nlon"))[:] = vals
+
+    opts = tmp_path / "matrix.opts"
+    opts.write_text(
+        "day_cnt 365\n"
+        f"reg_fname {reg_fname}\n"
+        f"circ_fname {circ_fname}\n"
+        "vmix_type file VDC\n"
+        "adv_type upwind3\n"
+        "hmix_type isop_file\n"
+        "sink_type const 1.0e-9\n"
+    )
+    matrix_fname = tmp_path / "matrix.nc"
+    subprocess.run([GEN_A, "-D1", "-o", str(opts), str(matrix_fname)],
+                   check=True)
+
+    with NCFile(str(matrix_fname)) as fptr:
+        # gen_A records the grid decomposition of the flat cell index
+        assert fptr.dimensions["grid_nz"] == nz
+        assert fptr.dimensions["grid_nhoriz"] == nhoriz
+        row_ptr = fptr.var("row_ptr")[:].astype(np.int64)
+        col_ind = fptr.var("col_ind")[:].astype(np.int64)
+        data = fptr.var("data")[:]
+        row_to_cell = fptr.var("row_to_cell")[:].astype(np.int64)
+    n = len(row_ptr) - 1
+    a_dense = np.zeros((n, n))
+    for r in range(n):
+        for p in range(int(row_ptr[r]), int(row_ptr[r + 1])):
+            a_dense[r, int(col_ind[p])] = data[p]
+
+    # the extracted lines reproduce exactly the diagonal + vertical-neighbor
+    # entries of the matrix: applying the preconditioner to (line part) @ x
+    # returns x
+    dl, d, du, slot = column_tridiag_from_csr(
+        row_ptr, col_ind, data, row_to_cell, nhoriz
+    )
+    line_dense = np.zeros((n, n))
+    k_of_row = row_to_cell // nhoriz
+    h_of_row = row_to_cell % nhoriz
+    for r in range(n):
+        for c in range(n):
+            if h_of_row[c] == h_of_row[r] and abs(k_of_row[c] - k_of_row[r]) <= 1:
+                line_dense[r, c] = a_dense[r, c]
+    x_ref = rng.normal(size=n)
+    applied = np.asarray(
+        line_precond_apply(dl, d, du, slot, line_dense @ x_ref)
+    )
+    assert np.allclose(applied, x_ref, rtol=1e-10, atol=1e-12)
+
+    # both preconditioners reach the same answer; the line solve in far
+    # fewer iterations on this vmix-stiff matrix
+    rhs = rng.normal(size=(2, n))
+    expected = np.linalg.solve(a_dense, rhs.T).T
+    x_j, ok_j, it_j = solve_csr_systems(
+        row_ptr, col_ind, data, rhs, return_iters=True
+    )
+    x_l, ok_l, it_l = solve_csr_systems(
+        row_ptr, col_ind, data, rhs, row_to_cell=row_to_cell, nhoriz=nhoriz,
+        return_iters=True,
+    )
+    assert ok_j.all() and ok_l.all()
+    assert np.allclose(x_j, expected, rtol=1e-7, atol=1e-10)
+    assert np.allclose(x_l, expected, rtol=1e-7, atol=1e-10)
+    assert it_l.max() * 2 <= it_j.max(), (it_l, it_j)

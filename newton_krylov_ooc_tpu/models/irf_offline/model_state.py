@@ -41,6 +41,7 @@ from ...ops.transport3d import (
     mask_vmix_coeff,
     mean_transport_coef,
     transport_tend,
+    transport_tridiag_bands,
     vmix_vertical_coeff,
 )
 from ...utils.helpers import class_name, strtobool
@@ -427,11 +428,15 @@ def _precond_solve(rhs, coef, kv, dz_r, diag, couple, wet_surf, shape):
     """solve (delta_t * M - I) z = r for each tracer (batched over the
     leading axis); returns (z, converged_flags)
 
-    BiCGSTAB preconditioned by the EXACT inverse of the vertical block
-    (delta_t * V - I), V the per-column vmix + local-rate tridiagonal --
-    a PCR solve, so the stiff direction (vmix rates up to delta_t*kappa/dz^2
-    ~ 1e5) is removed from the Krylov iteration and only the O(delta_t *
-    lateral rate) advection/diffusion part remains for it to damp.
+    BiCGSTAB preconditioned by the EXACT inverse of the vertical-line block
+    of delta_t * M - I: per-column vmix + local-rate tridiagonal PLUS the
+    same-column tridiagonal part of the transport stencil (the full operator
+    diagonal and the vertical-advection couplings,
+    ops.transport3d.transport_tridiag_bands) -- a PCR solve, so both the
+    stiff direction (vmix rates up to delta_t*kappa/dz^2 ~ 1e5) and the
+    O(delta_t * rate ~ 10) diagonal mass of the lateral transport are
+    removed from the Krylov iteration, which only has to damp the strictly
+    lateral couplings.
 
     couple (tracer_cnt, tracer_cnt) surface gas-exchange coupling, or None:
     when present the tracers form ONE linear system (solved jointly, same
@@ -441,14 +446,19 @@ def _precond_solve(rhs, coef, kv, dz_r, diag, couple, wet_surf, shape):
     nh = nlat * nlon
     delta_t = SEC_PER_YEAR
 
-    # vertical-block bands of delta_t * V - I, (nz, nh) for pcr_solve
+    # vertical-line bands of delta_t * (V + tridiag(T)) - I, (nz, nh) for
+    # pcr_solve
     up = kv * dz_r[:-1, None]
     lo = kv * dz_r[1:, None]
     pad = jnp.zeros((1, nh), kv.dtype)
-    du = delta_t * jnp.concatenate([up, pad], axis=0)
-    dl = delta_t * jnp.concatenate([pad, lo], axis=0)
+    lo_t, diag_t, up_t = (
+        b.reshape(nz, nh) for b in transport_tridiag_bands(coef)
+    )
+    du = delta_t * (jnp.concatenate([up, pad], axis=0) + up_t)
+    dl = delta_t * (jnp.concatenate([pad, lo], axis=0) + lo_t)
     dmain = delta_t * (-(jnp.concatenate([up, pad], axis=0)
-                         + jnp.concatenate([pad, lo], axis=0)) + diag) - 1.0
+                         + jnp.concatenate([pad, lo], axis=0))
+                       + diag_t + diag) - 1.0
 
     def vert_solve(v3):
         """per-tracer vertical-block inverse; v3 (tracer_cnt, nz, nh)"""

@@ -329,6 +329,94 @@ def transport_tend(coef, y):
     return flux_div * coef["recip_vol"]
 
 
+def _face_derivs(trans, sel3p, sel3n, upwind3):
+    """per-face partial derivatives of _face_value wrt its four cell values
+
+    returns (d_up, d_dn, d_uu, d_dd), each the face-field shape; the where()
+    on the transport sign mirrors _face_value exactly.
+    """
+    if not upwind3:
+        half = 0.5 * jnp.ones_like(trans)
+        zero = jnp.zeros_like(trans)
+        return half, half, zero, zero
+    pos = trans > 0.0
+    d_up = jnp.where(pos, sel3p * (5.0 * _SIXTH) + (1.0 - sel3p),
+                     sel3n * (2.0 * _SIXTH))
+    d_dn = jnp.where(pos, sel3p * (2.0 * _SIXTH),
+                     sel3n * (5.0 * _SIXTH) + (1.0 - sel3n))
+    d_uu = jnp.where(pos, -sel3p * _SIXTH, 0.0)
+    d_dd = jnp.where(pos, 0.0, -sel3n * _SIXTH)
+    return d_up, d_dn, d_uu, d_dd
+
+
+def transport_tridiag_bands(coef):
+    """exact same-column tridiagonal part of the transport_tend operator
+
+    returns (lo, diag, up), each (..., nz, nlat, nlon) in tendency units
+    [1/s]: diag[k] = d tend[k] / d y[k] (every direction's diagonal
+    contribution, advective and diffusive), lo[k] = d tend[k] / d y[k-1]
+    and up[k] = d tend[k] / d y[k+1] (the vertical-advection couplings,
+    including the upwind3 far-cell terms that land on adjacent levels).
+
+    This is the transport contribution to a vertical-line (column
+    tridiagonal) preconditioner: together with the implicit vertical-mixing
+    bands it captures everything stiff plus the full diagonal of dt*M - I,
+    leaving only the strictly lateral couplings to the Krylov iteration --
+    the same line-relaxation upgrade the gen_A device solver applies
+    (ops/sparse.column_tridiag_from_csr).  coef must be a STEADY pytree
+    (sample or mean a seasonal one first).
+    """
+    up3 = "sel3p_e" in coef
+    zeros = jnp.zeros_like(coef["wet"])
+    diag = zeros
+    lo = zeros
+    up = zeros
+
+    if coef.get("t_e") is not None or coef.get("cond_e") is not None:
+        flux_dup = jnp.zeros_like(zeros)
+        flux_ddn = jnp.zeros_like(zeros)
+        if coef.get("t_e") is not None:
+            d_up, d_dn, _uu, _dd = _face_derivs(
+                coef["t_e"], coef.get("sel3p_e"), coef.get("sel3n_e"), up3
+            )
+            flux_dup = coef["t_e"] * d_up
+            flux_ddn = coef["t_e"] * d_dn
+        if coef.get("cond_e") is not None:
+            flux_dup = flux_dup + coef["cond_e"]
+            flux_ddn = flux_ddn - coef["cond_e"]
+        # east face of c: y[c] is y_up; west face (= east face of c-1,
+        # periodic): y[c] is y_dn
+        diag = diag + jnp.roll(flux_ddn, 1, axis=-1) - flux_dup
+
+    if coef.get("t_n") is not None or coef.get("cond_n") is not None:
+        flux_dup = jnp.zeros_like(zeros)
+        flux_ddn = jnp.zeros_like(zeros)
+        if coef.get("t_n") is not None:
+            d_up, d_dn, _uu, _dd = _face_derivs(
+                coef["t_n"], coef.get("sel3p_n"), coef.get("sel3n_n"), up3
+            )
+            flux_dup = coef["t_n"] * d_up
+            flux_ddn = coef["t_n"] * d_dn
+        if coef.get("cond_n") is not None:
+            flux_dup = flux_dup + coef["cond_n"]
+            flux_ddn = flux_ddn - coef["cond_n"]
+        diag = diag + _shift(flux_ddn, -1, -2) - flux_dup
+
+    if coef.get("t_t") is not None:
+        # face k couples y_up=y[k], y_dn=y[k-1], y_uu=y[k+1], y_dd=y[k-2];
+        # tend[k] gets +flux[k+1] - flux[k]
+        d_up, d_dn, d_uu, d_dd = _face_derivs(
+            coef["t_t"], coef.get("sel3p_t"), coef.get("sel3n_t"), up3
+        )
+        t = coef["t_t"]
+        diag = diag + _shift(t * d_dn, 1, -3) - t * d_up
+        lo = lo + _shift(t * d_dd, 1, -3) - t * d_dn
+        up = up + _shift(t * d_up, 1, -3) - t * d_uu
+
+    rv = coef["recip_vol"]
+    return lo * rv, diag * rv, up * rv
+
+
 def vmix_vertical_coeff(vdc, dz):
     """vertical-mixing coupling for the implicit (Crank-Nicolson) solve
 

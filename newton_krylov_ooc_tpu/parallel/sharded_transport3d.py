@@ -47,7 +47,9 @@ from ..ops.transport3d import (
     interp_month,
     interp_transport_coef,
     mask_vmix_coeff,
+    mean_transport_coef,
     transport_tend,
+    transport_tridiag_bands,
     vmix_vertical_coeff,
 )
 from ..ops.tridiag import pcr_solve
@@ -545,12 +547,14 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
             self, mesh, wet, region_mask, grid_weight, dtype, x_axis
         )
 
-        # column-local preconditioner: the vertical block of the reference's
-        # (delta_t * M - I) matrix (vmix tridiagonal + the module's local
-        # linear rates), solved exactly by PCR along depth.  Bands are
-        # state-independent, so they are "factored" once here.
+        # column-local preconditioner: the vertical-line block of the
+        # reference's (delta_t * M - I) matrix (vmix tridiagonal + the
+        # module's local linear rates + the same-column tridiagonal part of
+        # the transport stencil, transport_tridiag_bands), solved exactly by
+        # PCR along depth.  Bands are state-independent, so they are
+        # "factored" once here.
         delta_t = t_span[1] - t_span[0]
-        # seasonal vertical mixing contributes its annual mean to the
+        # a seasonal circulation contributes its annual mean to the
         # (approximate-inverse) preconditioner bands
         kv_np = np.asarray(kv, np.float64)
         if kv_np.ndim == 3:
@@ -559,13 +563,18 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
         up = kv_np * dz_r_np[:-1, None]          # coupling to k+1, (nz-1, nh)
         lo = kv_np * dz_r_np[1:, None]           # coupling to k-1
         pad = np.zeros((1, nh))
-        du_b = delta_t * np.concatenate([up, pad], axis=0)   # (nz, nh)
-        dl_b = delta_t * np.concatenate([pad, lo], axis=0)
+        lo_t, diag_t, up_t = (
+            np.asarray(b, np.float64).reshape(nz, nh)
+            for b in transport_tridiag_bands(mean_transport_coef(coef))
+        )
+        du_b = delta_t * (np.concatenate([up, pad], axis=0) + up_t)  # (nz, nh)
+        dl_b = delta_t * (np.concatenate([pad, lo], axis=0) + lo_t)
         dmain = (
             delta_t
             * (
                 -(np.concatenate([up, pad], axis=0)
                   + np.concatenate([pad, lo], axis=0))
+                + diag_t
                 + diag
             )
             - 1.0
@@ -755,12 +764,17 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
 
         # column-local banded (tracer-innermost, bandwidth 3) block of
         # (dt * J_col - I): vertical mixing (annual mean when seasonal) +
+        # the same-column tridiagonal part of the transport stencil +
         # linearized uptake/remin + masked sinking, LU-refactored from the
         # current iterate once per Newton solve
         kv_np = np.asarray(kv, np.float64)
         if kv_np.ndim == 3:
             kv_np = kv_np.mean(axis=0)
         kv_j = jnp.asarray(kv_np, dtype)                 # (nz-1, nh)
+        lot_j, diagt_j, upt_j = (
+            jnp.asarray(np.asarray(b, np.float64).reshape(nz, nh), dtype)
+            for b in transport_tridiag_bands(mean_transport_coef(coef))
+        )
         light_j = jnp.asarray(light.reshape(nz, nh), dtype)
         open_j = jnp.asarray(sink_open.reshape(nz - 1, nh), dtype)
         dt_year = float(t_span[1] - t_span[0])
@@ -788,9 +802,11 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
             lo = jnp.concatenate([zero_row, kv_j * dz_r_j[1:, None]], 0)
             up_rows = up[z_of, :].T                      # (nh, n3)
             lo_rows = lo[z_of, :].T
-            bands = bands.at[:, :, 6].add(up_rows)
-            bands = bands.at[:, :, 0].add(lo_rows)
-            bands = bands.at[:, :, 3].add(-(up_rows + lo_rows))
+            bands = bands.at[:, :, 6].add(up_rows + upt_j[z_of, :].T)
+            bands = bands.at[:, :, 0].add(lo_rows + lot_j[z_of, :].T)
+            bands = bands.at[:, :, 3].add(
+                -(up_rows + lo_rows) + diagt_j[z_of, :].T
+            )
 
             u1_cols = u1.T                               # (nh, nz)
             bands = bands.at[:, po4_rows, 3].add(-u1_cols)
@@ -815,6 +831,10 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
             mat = mat.at[:, :, 3].add(-1.0)              # the -I block
             return lu_blocks(mat)
 
+        w_cons = jnp.asarray(grid_weight, dtype)
+        wet_cons = jnp.asarray(wet, dtype)
+        s_w = 3.0 * float(grid_weight.sum())
+
         @jax.jit
         def precond_apply(lu, r):
             from ..ops.banded import banded_lu_solve_blocks as solve_blocks
@@ -825,7 +845,17 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
             ).reshape(nh, n3)
             sol = solve_blocks(lu, cols)
             sol = jnp.transpose(sol.reshape(nh, nz, 3), (2, 1, 0))
-            return sol.reshape(r.shape)
+            sol = sol.reshape(r.shape)
+            # rank-1 conservation projection: the exact vertical-line block M
+            # of dt*K - I satisfies w^T M = -w^T only in its vmix/rate part --
+            # the same-column restriction of the transport stencil leaks
+            # total-P weight (w^T T = 0 holds for the FULL stencil, not its
+            # tridiagonal part).  Enforce w^T z = -w^T r so Newton iterates
+            # stay on the initial total-P manifold, as the unaugmented
+            # preconditioner did by construction.
+            s_z = jnp.sum(w_cons * jnp.sum(sol[0], axis=0))
+            s_r = jnp.sum(w_cons * jnp.sum(r[0], axis=0))
+            return sol + ((-s_r - s_z) / s_w) * wet_cons
 
         self._precond_factor = precond_factor
         self._precond_apply = precond_apply

@@ -75,6 +75,47 @@ def test_stencil_matches_assembly_spec(circulation, adv_type):
     assert abs(total) < 1e-12 * flux_scale
 
 
+@pytest.mark.parametrize("adv_type", ["upwind3", "centered"])
+def test_tridiag_bands_match_assembly_spec(circulation, adv_type):
+    """transport_tridiag_bands extracts exactly the diagonal and
+    vertical-neighbor entries of the assembled transport matrix"""
+    from newton_krylov_ooc_tpu.ops.transport3d import transport_tridiag_bands
+
+    c = circulation
+    jac_ref, row_to_cell = _assemble_transport_reference(
+        c["mask"], c["dz"], c["tarea"], c["uet"], c["vnt"], c["wtt"],
+        c["hde"], c["hdn"], DELTA_T, upwind3=(adv_type == "upwind3"),
+    )
+    coef = build_transport3d(
+        c["mask"], c["dz"], c["tarea"], c["uet"], c["vnt"], c["wtt"],
+        c["hde"], c["hdn"], adv_type=adv_type,
+    )
+    lo, diag, up = (np.asarray(b).reshape(-1)
+                    for b in transport_tridiag_bands(coef))
+
+    nhoriz = NLAT * NLON
+    cell_to_row = -np.ones(NZ * nhoriz, np.int64)
+    cell_to_row[row_to_cell] = np.arange(len(row_to_cell))
+    scale = np.abs(jac_ref).max() / DELTA_T
+    for r, cell in enumerate(row_to_cell):
+        np.testing.assert_allclose(
+            diag[cell], jac_ref[r, r] / DELTA_T, rtol=0.0,
+            atol=1e-13 * scale,
+        )
+        for band, off in ((lo, -nhoriz), (up, nhoriz)):
+            cell2 = cell + off
+            r2 = cell_to_row[cell2] if 0 <= cell2 < NZ * nhoriz else -1
+            expected = jac_ref[r, r2] / DELTA_T if r2 >= 0 else 0.0
+            np.testing.assert_allclose(
+                band[cell], expected, rtol=0.0, atol=1e-13 * scale
+            )
+    # land rows carry no bands
+    land = (c["mask"] <= 0).reshape(-1)
+    assert (diag[land] == 0.0).all()
+    assert (lo[land] == 0.0).all()
+    assert (up[land] == 0.0).all()
+
+
 def test_stencil_batches_over_leading_axes(circulation):
     c = circulation
     coef = build_transport3d(

@@ -492,6 +492,9 @@ def main():
                 fused_solve_s = time.time() - start
                 result["newton_host_solve_seconds"] = round(host_solve_s, 4)
                 result["newton_fused_solve_seconds"] = round(fused_solve_s, 4)
+                # both iteration counts recorded so the timing comparison is
+                # verifiably like-for-like
+                result["newton_host_iterations"] = int(info_h["iterations"])
                 result["newton_fused_iterations"] = int(info_f["iterations"])
             except Exception as exc:  # noqa: BLE001
                 result["gmres_bench_error"] = f"{type(exc).__name__}: {exc}"

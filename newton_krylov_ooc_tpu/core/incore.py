@@ -190,9 +190,12 @@ class NewtonKrylovInCore:
         fn_hist = np.asarray(dev_info["fcn_norm_hist"])
         xn_hist = np.asarray(dev_info["x_norm_hist"])
         armijo_ok = np.asarray(dev_info["armijo_ok"])[:iterations]
-        if not armijo_ok.all():
-            raise RuntimeError("Armijo_ind exceeds limit")
-        for it in range(iterations + 1):
+        # on Armijo failure at step k the device program (which cannot
+        # raise) keeps iterating; record stats only for iterates the host
+        # path would have reached (0..k), then fail the same way it does
+        armijo_failed = not armijo_ok.all()
+        n_good = int(np.argmax(~armijo_ok)) if armijo_failed else iterations
+        for it in range(n_good + 1):
             self.stats.append(
                 {
                     "iteration": it,
@@ -207,6 +210,8 @@ class NewtonKrylovInCore:
                     (fn_hist[it] / np.maximum(xn_hist[it], 1e-300)).max()
                 ),
             )
+        if armijo_failed:
+            raise RuntimeError("Armijo_ind exceeds limit")
         if not np.asarray(dev_info["converged"]).all():
             raise RuntimeError("number of maximum Newton iterations exceeded")
         info = {

@@ -373,8 +373,8 @@ def transport_tridiag_bands(coef):
     up = zeros
 
     if coef.get("t_e") is not None or coef.get("cond_e") is not None:
-        flux_dup = jnp.zeros_like(zeros)
-        flux_ddn = jnp.zeros_like(zeros)
+        flux_dup = zeros
+        flux_ddn = zeros
         if coef.get("t_e") is not None:
             d_up, d_dn, _uu, _dd = _face_derivs(
                 coef["t_e"], coef.get("sel3p_e"), coef.get("sel3n_e"), up3
@@ -389,8 +389,8 @@ def transport_tridiag_bands(coef):
         diag = diag + jnp.roll(flux_ddn, 1, axis=-1) - flux_dup
 
     if coef.get("t_n") is not None or coef.get("cond_n") is not None:
-        flux_dup = jnp.zeros_like(zeros)
-        flux_ddn = jnp.zeros_like(zeros)
+        flux_dup = zeros
+        flux_ddn = zeros
         if coef.get("t_n") is not None:
             d_up, d_dn, _uu, _dd = _face_derivs(
                 coef["t_n"], coef.get("sel3p_n"), coef.get("sel3n_n"), up3

@@ -372,7 +372,6 @@ def _wire_3d_solver_interface(kernel, mesh, wet, region_mask, grid_weight,
         mesh, region_mask, grid_weight, dtype, x_axis=x_axis
     )
     kernel._onehot = onehot
-    kernel._region_fill = region_fill
 
     @jax.jit
     def dot(a, b):

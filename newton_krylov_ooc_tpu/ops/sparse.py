@@ -38,10 +38,11 @@ def csr_to_ell(row_ptr, col_ind, data, n_cols=None):
     width = int(per_row.max()) if rows else 0
     vals = np.zeros((rows, width), np.float64)
     cols = np.zeros((rows, width), np.int64)
-    for r in range(rows):
-        k = per_row[r]
-        vals[r, :k] = data[row_ptr[r] : row_ptr[r + 1]]
-        cols[r, :k] = col_ind[row_ptr[r] : row_ptr[r + 1]]
+    # vectorized scatter: position (r, j) holds the j-th entry of row r; the
+    # boolean mask enumerates exactly the CSR entries in storage order
+    in_row = np.arange(width)[None, :] < per_row[:, None]
+    vals[in_row] = data
+    cols[in_row] = col_ind
     return vals, cols
 
 

@@ -587,6 +587,27 @@ def main():
                 if ok_j.all():
                     rel = np.abs(x_l - x_j).max() / np.abs(x_j).max()
                     result["precond_gx3_line_vs_jacobi_rel"] = float(rel)
+                # mixed precision: f32 inner BiCGSTAB (the fast TPU
+                # arithmetic) in an f64 iterative-refinement loop
+                x_m, ok_m, it_m = solve_csr_systems(
+                    row_ptr, col_ind, mat_data, rhs_p,
+                    row_to_cell=row_to_cell, nhoriz=p_nhoriz,
+                    mixed_precision=True, return_iters=True,
+                )
+                start = time.time()
+                x_m, ok_m, it_m = solve_csr_systems(
+                    row_ptr, col_ind, mat_data, rhs_p,
+                    row_to_cell=row_to_cell, nhoriz=p_nhoriz,
+                    mixed_precision=True, return_iters=True,
+                )
+                result["precond_gx3_mixed_solve_seconds"] = round(
+                    time.time() - start, 3
+                )
+                result["precond_gx3_mixed_inner_iters"] = int(it_m.max())
+                result["precond_gx3_mixed_converged"] = bool(ok_m.all())
+                result["precond_gx3_mixed_vs_f64_rel"] = float(
+                    np.abs(x_m - x_l).max() / np.abs(x_l).max()
+                )
             except Exception as exc:  # noqa: BLE001
                 result["precond_bench_error"] = f"{type(exc).__name__}: {exc}"
 

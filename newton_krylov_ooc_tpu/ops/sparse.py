@@ -231,6 +231,19 @@ def solve_csr_systems(row_ptr, col_ind, data, rhs_batch, rtol=1.0e-12,
     Classic mixed-precision IR; reaches the same 1e-12 accuracy as the pure
     float64 solve.
     """
+    if jax.dtypes.canonicalize_dtype(np.float64) != np.float64:
+        # without x64 every array below silently truncates to float32; the
+        # BiCGSTAB recurrence residual then under-reports the true error
+        # (~1e-6 actual at a 1e-12 "converged" tolerance), and the mixed
+        # refinement loop stalls at the f32 floor
+        import warnings
+
+        warnings.warn(
+            "solve_csr_systems: jax_enable_x64 is off, so this float64 "
+            "solve will actually run in float32 and converge only to "
+            "~1e-6 true relative error; enable x64 for full accuracy",
+            stacklevel=2,
+        )
     vals_np, cols_np = csr_to_ell(row_ptr, col_ind, data)
     vals = jnp.asarray(vals_np)
     cols = jnp.asarray(cols_np)
@@ -307,12 +320,11 @@ def _solve_ell_batch_line_mixed(vals64, cols, rhs, vals32, dl, d, du, slot,
             return line_precond_apply(dl, d, du, slot, v)
 
         def cond(state):
-            _x, rnorm, rounds, _inner, stalled = state
+            _x, _r, rnorm, rounds, _inner, stalled = state
             return (rnorm > tol) & (rounds < 12) & ~stalled
 
         def body(state):
-            x, rnorm, rounds, inner, _ = state
-            r = b - ell_matvec(vals64, cols, x)
+            x, r, rnorm, rounds, inner, _ = state
             # normalize the correction system so the f32 inner solve works
             # at unit scale (no under/overflow as the residual shrinks)
             scale = jnp.where(rnorm > 0, rnorm, 1.0)
@@ -324,21 +336,24 @@ def _solve_ell_batch_line_mixed(vals64, cols, rhs, vals32, dl, d, du, slot,
                 max_iter=max_iter,
             )
             x = x + scale * dx32.astype(jnp.float64)
+            # the carried residual costs ONE f64 matvec per round -- the
+            # software-emulated-on-TPU operation this mode exists to avoid
             r_new = b - ell_matvec(vals64, cols, x)
             rn = jnp.sqrt(r_new @ r_new)
             # a round that fails to contract the f64 residual means the f32
             # solve has hit its floor -- bail instead of looping
             stalled = rn >= 0.5 * rnorm
-            return (x, rn, rounds + 1, inner + k, stalled)
+            return (x, r_new, rn, rounds + 1, inner + k, stalled)
 
         state0 = (
             jnp.zeros_like(b),
+            b,
             bnorm,
             jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(False),
         )
-        x, rnorm, _rounds, inner, _stalled = jax.lax.while_loop(
+        x, _r, rnorm, _rounds, inner, _stalled = jax.lax.while_loop(
             cond, body, state0
         )
         return x, rnorm <= tol, inner

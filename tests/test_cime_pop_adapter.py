@@ -158,6 +158,10 @@ def mock_case(tmp_path):
             # precond_solver_mode=device path
             f.create_dimension('rows_p1', n + 1)
             f.create_dimension('nnz', n)
+            # recorded grid decomposition (newer gen_A output); enables the
+            # vertical-line precond and the device_mixed solver mode
+            f.create_dimension('grid_nz', NZ)
+            f.create_dimension('grid_nhoriz', NLAT * NLON)
             f.create_variable('row_ptr', 'f8', ('rows_p1',))[:] = np.arange(n + 1.0)
             f.create_variable('col_ind', 'f8', ('nnz',))[:] = np.arange(float(n))
             f.create_variable('data', 'f8', ('nnz',))[:] = np.full(n, DECAY - 1.0)
@@ -282,15 +286,16 @@ def _build_config(tmp_path, mock_case):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "precond_mode", ["native", "device", "device_sharded"]
+    "precond_mode", ["native", "device", "device_sharded", "device_mixed"]
 )
 def test_mock_cime_pop_solve(tmp_path, mock_case, monkeypatch, precond_mode):
     """full Newton solve of the mock external model through the adapter
 
     the fixed point of y -> DECAY*y + FORCING is FORCING/(1-DECAY) = 4.0;
     runs with the external (mock) solve_ABdist tool, with the on-device
-    sparse solve (precond_solver_mode=device), and with the row-sharded
-    mesh solve (precond_solver_mode=device_sharded)
+    sparse solve (precond_solver_mode=device), with the row-sharded
+    mesh solve (precond_solver_mode=device_sharded), and with the
+    f32-inner/f64-refinement solve (precond_solver_mode=device_mixed)
     """
     from newton_krylov_ooc_tpu.models.cime_pop.model_state import ModelState
 

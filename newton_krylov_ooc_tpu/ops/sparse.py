@@ -24,6 +24,25 @@ import numpy as np
 from .tridiag import pcr_solve
 
 
+def warn_if_x64_off(caller):
+    """warn when a float64 solve would silently truncate to float32
+
+    without x64 every float64 array request truncates to float32; the
+    BiCGSTAB recurrence residual then under-reports the true error (~1e-6
+    actual at a 1e-12 "converged" tolerance), and the mixed-precision
+    refinement loop stalls at the f32 floor.
+    """
+    if jax.dtypes.canonicalize_dtype(np.float64) != np.float64:
+        import warnings
+
+        warnings.warn(
+            f"{caller}: jax_enable_x64 is off, so this float64 solve will "
+            "actually run in float32 and converge only to ~1e-6 true "
+            "relative error; enable x64 for full accuracy",
+            stacklevel=3,
+        )
+
+
 def csr_to_ell(row_ptr, col_ind, data, n_cols=None):
     """pad CSR to ELL: (vals, cols) of shape (rows, max_nnz_per_row)
 
@@ -231,19 +250,7 @@ def solve_csr_systems(row_ptr, col_ind, data, rhs_batch, rtol=1.0e-12,
     Classic mixed-precision IR; reaches the same 1e-12 accuracy as the pure
     float64 solve.
     """
-    if jax.dtypes.canonicalize_dtype(np.float64) != np.float64:
-        # without x64 every array below silently truncates to float32; the
-        # BiCGSTAB recurrence residual then under-reports the true error
-        # (~1e-6 actual at a 1e-12 "converged" tolerance), and the mixed
-        # refinement loop stalls at the f32 floor
-        import warnings
-
-        warnings.warn(
-            "solve_csr_systems: jax_enable_x64 is off, so this float64 "
-            "solve will actually run in float32 and converge only to "
-            "~1e-6 true relative error; enable x64 for full accuracy",
-            stacklevel=2,
-        )
+    warn_if_x64_off("solve_csr_systems")
     vals_np, cols_np = csr_to_ell(row_ptr, col_ind, data)
     vals = jnp.asarray(vals_np)
     cols = jnp.asarray(cols_np)

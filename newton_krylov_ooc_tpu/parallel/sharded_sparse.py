@@ -34,6 +34,7 @@ from ..ops.sparse import (
     csr_to_ell,
     jacobi_inverse_diagonal,
     solve_csr_systems,
+    warn_if_x64_off,
 )
 from ..ops.tridiag import pcr_solve
 
@@ -148,6 +149,67 @@ def _local_bicgstab_loop(matvec, precond, rhs_l, rtol, max_iter):
     return x, rnorm <= tol
 
 
+def _local_mixed_refine_loop(matvec64, matvec32, precond32, rhs_l, rtol,
+                             max_iter):
+    """float32 BiCGSTAB rounds under float64 iterative refinement, masked
+    per right-hand side (the sharded twin of ops.sparse's
+    `_solve_ell_batch_line_mixed`)
+
+    matvec64/matvec32 map (n_rhs, rows_local) -> (n_rhs, rows_local) in the
+    respective dtype and own their collectives; precond32 must be
+    shard-local.  Each round solves the f64-residual correction system in
+    f32 at unit scale, applies it, and recomputes the true f64 residual
+    (one f64 matvec per round -- the software-emulated-on-TPU operation
+    this mode exists to avoid); systems that stop contracting freeze as
+    stalled.
+    """
+
+    def dot(a, b):
+        return jax.lax.psum(jnp.sum(a * b, axis=1), _AXIS)
+
+    bnorm = jnp.sqrt(dot(rhs_l, rhs_l))
+    tol = rtol * bnorm
+
+    def cond(state):
+        (_x, _r, rnorm, rounds, stalled) = state
+        return jnp.any((rnorm > tol) & ~stalled) & (rounds < 12)
+
+    def body(state):
+        x, r, rnorm, rounds, stalled = state
+        active = (rnorm > tol) & ~stalled
+        act = active[:, None]
+        # normalize the correction system so the f32 inner solve works at
+        # unit scale (no under/overflow as the residual shrinks)
+        scale = jnp.where(rnorm > 0, rnorm, 1.0)
+        dx32, _ok = _local_bicgstab_loop(
+            matvec32,
+            precond32,
+            (r / scale[:, None]).astype(jnp.float32),
+            1.0e-6,
+            max_iter,
+        )
+        x_new = x + scale[:, None] * dx32.astype(jnp.float64)
+        r_new = rhs_l - matvec64(x_new)
+        rn = jnp.sqrt(dot(r_new, r_new))
+        # a round that fails to contract the f64 residual means the f32
+        # solve has hit its floor -- freeze instead of looping
+        stalled = stalled | (active & (rn >= 0.5 * rnorm))
+        x = jnp.where(act, x_new, x)
+        r = jnp.where(act, r_new, r)
+        rnorm = jnp.where(active, rn, rnorm)
+        return (x, r, rnorm, rounds + 1, stalled)
+
+    state0 = (
+        jnp.zeros_like(rhs_l),
+        rhs_l,
+        bnorm,
+        jnp.asarray(0, jnp.int32),
+        jnp.zeros((rhs_l.shape[0],), jnp.bool_),
+    )
+    x, _r, rnorm, _rounds, _stalled = jax.lax.while_loop(cond, body, state0)
+    return x, rnorm <= tol
+
+
 def _ell_matvec_gathered(vals_l, cols_l, x_l):
     """shard-local rows x global vector: all-gather then contract -- the ICI
     analog of the MPI row exchange"""
@@ -220,6 +282,44 @@ def _sharded_bicgstab_line(mesh, vals, cols, dl, d, du, rhs, rtol, max_iter):
     )(vals, cols, dl, d, du, rhs)
 
 
+@partial(jax.jit, static_argnames=("mesh", "rtol", "max_iter"))
+def _sharded_bicgstab_line_mixed(mesh, vals64, cols, vals32, dl, d, du, rhs,
+                                 rtol, max_iter):
+    """line-preconditioned float32 BiCGSTAB under float64 refinement on
+    row-sharded ELL data (line-packed order; dl/d/du in float32)
+
+    The f32 inner iterations halve the all-gather traffic of the matvec as
+    well as the arithmetic cost; only the once-per-round true-residual
+    matvec touches the f64 matrix.
+    """
+
+    def local_solve(vals64_l, cols_l, vals32_l, dl_l, d_l, du_l, rhs_l):
+        nz = dl_l.shape[1]
+
+        def precond32(v):
+            packed = v.reshape(v.shape[0], -1, nz)
+            return pcr_solve(
+                dl_l[None], d_l[None], du_l[None], packed
+            ).reshape(v.shape)
+
+        return _local_mixed_refine_loop(
+            lambda x_l: _ell_matvec_gathered(vals64_l, cols_l, x_l),
+            lambda x_l: _ell_matvec_gathered(vals32_l, cols_l, x_l),
+            precond32,
+            rhs_l,
+            rtol,
+            max_iter,
+        )
+
+    return shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(_AXIS),) * 6 + (P(None, _AXIS),),
+        out_specs=(P(None, _AXIS), P(None)),
+        check_vma=False,
+    )(vals64, cols, vals32, dl, d, du, rhs)
+
+
 def _line_pack_system(row_ptr, col_ind, data, rhs_np, row_to_cell, nhoriz,
                       n_shards):
     """permute a gen_A system into line-packed slot order (host-side numpy)
@@ -267,6 +367,7 @@ def solve_csr_systems_sharded(
     max_iter=10000,
     row_to_cell=None,
     nhoriz=None,
+    mixed_precision=False,
 ):
     """solve A x_i = b_i over a device mesh (host entry)
 
@@ -279,17 +380,29 @@ def solve_csr_systems_sharded(
     lines per shard) and BiCGSTAB preconditions with exact shard-local
     column-tridiagonal solves instead of pointwise Jacobi -- the same
     upgrade as the unsharded path, at zero added communication.
+
+    mixed_precision=True (requires the line-precond arguments) runs the
+    sharded BiCGSTAB iterations in float32 -- halving both the arithmetic
+    and the all-gather traffic -- inside a float64 iterative-refinement
+    loop that reaches the same rtol as the pure float64 solve.
     """
+    if mixed_precision and (row_to_cell is None or nhoriz is None):
+        raise ValueError(
+            "mixed_precision needs the line-precond arguments "
+            "(row_to_cell + nhoriz)"
+        )
     if mesh is None:
         devices = jax.devices()
         if len(devices) == 1:
             return solve_csr_systems(
                 row_ptr, col_ind, data, rhs_batch, rtol=rtol,
                 max_iter=max_iter, row_to_cell=row_to_cell, nhoriz=nhoriz,
+                mixed_precision=mixed_precision,
             )
         mesh = Mesh(np.asarray(devices), (_AXIS,))
     if len(mesh.axis_names) != 1:
         raise ValueError("solve_csr_systems_sharded needs a 1-D mesh")
+    warn_if_x64_off("solve_csr_systems_sharded")
     n_shards = mesh.devices.size
 
     if row_to_cell is not None and nhoriz is not None:
@@ -305,20 +418,35 @@ def solve_csr_systems_sharded(
         mesh_ax = Mesh(mesh.devices, (_AXIS,))
         logging.getLogger(__name__).info(
             "sharded line-precond sparse solve: %d rows in %d slots x %d rhs "
-            "over %d devices",
+            "over %d devices%s",
             n_rows, vals_s.shape[0], rhs_s.shape[0], n_shards,
+            " (f32 inner / f64 refinement)" if mixed_precision else "",
         )
-        x, ok = _sharded_bicgstab_line(
-            mesh_ax,
-            jnp.asarray(vals_s),
-            jnp.asarray(cols_s),
-            jnp.asarray(dl),
-            jnp.asarray(d),
-            jnp.asarray(du),
-            jnp.asarray(rhs_s),
-            float(rtol),
-            int(max_iter),
-        )
+        if mixed_precision:
+            x, ok = _sharded_bicgstab_line_mixed(
+                mesh_ax,
+                jnp.asarray(vals_s),
+                jnp.asarray(cols_s),
+                jnp.asarray(vals_s, jnp.float32),
+                jnp.asarray(dl, jnp.float32),
+                jnp.asarray(d, jnp.float32),
+                jnp.asarray(du, jnp.float32),
+                jnp.asarray(rhs_s),
+                float(rtol),
+                int(max_iter),
+            )
+        else:
+            x, ok = _sharded_bicgstab_line(
+                mesh_ax,
+                jnp.asarray(vals_s),
+                jnp.asarray(cols_s),
+                jnp.asarray(dl),
+                jnp.asarray(d),
+                jnp.asarray(du),
+                jnp.asarray(rhs_s),
+                float(rtol),
+                int(max_iter),
+            )
         return np.asarray(x)[:, slot_of_row], np.asarray(ok)
 
     vals_np, cols_np = csr_to_ell(row_ptr, col_ind, data)

@@ -286,16 +286,23 @@ def _build_config(tmp_path, mock_case):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "precond_mode", ["native", "device", "device_sharded", "device_mixed"]
+    "precond_mode",
+    [
+        "native",
+        "device",
+        "device_sharded",
+        "device_mixed",
+        "device_sharded_mixed",
+    ],
 )
 def test_mock_cime_pop_solve(tmp_path, mock_case, monkeypatch, precond_mode):
     """full Newton solve of the mock external model through the adapter
 
     the fixed point of y -> DECAY*y + FORCING is FORCING/(1-DECAY) = 4.0;
     runs with the external (mock) solve_ABdist tool, with the on-device
-    sparse solve (precond_solver_mode=device), with the row-sharded
-    mesh solve (precond_solver_mode=device_sharded), and with the
-    f32-inner/f64-refinement solve (precond_solver_mode=device_mixed)
+    sparse solve (precond_solver_mode=device), with the row-sharded mesh
+    solve (precond_solver_mode=device_sharded), and with the
+    f32-inner/f64-refinement solves (device_mixed / device_sharded_mixed)
     """
     from newton_krylov_ooc_tpu.models.cime_pop.model_state import ModelState
 

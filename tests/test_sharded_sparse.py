@@ -207,6 +207,50 @@ def test_mixed_precision_refinement_matches_dense():
         solve_csr_systems(row_ptr, col_ind, data, rhs, mixed_precision=True)
 
 
+def test_sharded_mixed_precision_matches_dense():
+    """the sharded f32-inner/f64-refinement solve reaches the same
+    1e-12-residual answer as the sharded f64 path and the dense solve"""
+    row_ptr, col_ind, data, dense, rhs, row_to_cell, nhoriz = _grid_csr(
+        6, 3, 4, 2, seed=13
+    )
+    expected = np.linalg.solve(dense, rhs.T).T
+    x, ok = solve_csr_systems_sharded(
+        row_ptr, col_ind, data, rhs, row_to_cell=row_to_cell, nhoriz=nhoriz,
+        mixed_precision=True,
+    )
+    assert ok.all()
+    np.testing.assert_allclose(x, expected, rtol=1e-8, atol=1e-10)
+    x64, ok64 = solve_csr_systems_sharded(
+        row_ptr, col_ind, data, rhs, row_to_cell=row_to_cell, nhoriz=nhoriz
+    )
+    assert ok64.all()
+    np.testing.assert_allclose(x, x64, rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_mixed_precision_mesh_shapes():
+    row_ptr, col_ind, data, dense, rhs, row_to_cell, nhoriz = _grid_csr(
+        5, 3, 4, 2, seed=14
+    )
+    expected = np.linalg.solve(dense, rhs.T).T
+    devices = np.asarray(jax.devices())
+    for n_dev in (2, 8):
+        mesh = Mesh(devices[:n_dev], ("rows",))
+        x, ok = solve_csr_systems_sharded(
+            row_ptr, col_ind, data, rhs, mesh=mesh,
+            row_to_cell=row_to_cell, nhoriz=nhoriz, mixed_precision=True,
+        )
+        assert ok.all()
+        np.testing.assert_allclose(x, expected, rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_mixed_precision_needs_line_args():
+    row_ptr, col_ind, data, _dense, rhs = _random_csr(16, 1, seed=15)
+    with pytest.raises(ValueError, match="mixed_precision"):
+        solve_csr_systems_sharded(
+            row_ptr, col_ind, data, rhs, mixed_precision=True
+        )
+
+
 def test_sharded_solve_rhs_shape_error():
     row_ptr, col_ind, data, _dense, rhs = _random_csr(16, 2, seed=4)
     with pytest.raises(ValueError, match="rhs_batch"):

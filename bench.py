@@ -863,12 +863,13 @@ def main():
             rng_p = np.random.default_rng(17)
             rhs_p = rng_p.normal(size=(2, len(row_ptr) - 1))
 
-            def _timed_solve(label, **kwargs):
+            def _timed_solve(label, warm=True, **kwargs):
                 """warm (compile) once, then time; returns the solution"""
-                solve_csr_systems(
-                    row_ptr, col_ind, mat_data, rhs_p, return_iters=True,
-                    **kwargs,
-                )
+                if warm:
+                    solve_csr_systems(
+                        row_ptr, col_ind, mat_data, rhs_p, return_iters=True,
+                        **kwargs,
+                    )
                 start = time.time()
                 x, ok, iters = solve_csr_systems(
                     row_ptr, col_ind, mat_data, rhs_p, return_iters=True,
@@ -881,21 +882,24 @@ def main():
                 result[f"precond_gx3_{label}_converged"] = bool(ok.all())
                 return x, bool(ok.all())
 
-            x_l, _ok = _timed_solve(
+            x_l, ok_l = _timed_solve(
                 "line", row_to_cell=row_to_cell, nhoriz=p_nhoriz
             )
             # mixed precision: f32 inner BiCGSTAB (the fast TPU arithmetic)
             # in an f64 iterative-refinement loop
-            x_m, _ok = _timed_solve(
+            x_m, ok_m = _timed_solve(
                 "mixed", row_to_cell=row_to_cell, nhoriz=p_nhoriz,
                 mixed_precision=True,
             )
-            result["precond_gx3_mixed_vs_f64_rel"] = float(
-                np.abs(x_m - x_l).max() / np.abs(x_l).max()
-            )
+            if ok_l and ok_m:
+                result["precond_gx3_mixed_vs_f64_rel"] = float(
+                    np.abs(x_m - x_l).max() / np.abs(x_l).max()
+                )
             # Jacobi baseline, iteration-capped so a CPU fallback stays
-            # inside the bench watchdog; the cap itself documents the gap
-            x_j, ok_j = _timed_solve("jacobi", max_iter=2500)
+            # inside the bench watchdog; the cap itself documents the gap.
+            # No warm run: a second 2500-iteration capped solve would double
+            # the bench's slowest phase, so its seconds include one compile
+            x_j, ok_j = _timed_solve("jacobi", warm=False, max_iter=2500)
             if ok_j:
                 result["precond_gx3_line_vs_jacobi_rel"] = float(
                     np.abs(x_l - x_j).max() / np.abs(x_j).max()

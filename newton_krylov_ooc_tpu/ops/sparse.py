@@ -23,6 +23,14 @@ import numpy as np
 
 from .tridiag import pcr_solve
 
+# iterative-refinement tuning shared by the unsharded
+# (_solve_ell_batch_line_mixed) and sharded
+# (parallel.sharded_sparse._local_mixed_refine_loop) mixed-precision solves;
+# keep the two paths' convergence behavior identical
+MIXED_REFINE_MAX_ROUNDS = 12
+MIXED_REFINE_STALL_FACTOR = 0.5
+MIXED_INNER_RTOL = 1.0e-6
+
 
 def warn_if_x64_off(caller):
     """warn when a float64 solve would silently truncate to float32
@@ -328,29 +336,44 @@ def _solve_ell_batch_line_mixed(vals64, cols, rhs, vals32, dl, d, du, slot,
 
         def cond(state):
             _x, _r, rnorm, rounds, _inner, stalled = state
-            return (rnorm > tol) & (rounds < 12) & ~stalled
+            return (
+                (rnorm > tol)
+                & (rounds < MIXED_REFINE_MAX_ROUNDS)
+                & ~stalled
+            )
 
         def body(state):
-            x, r, rnorm, rounds, inner, _ = state
+            x, r, rnorm, rounds, inner, stalled = state
+            # under vmap the body also runs for lanes whose own cond is
+            # already false (while any lane is active); zero those lanes'
+            # correction rhs so their inner solve exits immediately instead
+            # of burning max_iter discarded iterations
+            active = (rnorm > tol) & ~stalled
             # normalize the correction system so the f32 inner solve works
             # at unit scale (no under/overflow as the residual shrinks)
             scale = jnp.where(rnorm > 0, rnorm, 1.0)
             dx32, _ok, k = bicgstab(
                 matvec32,
-                (r / scale).astype(jnp.float32),
+                jnp.where(active, r / scale, 0.0).astype(jnp.float32),
                 precond=precond32,
-                rtol=1.0e-6,
+                rtol=MIXED_INNER_RTOL,
                 max_iter=max_iter,
             )
-            x = x + scale * dx32.astype(jnp.float64)
+            x_new = x + scale * dx32.astype(jnp.float64)
             # the carried residual costs ONE f64 matvec per round -- the
             # software-emulated-on-TPU operation this mode exists to avoid
-            r_new = b - ell_matvec(vals64, cols, x)
+            r_new = b - ell_matvec(vals64, cols, x_new)
             rn = jnp.sqrt(r_new @ r_new)
             # a round that fails to contract the f64 residual means the f32
-            # solve has hit its floor -- bail instead of looping
-            stalled = rn >= 0.5 * rnorm
-            return (x, r_new, rn, rounds + 1, inner + k, stalled)
+            # solve has hit its floor -- bail instead of looping, and only
+            # commit the correction when it actually reduced the residual
+            # (a diverging round must not make the returned x worse)
+            stalled = rn >= MIXED_REFINE_STALL_FACTOR * rnorm
+            accept = rn < rnorm
+            x = jnp.where(accept, x_new, x)
+            r = jnp.where(accept, r_new, r)
+            rnorm = jnp.where(accept, rn, rnorm)
+            return (x, r, rnorm, rounds + 1, inner + k, stalled)
 
         state0 = (
             jnp.zeros_like(b),

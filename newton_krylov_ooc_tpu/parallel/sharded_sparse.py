@@ -30,6 +30,9 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.sparse import (
+    MIXED_INNER_RTOL,
+    MIXED_REFINE_MAX_ROUNDS,
+    MIXED_REFINE_STALL_FACTOR,
     column_tridiag_from_csr,
     csr_to_ell,
     jacobi_inverse_diagonal,
@@ -172,31 +175,43 @@ def _local_mixed_refine_loop(matvec64, matvec32, precond32, rhs_l, rtol,
 
     def cond(state):
         (_x, _r, rnorm, rounds, stalled) = state
-        return jnp.any((rnorm > tol) & ~stalled) & (rounds < 12)
+        return jnp.any((rnorm > tol) & ~stalled) & (
+            rounds < MIXED_REFINE_MAX_ROUNDS
+        )
 
     def body(state):
         x, r, rnorm, rounds, stalled = state
         active = (rnorm > tol) & ~stalled
-        act = active[:, None]
+        # zero the correction rhs of frozen systems so they exit the inner
+        # solve immediately instead of holding its while_loop open for up
+        # to max_iter discarded iterations
         # normalize the correction system so the f32 inner solve works at
         # unit scale (no under/overflow as the residual shrinks)
         scale = jnp.where(rnorm > 0, rnorm, 1.0)
         dx32, _ok = _local_bicgstab_loop(
             matvec32,
             precond32,
-            (r / scale[:, None]).astype(jnp.float32),
-            1.0e-6,
+            jnp.where(
+                active[:, None], r / scale[:, None], 0.0
+            ).astype(jnp.float32),
+            MIXED_INNER_RTOL,
             max_iter,
         )
         x_new = x + scale[:, None] * dx32.astype(jnp.float64)
         r_new = rhs_l - matvec64(x_new)
         rn = jnp.sqrt(dot(r_new, r_new))
         # a round that fails to contract the f64 residual means the f32
-        # solve has hit its floor -- freeze instead of looping
-        stalled = stalled | (active & (rn >= 0.5 * rnorm))
+        # solve has hit its floor -- freeze instead of looping, and only
+        # commit corrections that actually reduced the residual (a
+        # diverging round must not make the returned x worse)
+        stalled = stalled | (
+            active & (rn >= MIXED_REFINE_STALL_FACTOR * rnorm)
+        )
+        accept = active & (rn < rnorm)
+        act = accept[:, None]
         x = jnp.where(act, x_new, x)
         r = jnp.where(act, r_new, r)
-        rnorm = jnp.where(active, rn, rnorm)
+        rnorm = jnp.where(accept, rn, rnorm)
         return (x, r, rnorm, rounds + 1, stalled)
 
     state0 = (
@@ -320,6 +335,38 @@ def _sharded_bicgstab_line_mixed(mesh, vals64, cols, vals32, dl, d, du, rhs,
     )(vals64, cols, vals32, dl, d, du, rhs)
 
 
+def _put_global(mesh, arr, spec, dtype=None):
+    """device-place a host array as a global array sharded per `spec`
+
+    Single-process this is a plain `jnp.asarray` (the shard_map/jit entry
+    reshards as needed).  Multi-process every process holds the same full
+    host value (the matrix/rhs are replicated host-side, as with the
+    reference's `solve_ABdist` input file read by every MPI rank), so each
+    process serves its local shards from its own copy.
+    """
+    arr = np.asarray(arr, dtype)
+    if jax.process_count() == 1:
+        return jnp.asarray(arr)
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def _host_value(arr):
+    """fetch a solve output back to host numpy on every process
+
+    Sharded outputs of a process-spanning mesh are not fully addressable;
+    all-gather them so each process returns the full solution (the
+    `solve_ABdist` result-file analog).
+    """
+    if jax.process_count() == 1 or arr.is_fully_replicated:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(arr, tiled=True)
+
+
 def _line_pack_system(row_ptr, col_ind, data, rhs_np, row_to_cell, nhoriz,
                       n_shards):
     """permute a gen_A system into line-packed slot order (host-side numpy)
@@ -425,29 +472,29 @@ def solve_csr_systems_sharded(
         if mixed_precision:
             x, ok = _sharded_bicgstab_line_mixed(
                 mesh_ax,
-                jnp.asarray(vals_s),
-                jnp.asarray(cols_s),
-                jnp.asarray(vals_s, jnp.float32),
-                jnp.asarray(dl, jnp.float32),
-                jnp.asarray(d, jnp.float32),
-                jnp.asarray(du, jnp.float32),
-                jnp.asarray(rhs_s),
+                _put_global(mesh_ax, vals_s, P(_AXIS)),
+                _put_global(mesh_ax, cols_s, P(_AXIS)),
+                _put_global(mesh_ax, vals_s, P(_AXIS), np.float32),
+                _put_global(mesh_ax, dl, P(_AXIS), np.float32),
+                _put_global(mesh_ax, d, P(_AXIS), np.float32),
+                _put_global(mesh_ax, du, P(_AXIS), np.float32),
+                _put_global(mesh_ax, rhs_s, P(None, _AXIS)),
                 float(rtol),
                 int(max_iter),
             )
         else:
             x, ok = _sharded_bicgstab_line(
                 mesh_ax,
-                jnp.asarray(vals_s),
-                jnp.asarray(cols_s),
-                jnp.asarray(dl),
-                jnp.asarray(d),
-                jnp.asarray(du),
-                jnp.asarray(rhs_s),
+                _put_global(mesh_ax, vals_s, P(_AXIS)),
+                _put_global(mesh_ax, cols_s, P(_AXIS)),
+                _put_global(mesh_ax, dl, P(_AXIS)),
+                _put_global(mesh_ax, d, P(_AXIS)),
+                _put_global(mesh_ax, du, P(_AXIS)),
+                _put_global(mesh_ax, rhs_s, P(None, _AXIS)),
                 float(rtol),
                 int(max_iter),
             )
-        return np.asarray(x)[:, slot_of_row], np.asarray(ok)
+        return _host_value(x)[:, slot_of_row], _host_value(ok)
 
     vals_np, cols_np = csr_to_ell(row_ptr, col_ind, data)
     vals_np, cols_np, n_rows = pad_ell_rows(vals_np, cols_np, n_shards)
@@ -471,11 +518,11 @@ def solve_csr_systems_sharded(
     )
     x, ok = _sharded_bicgstab(
         mesh_ax,
-        jnp.asarray(vals_np),
-        jnp.asarray(cols_np),
-        jnp.asarray(d_inv),
-        jnp.asarray(rhs_p),
+        _put_global(mesh_ax, vals_np, P(_AXIS)),
+        _put_global(mesh_ax, cols_np, P(_AXIS)),
+        _put_global(mesh_ax, d_inv, P(_AXIS)),
+        _put_global(mesh_ax, rhs_p, P(None, _AXIS)),
         float(rtol),
         int(max_iter),
     )
-    return np.asarray(x)[:, :n_rows], np.asarray(ok)
+    return _host_value(x)[:, :n_rows], _host_value(ok)

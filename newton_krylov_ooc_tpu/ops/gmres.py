@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 
 def build_gmres(jvp_fn, precond_fn, dot_fn, broadcast_fn, max_dim, rel_tol,
-                linearize_fn=None):
+                linearize_fn=None, consts_aware=False):
     """build a jitted GMRES solve for a kernel's linear algebra.
 
     jvp_fn(x, fcn, v) -> J v            (the model-year Jacobian action)
@@ -58,31 +58,53 @@ def build_gmres(jvp_fn, precond_fn, dot_fn, broadcast_fn, max_dim, rel_tol,
     rel_tol: stop when the preconditioned residual norm < rel_tol * beta
         for every (module, region)
 
-    Returns gmres(x, fcn, precond_data) -> (increment, iterations,
-    resid_norm, beta); `iterations` is the number of Arnoldi steps taken,
-    resid_norm/beta are (module, region) device arrays.
+    consts_aware=True switches every kernel fn to a consts-threaded
+    signature -- fn(..., consts) with a pytree of device arrays as the
+    trailing argument -- and the returned solve to gmres(x, fcn,
+    precond_data, consts).  This is how globally-sharded constants (the
+    year's coefficient stacks, region-reduction weights) ride through the
+    jit boundary as ARGUMENTS: on a multi-process (multi-host) mesh, jax
+    forbids closing over arrays that span non-addressable devices, and on
+    the single-chip path operand form avoids re-uploading captured
+    constants every dispatch.
+
+    Returns gmres(x, fcn, precond_data[, consts]) -> (increment,
+    iterations, resid_norm, beta); `iterations` is the number of Arnoldi
+    steps taken, resid_norm/beta are (module, region) device arrays.
     """
     max_dim = int(max_dim)
 
-    def norm(v):
-        return jnp.sqrt(dot_fn(v, v))
+    if not consts_aware:
+        # legacy closure-style fns: thread an empty consts pytree
+        jvp_fn = _drop_consts(jvp_fn)
+        precond_fn = _drop_consts(precond_fn)
+        dot_fn = _drop_consts(dot_fn)
+        broadcast_fn = _drop_consts(broadcast_fn)
+        linearize_fn = (
+            None if linearize_fn is None else _drop_consts(linearize_fn)
+        )
 
     @jax.jit
-    def gmres(x, fcn, precond_data):
+    def gmres(x, fcn, precond_data, consts):
+        def norm(v):
+            return jnp.sqrt(dot_fn(v, v, consts))
+
         if linearize_fn is not None:
-            _, tangent = jax.linearize(linearize_fn, x)
+            _, tangent = jax.linearize(
+                lambda y: linearize_fn(y, consts), x
+            )
 
             def apply_jac(v):
                 return tangent(v)
         else:
 
             def apply_jac(v):
-                return jvp_fn(x, fcn, v)
+                return jvp_fn(x, fcn, v, consts)
 
-        r0 = precond_fn(precond_data, fcn)
+        r0 = precond_fn(precond_data, fcn, consts)
         beta = norm(r0)                                   # (M, R)
         safe_beta = _nonzero(beta)
-        basis0 = -r0 * broadcast_fn(1.0 / safe_beta)
+        basis0 = -r0 * broadcast_fn(1.0 / safe_beta, consts)
 
         mr_shape = beta.shape
         dtype = r0.dtype
@@ -114,15 +136,15 @@ def build_gmres(jvp_fn, precond_fn, dot_fn, broadcast_fn, max_dim, rel_tol,
         def body(state):
             j, basis, r_mat, cs, sn, g_vec = state
 
-            w = precond_fn(precond_data, apply_jac(basis[j]))
+            w = precond_fn(precond_data, apply_jac(basis[j]), consts)
 
             # modified Gram-Schmidt against columns 0..j (masked full sweep:
             # untouched basis slots are zero, so their dot products vanish)
             def mgs_step(i, carry):
                 w, h_col = carry
-                hij = dot_fn(w, basis[i])
+                hij = dot_fn(w, basis[i], consts)
                 hij = jnp.where(i <= j, hij, jnp.zeros_like(hij))
-                w = w - basis[i] * broadcast_fn(hij)
+                w = w - basis[i] * broadcast_fn(hij, consts)
                 return w, h_col.at[i].set(hij)
 
             h_col0 = jnp.zeros((max_dim + 1,) + mr_shape, dtype)
@@ -131,7 +153,9 @@ def build_gmres(jvp_fn, precond_fn, dot_fn, broadcast_fn, max_dim, rel_tol,
             )
             h_last = norm(w)
             h_col = h_col.at[j + 1].set(h_last)
-            basis = basis.at[j + 1].set(w * broadcast_fn(1.0 / _nonzero(h_last)))
+            basis = basis.at[j + 1].set(
+                w * broadcast_fn(1.0 / _nonzero(h_last), consts)
+            )
 
             # apply the accumulated rotations to the new column, then the new
             # rotation eliminating h[j+1, j]
@@ -181,14 +205,25 @@ def build_gmres(jvp_fn, precond_fn, dot_fn, broadcast_fn, max_dim, rel_tol,
 
         # increment = sum_k y_k basis_k with per-(module, region) coefficients
         def contract(k, acc):
-            return acc + basis[k] * broadcast_fn(y[k])
+            return acc + basis[k] * broadcast_fn(y[k], consts)
 
         increment = jax.lax.fori_loop(
             0, max_dim, contract, jnp.zeros_like(basis0)
         )
         return increment, j_fin, jnp.abs(g_vec[j_fin]), beta
 
-    return gmres
+    if consts_aware:
+        return gmres
+    return lambda x, fcn, precond_data: gmres(x, fcn, precond_data, ())
+
+
+def _drop_consts(fn):
+    """adapt a closure-style kernel fn to the consts-threaded signature"""
+
+    def wrapped(*args):
+        return fn(*args[:-1])
+
+    return wrapped
 
 
 def _nonzero(x):
@@ -203,9 +238,28 @@ class JittedGMRES:
     Constructed internally by NewtonKrylovInCore(kernel, jit_gmres=True),
     which replaces the per-iteration host round-trips of the default Krylov
     loop with one device call.
+
+    Kernels that must thread globally-sharded constants through the jit
+    boundary (multi-process meshes; operand-form on axon) define
+    `gmres_interface()` returning a dict with keys `consts` (the pytree),
+    `jvp`, `precond_apply`, `dot`, `broadcast` (consts-threaded fns, the
+    pytree as trailing argument), and optionally `linearize`; absent that
+    hook the kernel's plain closure-style methods are used.
     """
 
     def __init__(self, kernel, max_dim, rel_tol):
+        iface = getattr(kernel, "gmres_interface", None)
+        if iface is not None:
+            spec = iface()
+            self._consts = spec["consts"]
+            self._gmres = build_gmres(
+                spec["jvp"], spec["precond_apply"], spec["dot"],
+                spec["broadcast"], max_dim, rel_tol,
+                linearize_fn=spec.get("linearize"), consts_aware=True,
+            )
+            return
+        self._consts = None
+
         def broadcast_fn(scalars):
             return kernel.region_broadcast(scalars)
 
@@ -216,6 +270,8 @@ class JittedGMRES:
         )
 
     def __call__(self, x, fcn, precond_data):
+        if self._consts is not None:
+            return self._gmres(x, fcn, precond_data, self._consts)
         return self._gmres(x, fcn, precond_data)
 
 

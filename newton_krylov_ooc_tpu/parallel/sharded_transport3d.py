@@ -316,10 +316,24 @@ def build_sharded_transport3d_year(
         for arr, spec in stacked
     )
 
-    @jax.jit
-    def year(y):
-        return sharded(y, *operands)
+    def year_pure(y, ops):
+        """consts-threaded form: ops is the coefficient-operand tuple"""
+        return sharded(y, *ops)
 
+    jitted = jax.jit(year_pure)
+
+    def year(y):
+        return jitted(y, operands)
+
+    # the globally-sharded coefficient stacks ride the jit boundary as
+    # ARGUMENTS, never closures: a multi-process mesh forbids closing over
+    # arrays spanning non-addressable devices, and operand form also keeps
+    # the axon runtime from re-uploading captured constants every dispatch.
+    # Callers composing this year into a larger jit (the kernels' comp_fcn,
+    # the jitted GMRES) trace `year.pure` and thread `year.operands`
+    # through their own argument lists.
+    year.pure = year_pure
+    year.operands = operands
     return year
 
 def _region_reduction_arrays_3d(mesh, region_mask, grid_weight, dtype,
@@ -350,18 +364,54 @@ def _region_reduction_arrays_3d(mesh, region_mask, grid_weight, dtype,
     )
 
 
+def _dot_pure_3d(a, b, rc):
+    """per-(module, region) weighted dot products over the 3D volume
+    weights; rc is the reduction-consts pytree (reference P1/P2 semantics)"""
+    prod = jnp.sum(a * b, axis=1)  # tracer axis (reference P1)
+    return jnp.einsum("mzab,rzab->mr", prod, rc["mean_w"])
+
+
+def _broadcast_pure_3d(scalars, rc):
+    """(module, region) scalars -> state-shaped per-region field"""
+    field = jnp.einsum("mr,rzab->mzab", scalars, rc["onehot"])
+    return (field + rc["fill"])[:, None, :, :, :]
+
+
+def _gmres_interface_3d(kernel):
+    """consts-threaded linear-algebra spec for ops.gmres.JittedGMRES: the
+    year's coefficient stacks and the region-reduction arrays are
+    globally sharded, so they must enter the jitted GMRES as arguments
+    (multi-process meshes forbid closing over them)"""
+    spec = {
+        "consts": {
+            "year": kernel._year_consts,
+            "reduce": kernel._reduce_consts,
+        },
+        "jvp": lambda x, fcn, v, c: kernel._jvp_pure(x, fcn, v, c["year"]),
+        "precond_apply": lambda data, r, c: kernel._precond_apply(data, r),
+        "dot": lambda a, b, c: _dot_pure_3d(a, b, c["reduce"]),
+        "broadcast": lambda s, c: _broadcast_pure_3d(s, c["reduce"]),
+    }
+    linearize = getattr(kernel, "_linearize_pure", None)
+    if linearize is not None:
+        spec["linearize"] = lambda y, c: linearize(y, c["year"])
+    return spec
+
+
 def _wire_3d_solver_interface(kernel, mesh, wet, region_mask, grid_weight,
                               dtype, x_axis):
     """shared solver-interface wiring for the 3D kernels: state sharding,
-    the device-resident wet mask, and the per-(module, region) weighted
-    dot / region-broadcast operators over the 3D volume weights"""
+    the wet mask's host twin, and the per-(module, region) weighted dot /
+    region-broadcast operators over the 3D volume weights.  The reduction
+    arrays are globally sharded, so the jitted operators take them as
+    arguments (kernel._reduce_consts) rather than closures -- required on
+    multi-process meshes, cheaper on axon"""
     kernel.state_sharding = NamedSharding(
         mesh, P(None, None, None, "space", x_axis)
     )
-    kernel._wet = jax.device_put(
-        jnp.asarray(wet, dtype),
-        NamedSharding(mesh, P(None, "space", x_axis)),
-    )
+    # host copy for host-side setup math (init iterates): device copies
+    # span the whole mesh and are not host-fetchable on a multi-process run
+    kernel._wet_np = np.asarray(wet, np.float64)
     kernel._region_mask_np = np.asarray(region_mask)
     (
         kernel.region_cnt,
@@ -372,20 +422,22 @@ def _wire_3d_solver_interface(kernel, mesh, wet, region_mask, grid_weight,
         mesh, region_mask, grid_weight, dtype, x_axis=x_axis
     )
     kernel._onehot = onehot
+    kernel._reduce_consts = {
+        "mean_w": mean_w, "onehot": onehot, "fill": region_fill
+    }
 
-    @jax.jit
-    def dot(a, b):
-        prod = jnp.sum(a * b, axis=1)  # tracer axis (reference P1)
-        return jnp.einsum("mzab,rzab->mr", prod, mean_w)
+    # (module, region) scalars replicate across the mesh so the host-side
+    # Newton/Armijo logic can read them on every process
+    dot_jit = jax.jit(
+        _dot_pure_3d, out_shardings=NamedSharding(mesh, P())
+    )
+    kernel._dot = lambda a, b: dot_jit(a, b, kernel._reduce_consts)
 
-    kernel._dot = dot
-
-    @jax.jit
-    def region_broadcast_jit(scalars):
-        field = jnp.einsum("mr,rzab->mzab", scalars, onehot)
-        return (field + region_fill)[:, None, :, :, :]
-
-    kernel._region_broadcast = region_broadcast_jit
+    broadcast_jit = jax.jit(_broadcast_pure_3d)
+    kernel._region_broadcast = lambda scalars: broadcast_jit(
+        scalars, kernel._reduce_consts
+    )
+    kernel.gmres_interface = lambda: _gmres_interface_3d(kernel)
 
 
 class ShardedTransport3dKernel(_ShardedKernelInterface):
@@ -513,31 +565,56 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
             self._year0_flat = lambda y: year0_p(
                 y, interpret=pallas_interpret
             )
+            flat_shape = (n_flat, nz, nlat, nlon)
+            self._year_consts = {"year": (), "year0": ()}
+
+            def fcn_pure(x, yc):
+                return (
+                    self._year_flat(x.reshape(flat_shape)).reshape(x.shape)
+                    - x
+                )
+
+            def jvp_pure(x, fcn, v, yc):
+                return (
+                    self._year0_flat(v.reshape(flat_shape)).reshape(v.shape)
+                    - v
+                )
+
         else:
-            self._year_flat = build_sharded_transport3d_year(
+            year = build_sharded_transport3d_year(
                 mesh, coef, kv, dz_r, diag, src, t_span, n_steps,
                 unroll=unroll, couple=couple,
             )
-            self._year0_flat = build_sharded_transport3d_year(
+            year0 = build_sharded_transport3d_year(
                 mesh, coef, kv, dz_r, diag, np.zeros_like(src), t_span,
                 n_steps, unroll=unroll, couple=couple,
             )
-        flat_shape = (n_flat, nz, nlat, nlon)
+            self._year_flat = year
+            self._year0_flat = year0
+            flat_shape = (n_flat, nz, nlat, nlon)
+            # coefficient operands threaded through every jit boundary
+            # (multi-process legality + axon operand-form rule)
+            self._year_consts = {"year": year.operands,
+                                 "year0": year0.operands}
 
-        @jax.jit
-        def comp_fcn(x):
-            return (
-                self._year_flat(x.reshape(flat_shape)).reshape(x.shape) - x
-            )
+            def fcn_pure(x, yc):
+                return (
+                    year.pure(x.reshape(flat_shape), yc["year"])
+                    .reshape(x.shape) - x
+                )
 
-        @jax.jit
-        def jvp0(v):
-            return (
-                self._year0_flat(v.reshape(flat_shape)).reshape(v.shape) - v
-            )
+            def jvp_pure(x, fcn, v, yc):
+                """exact: the family is linear, so J v = year0(v) - v"""
+                return (
+                    year0.pure(v.reshape(flat_shape), yc["year0"])
+                    .reshape(v.shape) - v
+                )
 
-        self._comp_fcn = comp_fcn
-        self._jvp = jvp0
+        self._jvp_pure = jvp_pure
+        fcn_jit = jax.jit(fcn_pure)
+        jvp_jit = jax.jit(jvp_pure)
+        self._comp_fcn = lambda x: fcn_jit(x, self._year_consts)
+        self._jvp = lambda v: jvp_jit(None, None, v, self._year_consts)
 
         if region_mask is None:
             region_mask = mask
@@ -586,36 +663,39 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
             )
 
         band_sharding = NamedSharding(mesh, P("space", x_axis, None))
-        self._pc_dl = jax.device_put(
+        pc_dl = jax.device_put(
             jnp.asarray(to_cols(dl_b, ()), dtype), band_sharding
         )
-        self._pc_du = jax.device_put(
+        pc_du = jax.device_put(
             jnp.asarray(to_cols(du_b, ()), dtype), band_sharding
         )
-        self._pc_d = jax.device_put(
+        pc_d = jax.device_put(
             jnp.asarray(to_cols(dmain, (self.module_batch, t_dim)), dtype),
             NamedSharding(mesh, P(None, None, "space", x_axis, None)),
         )
 
         @jax.jit
         def precond_apply(data, r):
+            dl_bands, d_bands, du_bands = data
             r_cols = jnp.moveaxis(r, -3, -1)      # (M, T, nlat, nlon, nz)
             sol = pcr_solve(
-                jnp.broadcast_to(self._pc_dl, r_cols.shape),
-                jnp.broadcast_to(self._pc_d, r_cols.shape),
-                jnp.broadcast_to(self._pc_du, r_cols.shape),
+                jnp.broadcast_to(dl_bands, r_cols.shape),
+                jnp.broadcast_to(d_bands, r_cols.shape),
+                jnp.broadcast_to(du_bands, r_cols.shape),
                 r_cols,
             )
             return jnp.moveaxis(sol, -1, -3)
 
-        self._precond_factor = lambda x: ()
+        # the sharded bands ride in precond_data (a jit argument on every
+        # consumer path) so no solver jit closes over them
+        self._precond_factor = lambda x: (pc_dl, pc_d, pc_du)
         self._precond_apply = precond_apply
 
     # -- solver interface ------------------------------------------------------
 
     def init_iterate(self, fill_value=0.5):
         field = np.broadcast_to(
-            fill_value * np.asarray(self._wet, np.float64),
+            fill_value * self._wet_np,
             (self.module_batch, self.t_dim) + self.grid_shape,
         )
         return jax.device_put(
@@ -732,7 +812,7 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
             return jnp.stack([d_po4, d_dop, d_pop], axis=-3)
 
         zeros3 = np.zeros((3, nz, nh))
-        self._year_flat = build_sharded_transport3d_year(
+        year = build_sharded_transport3d_year(
             mesh, coef, kv, dz_r, zeros3, zeros3, t_span, n_steps,
             unroll=unroll, local_tend=local_tend,
             local_data={
@@ -740,19 +820,31 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
                 "sink_open": sink_open,
             },
         )
+        self._year_flat = year
         flat_shape = (3, nz, nlat, nlon)
+        self._year_consts = year.operands
 
-        def fcn(x):
+        def fcn_pure(x, yc):
             return (
-                self._year_flat(x.reshape(flat_shape)).reshape(x.shape) - x
+                year.pure(x.reshape(flat_shape), yc).reshape(x.shape) - x
             )
 
-        self._comp_fcn = jax.jit(fcn)
-        # the jitted GMRES linearizes this once per solve
-        self.linearize_target = fcn
-        self._jvp_fn = jax.jit(
-            lambda x, v: jax.jvp(fcn, (x,), (v,))[1]
-        )
+        def jvp_pure(x, fcn, v, yc):
+            """exact forward-mode JVP through the sharded nonlinear year"""
+            return jax.jvp(
+                lambda y: fcn_pure(y, yc), (x,), (v,)
+            )[1]
+
+        # consts-threaded forms for the jitted GMRES (which linearizes the
+        # primal once per solve); the fused solver's linearize_target keeps
+        # the bound single-process form
+        self._linearize_pure = fcn_pure
+        self._jvp_pure = jvp_pure
+        self.linearize_target = lambda x: fcn_pure(x, self._year_consts)
+        fcn_jit = jax.jit(fcn_pure)
+        jvp_jit = jax.jit(jvp_pure)
+        self._comp_fcn = lambda x: fcn_jit(x, self._year_consts)
+        self._jvp_fn = lambda x, v: jvp_jit(x, None, v, self._year_consts)
 
         if region_mask is None:
             region_mask = mask
@@ -869,7 +961,7 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
             ([95.0, 140.0], [7.1e-2, 1.5e-4]),
             ([170.0, 250.0], [1.8e-2, 7.9e-4]),
         )
-        wet = np.asarray(self._wet, np.float64)
+        wet = self._wet_np
         dm = self._depth_mid_m
         cols = [np.interp(dm, d, v) for d, v in profiles]
         field = np.stack([wet * c[:, None, None] for c in cols])[None]

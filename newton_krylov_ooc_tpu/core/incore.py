@@ -129,12 +129,18 @@ class NewtonKrylovInCore:
                 x, iteration = loaded
                 # restore the kernel's sharding: a resumed array arrives
                 # host-loaded (single-device), and feeding it unsharded into
-                # a mesh-sharded kernel would silently run replicated
+                # a mesh-sharded kernel would silently run replicated.
+                # Multi-process, checkpoint_dir must be shared storage (the
+                # same contract as the file-backed solver's workdir): every
+                # process reads the same snapshot and serves its local
+                # shards from it.
                 sharding = getattr(kernel, "state_sharding", None)
                 if sharding is not None:
-                    import jax
+                    from ..parallel.mesh import put_global
 
-                    x = jax.device_put(x, sharding)
+                    x = put_global(
+                        sharding.mesh, np.asarray(x), sharding.spec
+                    )
                 logger.info("resumed from checkpoint at iteration %d", iteration)
         fcn = kernel.comp_fcn(x)
         while True:
@@ -233,13 +239,26 @@ class NewtonKrylovInCore:
 
     @staticmethod
     def _save_checkpoint(checkpoint_dir, x, iteration):
-        """atomic snapshot of the solver state"""
+        """atomic snapshot of the solver state
+
+        On a multi-process mesh the iterate is not fully addressable on any
+        one process: all-gather it, then let only process 0 write (every
+        process computes identical host logic, so the snapshot is
+        consistent with all of them).
+        """
         import os
 
+        import jax
+
+        from ..parallel.mesh import host_value
+
+        x_np = host_value(x)
+        if jax.process_index() != 0:
+            return
         os.makedirs(checkpoint_dir, exist_ok=True)
         path = os.path.join(checkpoint_dir, "incore_state.npz")
         tmp = path + ".tmp.npz"  # .npz suffix keeps np.savez from renaming
-        np.savez(tmp, x=np.asarray(x), iteration=iteration)
+        np.savez(tmp, x=x_np, iteration=iteration)
         os.replace(tmp, path)
 
     @staticmethod

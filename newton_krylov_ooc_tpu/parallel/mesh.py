@@ -59,3 +59,40 @@ def state_sharding(mesh, ndim, ypos_axis=-1):
 
 def replicated(mesh):
     return NamedSharding(mesh, P())
+
+
+def put_global(mesh, arr, spec, dtype=None):
+    """device-place a host array as a global array sharded per `spec`.
+
+    Single-process this is a committed `jax.device_put`.  On a
+    multi-process (multi-host) mesh `jax.device_put` cannot reach
+    non-addressable devices; every process holds the same full host value
+    (the analog of every MPI rank reading the same input file in the
+    reference's `solve_ABdist` launch, nk_ooc/cime_pop/model_state.py:
+    317-337), and each serves its local shards via
+    `make_array_from_callback`.
+    """
+    sharding = NamedSharding(mesh, spec) if not isinstance(
+        spec, NamedSharding
+    ) else spec
+    if jax.process_count() == 1:
+        import jax.numpy as jnp
+
+        return jax.device_put(jnp.asarray(arr, dtype), sharding)
+    arr = np.asarray(arr, dtype)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def host_value(arr):
+    """fetch a (possibly process-spanning) device array to host numpy.
+
+    Sharded outputs of a multi-process mesh are not fully addressable;
+    all-gather them so every process returns the full value.
+    """
+    if jax.process_count() == 1 or arr.is_fully_replicated:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(arr, tiled=True)

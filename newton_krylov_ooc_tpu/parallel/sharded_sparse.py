@@ -40,6 +40,7 @@ from ..ops.sparse import (
     warn_if_x64_off,
 )
 from ..ops.tridiag import pcr_solve
+from .mesh import host_value as _host_value, put_global
 
 _AXIS = "rows"
 
@@ -339,32 +340,13 @@ def _put_global(mesh, arr, spec, dtype=None):
     """device-place a host array as a global array sharded per `spec`
 
     Single-process this is a plain `jnp.asarray` (the shard_map/jit entry
-    reshards as needed).  Multi-process every process holds the same full
-    host value (the matrix/rhs are replicated host-side, as with the
-    reference's `solve_ABdist` input file read by every MPI rank), so each
-    process serves its local shards from its own copy.
+    reshards as needed; committing is unnecessary for these one-shot
+    solves).  Multi-process this delegates to `mesh.put_global` -- every
+    process holds the same full host value.
     """
-    arr = np.asarray(arr, dtype)
     if jax.process_count() == 1:
-        return jnp.asarray(arr)
-    sharding = jax.sharding.NamedSharding(mesh, spec)
-    return jax.make_array_from_callback(
-        arr.shape, sharding, lambda idx: arr[idx]
-    )
-
-
-def _host_value(arr):
-    """fetch a solve output back to host numpy on every process
-
-    Sharded outputs of a process-spanning mesh are not fully addressable;
-    all-gather them so each process returns the full solution (the
-    `solve_ABdist` result-file analog).
-    """
-    if jax.process_count() == 1 or arr.is_fully_replicated:
-        return np.asarray(arr)
-    from jax.experimental import multihost_utils
-
-    return multihost_utils.process_allgather(arr, tiled=True)
+        return jnp.asarray(arr, dtype)
+    return put_global(mesh, arr, spec, dtype)
 
 
 def _line_pack_system(row_ptr, col_ind, data, rhs_np, row_to_cell, nhoriz,

@@ -53,6 +53,7 @@ from ..ops.transport3d import (
     vmix_vertical_coeff,
 )
 from ..ops.tridiag import pcr_solve
+from .mesh import put_global
 from .sharded_year import _ShardedKernelInterface
 
 SEC_PER_YEAR = 365.0 * 86400.0
@@ -312,8 +313,7 @@ def build_sharded_transport3d_year(
     )
 
     operands = tuple(
-        jax.device_put(arr, NamedSharding(mesh, spec))
-        for arr, spec in stacked
+        put_global(mesh, arr, spec) for arr, spec in stacked
     )
 
     def year_pure(y, ops):
@@ -348,19 +348,16 @@ def _region_reduction_arrays_3d(mesh, region_mask, grid_weight, dtype,
     mean_w = region_mean_weights(region_mask, grid_weight).reshape(
         (region_cnt,) + region_mask.shape
     )
-    sharding = NamedSharding(mesh, P(None, None, "space", x_axis))
+    spec = P(None, None, "space", x_axis)
     onehot = np.stack(
         [(region_mask == r + 1).astype(np.float64) for r in range(region_cnt)]
     )
     fill = 1.0 - onehot.sum(axis=0)
     return (
         region_cnt,
-        jax.device_put(jnp.asarray(mean_w, dtype), sharding),
-        jax.device_put(jnp.asarray(onehot, dtype), sharding),
-        jax.device_put(
-            jnp.asarray(fill, dtype),
-            NamedSharding(mesh, P(None, "space", x_axis)),
-        ),
+        put_global(mesh, mean_w, spec, dtype),
+        put_global(mesh, onehot, spec, dtype),
+        put_global(mesh, fill, P(None, "space", x_axis), dtype),
     )
 
 
@@ -662,16 +659,12 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
                 arr.reshape(lead + (nz, nlat, nlon)), -3, -1
             )
 
-        band_sharding = NamedSharding(mesh, P("space", x_axis, None))
-        pc_dl = jax.device_put(
-            jnp.asarray(to_cols(dl_b, ()), dtype), band_sharding
-        )
-        pc_du = jax.device_put(
-            jnp.asarray(to_cols(du_b, ()), dtype), band_sharding
-        )
-        pc_d = jax.device_put(
-            jnp.asarray(to_cols(dmain, (self.module_batch, t_dim)), dtype),
-            NamedSharding(mesh, P(None, None, "space", x_axis, None)),
+        band_spec = P("space", x_axis, None)
+        pc_dl = put_global(mesh, to_cols(dl_b, ()), band_spec, dtype)
+        pc_du = put_global(mesh, to_cols(du_b, ()), band_spec, dtype)
+        pc_d = put_global(
+            mesh, to_cols(dmain, (self.module_batch, t_dim)),
+            P(None, None, "space", x_axis, None), dtype,
         )
 
         @jax.jit
@@ -698,8 +691,8 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
             fill_value * self._wet_np,
             (self.module_batch, self.t_dim) + self.grid_shape,
         )
-        return jax.device_put(
-            jnp.asarray(field, self.dtype), self.state_sharding
+        return put_global(
+            self.mesh, field, self.state_sharding.spec, self.dtype
         )
 
     def jvp(self, x, fcn, v):
@@ -965,8 +958,8 @@ class ShardedPhosphorus3dKernel(_ShardedKernelInterface):
         dm = self._depth_mid_m
         cols = [np.interp(dm, d, v) for d, v in profiles]
         field = np.stack([wet * c[:, None, None] for c in cols])[None]
-        return jax.device_put(
-            jnp.asarray(field, self.dtype), self.state_sharding
+        return put_global(
+            self.mesh, field, self.state_sharding.spec, self.dtype
         )
 
     def jvp(self, x, fcn, v):

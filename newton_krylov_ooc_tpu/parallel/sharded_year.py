@@ -372,7 +372,10 @@ class _ShardedKernelInterface:
         factor = np.asarray(factor)
         if factor.ndim == 0:
             return v * float(factor)
-        return v * self._region_broadcast(jnp.asarray(factor, self.dtype))
+        # host numpy, not a committed device array: uncommitted inputs are
+        # treated as replicated, which stays legal when the broadcast jit's
+        # other operands span a multi-process mesh
+        return v * self._region_broadcast(factor.astype(self.dtype))
 
     def region_broadcast(self, scalars):
         """(module, region) scalars -> (module, 1, nz, ny) field"""

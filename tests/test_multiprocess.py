@@ -30,12 +30,8 @@ def _free_port():
         return sock.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_sharded_solve(tmp_path):
+def _run_workers(out_fname, task, num_processes=2, timeout=600):
     port = _free_port()
-    out_fname = str(tmp_path / "mp_result.npz")
-    num_processes = 2
-
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -52,6 +48,7 @@ def test_two_process_sharded_solve(tmp_path):
                 str(num_processes),
                 str(port),
                 out_fname,
+                task,
             ],
             env=env,
             stdout=subprocess.PIPE,
@@ -62,13 +59,19 @@ def test_two_process_sharded_solve(tmp_path):
     ]
     outputs = []
     for worker in workers:
-        out, _ = worker.communicate(timeout=600)
+        out, _ = worker.communicate(timeout=timeout)
         outputs.append(out)
     for process_id, (worker, out) in enumerate(zip(workers, outputs)):
         assert worker.returncode == 0, (
             f"worker {process_id} failed:\n{out}"
         )
         assert f"mp_worker {process_id}/{num_processes} OK" in out
+
+
+@pytest.mark.slow
+def test_two_process_sharded_solve(tmp_path):
+    out_fname = str(tmp_path / "mp_result.npz")
+    _run_workers(out_fname, "sparse")
 
     result = np.load(out_fname)
     assert int(result["n_global_devices"]) == 4
@@ -84,3 +87,28 @@ def test_two_process_sharded_solve(tmp_path):
                                atol=1e-10)
     np.testing.assert_allclose(result["x_jac"], expected, rtol=1e-9,
                                atol=1e-9)
+
+
+@pytest.mark.slow
+def test_two_process_full_newton_solve(tmp_path):
+    """the WHOLE Newton-Krylov solver on a process-spanning mesh: two
+    interpreters, four devices, state latitude-sharded, year integrations
+    with cross-process halo ppermutes inside the jitted GMRES (consts
+    threaded as jit operands -- closures over non-addressable arrays are
+    illegal multi-process).  Goes beyond the reference, whose distributed
+    memory is confined to the linear solve (solve_ABdist, nk_ooc/cime_pop/
+    model_state.py:317-337) while its Newton loop runs single-rank."""
+    out_fname = str(tmp_path / "mp_solve3d.npz")
+    _run_workers(out_fname, "solve3d", timeout=900)
+
+    result = np.load(out_fname)
+    assert int(result["n_global_devices"]) == 4
+
+    from transport3d_fixtures import solve_family
+
+    import jax
+
+    x_ref = solve_family(jax.devices("cpu")[:1])
+    scale = np.abs(x_ref).max()
+    np.testing.assert_allclose(result["x"], x_ref, rtol=0.0,
+                               atol=1e-11 * scale)

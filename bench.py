@@ -895,11 +895,16 @@ def main():
                 result["precond_gx3_mixed_vs_f64_rel"] = float(
                     np.abs(x_m - x_l).max() / np.abs(x_l).max()
                 )
-            # Jacobi baseline, iteration-capped so a CPU fallback stays
-            # inside the bench watchdog; the cap itself documents the gap.
-            # No warm run: a second 2500-iteration capped solve would double
-            # the bench's slowest phase, so its seconds include one compile
-            x_j, ok_j = _timed_solve("jacobi", warm=False, max_iter=2500)
+            # Jacobi baseline on the SAME gather-free DIA matvec (the
+            # preconditioners differ, nothing else), iteration-capped so a
+            # CPU fallback stays inside the bench watchdog; the cap itself
+            # documents the gap.  No warm run: a second capped solve would
+            # double the bench's slowest phase, so its seconds include one
+            # compile
+            x_j, ok_j = _timed_solve(
+                "jacobi", warm=False, row_to_cell=row_to_cell,
+                nhoriz=p_nhoriz, precond="jacobi", max_iter=2500,
+            )
             if ok_j:
                 result["precond_gx3_line_vs_jacobi_rel"] = float(
                     np.abs(x_l - x_j).max() / np.abs(x_j).max()

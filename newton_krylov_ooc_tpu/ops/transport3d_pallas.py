@@ -42,6 +42,14 @@ from .imex_pallas import _pcr_minor2
 from .transport3d import _shift, transport_coef_n_time, transport_tend
 
 _VMEM_CAP = 110 << 20  # leave headroom below a v5e core's 128 MiB
+# ceiling on the live stencil temporaries of one latitude block: the block
+# size is chosen so ~_TEMPS_PER_BLOCK windows of (T, nz, block+4, nlon)
+# stay inside this, which is what keeps Mosaic's register allocator from
+# spilling whole-field SSA values to VMEM (measured 197 MiB of spill slots
+# at gx3 scale when the stencil ran un-blocked over the full grid)
+_TEMP_BUDGET = 24 << 20
+_TEMPS_PER_BLOCK = 20
+_HALO = 2  # upwind3 reaches two rows in latitude
 
 
 def _padded_field_bytes(nz, nlat, nlon):
@@ -61,11 +69,25 @@ def megakernel_fits_vmem(nz, nlat, nlon, t_dim, n_coef=13):
 
 
 def _estimate_vmem(nz, nlat, nlon, t_dim, n_coef):
-    # coefficients + 2 shared band fields + per-tracer (diag, src, y0,
-    # out-as-state, compensation scratch) + ~6T peak-live transients
-    # inside tend/heun/PCR (advisory; Mosaic's compile-time VMEM check
-    # is the authority and surfaces as a clear error)
-    return _padded_field_bytes(nz, nlat, nlon) * (n_coef + 2 + t_dim * 11)
+    # resident fields: coefficients + 2 shared CN band fields + per-tracer
+    # (diag, src, y0, out-as-state, Kahan compensation, f1, f2) refs, plus
+    # the bounded per-block stencil transients (advisory; Mosaic's
+    # compile-time VMEM check is the authority and surfaces as a clear
+    # error)
+    return (
+        _padded_field_bytes(nz, nlat, nlon) * (n_coef + 2 + t_dim * 7)
+        + _TEMP_BUDGET
+    )
+
+
+def _lat_blocks(nz, nlat, nlon, t_dim):
+    """static latitude-block ranges [(j0, j1), ...] sized so the live
+    stencil temporaries of one block stay inside _TEMP_BUDGET"""
+    lane = -(-nlon // 128) * 128
+    row_bytes = 4 * t_dim * nz * lane  # one lat row of a (T, nz, ., lane)
+    rows = _TEMP_BUDGET // (_TEMPS_PER_BLOCK * row_bytes)
+    block = max(8, int(rows - 2 * _HALO) // 8 * 8)
+    return [(j0, min(j0 + block, nlat)) for j0 in range(0, nlat, block)]
 
 
 def _shift_axis3(arr, off):
@@ -159,44 +181,60 @@ def build_transport3d_year_pallas(
     )
 
     n_coef = len(coef_arrays)
+    blocks = _lat_blocks(nz, nlat, nlon, t_dim)
 
     def kernel(*refs):
-        coef_local = {
-            name: refs[ind][:] for ind, name in enumerate(coef_names)
-        }
-        dlb = refs[n_coef][:]
-        dub = refs[n_coef + 1][:]
+        # every per-step pass below walks the STATIC latitude-block list,
+        # reading a +/-_HALO-row window of the state through the VMEM refs
+        # and writing the block interior back.  Whole-field SSA values
+        # never exist, which is what bounds Mosaic's live vector-register
+        # set (the un-blocked form of this kernel spilled ~197 MiB of
+        # registers to VMEM at gx3 scale and could not compile on a v5e).
+        # The window math is IDENTICAL to the full-field form: latitude
+        # shifts zero-fill at window edges exactly as ops.transport3d._shift
+        # zero-fills off-grid, and only halo-independent rows are kept.
+        coef_refs = {name: refs[ind] for ind, name in enumerate(coef_names)}
+        dlb_ref = refs[n_coef]
+        dub_ref = refs[n_coef + 1]
         # NOTE: the local rates ride as their own operand -- recovering
         # diag as dmain + du + dl in float32 cancels catastrophically
         # (rates ~1e-7/s against mixing bands ~1e-1/s), biasing the
         # integrated rates by ~10%
-        diag_v = refs[n_coef + 2][:]
-        src_v = refs[n_coef + 3][:]
+        diag_ref = refs[n_coef + 2]
+        src_ref = refs[n_coef + 3]
         y0_ref = refs[n_coef + 4]
         y_out_ref = refs[n_coef + 5]
         c_scr = refs[n_coef + 6]
+        f1_scr = refs[n_coef + 7]
+        f2_scr = refs[n_coef + 8]
         y_scr = y_out_ref  # the output buffer doubles as the state
-        wet_surf = coef_local["wet"][0]
-        band_sum = dub + dlb
 
-        def cn_incr(y, h):
-            # solve (I - h/2 M) dv = h (M y); the rhs takes neighbor
-            # DIFFERENCES first (flux-form accuracy: the band form
-            # dl*y_prev + dmain*y + du*y_next cancels catastrophically
-            # under stiff mixing, losing ~h*eps*|kv/dz| of the state)
-            d_up = _shift_axis3(y, 1) - y    # du_b's zero last row annuls
-            d_dn = _shift_axis3(y, -1) - y   # dl_b's zero first row annuls
-            m_v = dub * d_up + dlb * d_dn + diag_v * y
-            half = 0.5 * h
-            b_main = 1.0 + half * band_sum - half * diag_v
-            return _pcr_axis3(
-                -half * dlb, b_main, -half * dub, h * m_v, nz
+        def win(ref, j0, j1):
+            """read rows [j0-_HALO, j1+_HALO) of a lat-axis ref, zero-
+            filled off-grid (matching _shift's closed-boundary fill)"""
+            ja, jb = max(0, j0 - _HALO), min(nlat, j1 + _HALO)
+            index = (slice(None),) * (len(ref.shape) - 2) + (
+                slice(ja, jb),
+                slice(None),
             )
+            vals = ref[index]
+            lo, hi = ja - (j0 - _HALO), (j1 + _HALO) - jb
+            if lo or hi:
+                pad = [(0, 0)] * vals.ndim
+                pad[-2] = (lo, hi)
+                vals = jnp.pad(vals, pad)
+            return vals
 
-        def tend(y):
-            out = transport_tend(coef_local, y) + src_v
+        def tend_win(j0, j1, y_of_win):
+            """tendency rows [j0, j1) from the window state y_of_win(...)"""
+            cw = {
+                name: (win(ref, j0, j1) if ref is not None else None)
+                for name, ref in coef_refs.items()
+            }
+            y_w = y_of_win(j0, j1)
+            out = transport_tend(cw, y_w) + win(src_ref, j0, j1)
             if couple_np is not None:
-                surf = y[:, 0]  # (T, nlat, nlon)
+                surf = y_w[:, 0]  # (T, W, nlon)
                 rows = []
                 for x_ind in range(t_dim):
                     acc = None
@@ -208,36 +246,75 @@ def build_transport3d_year_pallas(
                     rows.append(
                         jnp.zeros_like(surf[0]) if acc is None else acc
                     )
-                sflux = wet_surf * jnp.stack(rows)
+                sflux = cw["wet"][0] * jnp.stack(rows)
                 out = out.at[:, 0].add(sflux)
-            return out
+            return out[:, :, _HALO : _HALO + (j1 - j0), :]
 
-        def kahan(delta):
-            adj = delta + c_scr[:]
-            y_old = y_scr[:]
+        def kahan_block(j0, j1, delta):
+            """compensated y += delta on block-interior rows (in-place
+            safe: reads and writes only [j0, j1))"""
+            adj = delta + c_scr[:, :, j0:j1, :]
+            y_old = y_scr[:, :, j0:j1, :]
             y_new = y_old + adj
-            c_scr[:] = adj - (y_new - y_old)
-            y_scr[:] = y_new
+            c_scr[:, :, j0:j1, :] = adj - (y_new - y_old)
+            y_scr[:, :, j0:j1, :] = y_new
+
+        def cn_pass(h):
+            # solve (I - h/2 M) dv = h (M y) column-locally per block; the
+            # rhs takes neighbor DIFFERENCES first (flux-form accuracy: the
+            # band form dl*y_prev + dmain*y + du*y_next cancels
+            # catastrophically under stiff mixing, losing ~h*eps*|kv/dz|)
+            half = 0.5 * h
+            for j0, j1 in blocks:
+                y_b = y_scr[:, :, j0:j1, :]
+                dlb = dlb_ref[:, j0:j1, :]
+                dub = dub_ref[:, j0:j1, :]
+                diag_b = diag_ref[:, :, j0:j1, :]
+                d_up = _shift_axis3(y_b, 1) - y_b   # du_b's zero last row
+                d_dn = _shift_axis3(y_b, -1) - y_b  # dl_b's zero first row
+                m_v = dub * d_up + dlb * d_dn + diag_b * y_b
+                b_main = 1.0 + half * (dub + dlb) - half * diag_b
+                dv = _pcr_axis3(
+                    -half * dlb, b_main, -half * dub, h * m_v, nz
+                )
+                kahan_block(j0, j1, dv)
+
+        def y_win(j0, j1):
+            return win(y_scr, j0, j1)
 
         def heun():
-            y = y_scr[:]
-            f1 = tend(y)
-            f2 = tend(y + dt * f1)
-            kahan(0.5 * dt * (f1 + f2))
+            # three block passes with barriers between them: pass 2 reads
+            # halo rows of f1 from neighboring blocks, and pass 3's y
+            # updates must not feed pass 2's halo reads of y
+            for j0, j1 in blocks:
+                f1_scr[:, :, j0:j1, :] = tend_win(j0, j1, y_win)
+            for j0, j1 in blocks:
+                f2_scr[:, :, j0:j1, :] = tend_win(
+                    j0,
+                    j1,
+                    lambda a, b: win(y_scr, a, b) + dt * win(f1_scr, a, b),
+                )
+            for j0, j1 in blocks:
+                kahan_block(
+                    j0,
+                    j1,
+                    0.5
+                    * dt
+                    * (f1_scr[:, :, j0:j1, :] + f2_scr[:, :, j0:j1, :]),
+                )
 
         y_scr[:] = y0_ref[:]
-        c_scr[:] = jnp.zeros_like(y0_ref[:])
-        kahan(cn_incr(y_scr[:], 0.5 * dt))
+        c_scr[:] = jnp.zeros_like(c_scr[:])
+        cn_pass(0.5 * dt)
 
         def body(_i, carry):
             heun()
-            kahan(cn_incr(y_scr[:], dt))
+            cn_pass(dt)
             return carry
 
         jax.lax.fori_loop(0, n_steps - 1, body, 0)
         heun()
-        kahan(cn_incr(y_scr[:], 0.5 * dt))
-        y_out_ref[:] = y_scr[:]
+        cn_pass(0.5 * dt)
 
     shape4 = (t_dim, nz, nlat, nlon)
     operands = coef_arrays + (
@@ -256,7 +333,9 @@ def build_transport3d_year_pallas(
             in_specs=[vmem() for _ in range(len(operands) + 1)],
             out_specs=vmem(),
             scratch_shapes=[
-                pltpu.VMEM(shape4, dtype),
+                pltpu.VMEM(shape4, dtype),  # Kahan compensation
+                pltpu.VMEM(shape4, dtype),  # Heun stage 1
+                pltpu.VMEM(shape4, dtype),  # Heun stage 2
             ],
             compiler_params=compiler_params,
             interpret=interpret,

@@ -157,7 +157,7 @@ def _local_mixed_refine_loop(matvec64, matvec32, precond32, rhs_l, rtol,
                              max_iter):
     """float32 BiCGSTAB rounds under float64 iterative refinement, masked
     per right-hand side (the sharded twin of ops.sparse's
-    `_solve_ell_batch_line_mixed`)
+    `_solve_dia_batch_line_mixed`)
 
     matvec64/matvec32 map (n_rhs, rows_local) -> (n_rhs, rows_local) in the
     respective dtype and own their collectives; precond32 must be

@@ -103,12 +103,17 @@ class NewtonKrylovInCore:
                 armijo_max_ind=armijo_max_ind,
             )
 
-    def solve(self, x0, checkpoint_dir=None):
+    def solve(self, x0, checkpoint_dir=None, checkpoint_backend="npz"):
         """run Newton to convergence; returns (x, fcn, info)
 
         checkpoint_dir: snapshot the solver state (iterate + iteration) after
         every Newton step and resume from the latest snapshot on restart --
         the preemptible-TPU-VM analog of the file-backed solver's step log
+
+        checkpoint_backend: "npz" (gather to host, single atomic archive) or
+        "orbax" (async per-shard parallel writes that overlap the next
+        iteration's device work and restore straight into the mesh sharding
+        -- core/checkpoint.py; preferred for large sharded states)
         """
         logger = logging.getLogger(__name__)
         kernel = self.kernel
@@ -120,10 +125,33 @@ class NewtonKrylovInCore:
                     "per-step checkpointing needs the host-driven path"
                 )
             return self._solve_fused(x0)
+        if checkpoint_backend not in ("npz", "orbax"):
+            raise ValueError(f"unknown checkpoint_backend={checkpoint_backend}")
 
+        ckptr = None
+        if checkpoint_dir is not None and checkpoint_backend == "orbax":
+            from .checkpoint import SolverCheckpointer
+
+            ckptr = SolverCheckpointer(checkpoint_dir)
+        try:
+            return self._solve_host(
+                x0, checkpoint_dir, ckptr, logger, kernel
+            )
+        finally:
+            if ckptr is not None:
+                ckptr.close()
+
+    def _solve_host(self, x0, checkpoint_dir, ckptr, logger, kernel):
         x = x0
         iteration = 0
-        if checkpoint_dir is not None:
+        if ckptr is not None:
+            loaded = ckptr.restore_latest(
+                x0, getattr(kernel, "state_sharding", None)
+            )
+            if loaded is not None:
+                x, iteration = loaded
+                logger.info("resumed from checkpoint at iteration %d", iteration)
+        elif checkpoint_dir is not None:
             loaded = self._load_checkpoint(checkpoint_dir)
             if loaded is not None:
                 x, iteration = loaded
@@ -176,7 +204,9 @@ class NewtonKrylovInCore:
                 x = kernel.add(x, fcn)
                 fcn = kernel.comp_fcn(x)
             iteration += 1
-            if checkpoint_dir is not None:
+            if ckptr is not None:
+                ckptr.save(iteration, x)
+            elif checkpoint_dir is not None:
                 self._save_checkpoint(checkpoint_dir, x, iteration)
 
         info = {

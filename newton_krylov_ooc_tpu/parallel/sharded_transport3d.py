@@ -534,10 +534,11 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
             couple = None
 
         if use_pallas:
-            # single-device steady fast path: the whole year as one
-            # VMEM-resident pallas megakernel (raises for seasonal
-            # circulations, multi-device meshes, non-f32, or grids past
-            # the VMEM budget -- explicit beats a silent fallback)
+            # single-device fast path: the whole year as one VMEM-resident
+            # pallas megakernel; seasonal circulations stream month slabs
+            # from HBM through its DMA residency ring (raises for
+            # multi-device meshes, non-f32, or grids past the VMEM budget
+            # -- explicit beats a silent fallback)
             from ..ops.transport3d_pallas import (
                 build_transport3d_year_pallas,
             )

@@ -3,8 +3,11 @@
 Interpret-mode (CPU) equality: the kernel must reproduce the float64
 imex_year + transport_tend integration to the float32 discretization
 level (~1e-5 of the state; Kahan accumulation keeps the year-end error
-near the single-step level).  Guards: seasonal inputs and VMEM-oversized
-grids raise instead of silently falling over.
+near the single-step level) -- for steady AND seasonal (monthly-mean)
+circulation, where the megakernel streams month slabs from HBM through
+a 3-slab VMEM residency ring.  Guards: VMEM-oversized grids and
+seasonal steps coarser than one coefficient interval raise instead of
+silently falling over.
 """
 
 import jax
@@ -157,6 +160,32 @@ def test_kernel_pallas_solve_matches_xla(problem):
     )
 
 
+def test_kernel_pallas_seasonal_fcn_matches_xla(seasonal_problem):
+    """through the kernel interface: comp_fcn with a SEASONAL circulation
+    agrees between the pallas megakernel and the shard_map scan year"""
+    from jax.sharding import Mesh
+
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        ShardedTransport3dKernel,
+    )
+
+    circ = seasonal_problem[0]
+    specs = [[{"name": "DYE", "source_per_year": 0.1,
+               "sink_rate_per_year": 0.5,
+               "surf_restore_pv_cm_s": 5.0e-3}]]
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:1]), ("space",))
+    outs = []
+    for use_pallas in (False, True):
+        kernel = ShardedTransport3dKernel(
+            mesh, circ, specs, n_steps=N_STEPS, dtype=jnp.float32,
+            use_pallas=use_pallas, pallas_interpret=use_pallas,
+        )
+        x0 = kernel.init_iterate()
+        outs.append(np.asarray(kernel.comp_fcn(x0)))
+    scale = max(np.abs(outs[0]).max(), 1e-30)
+    np.testing.assert_allclose(outs[1], outs[0], rtol=0.0, atol=2e-5 * scale)
+
+
 def test_kernel_pallas_rejects_multi_device(problem):
     from jax.sharding import Mesh
 
@@ -174,17 +203,110 @@ def test_kernel_pallas_rejects_multi_device(problem):
         )
 
 
-def test_megakernel_rejects_seasonal():
-    circ = synthetic.gen_circulation(NZ, NLAT, NLON, n_seasons=4)
+@pytest.fixture(scope="module")
+def seasonal_problem():
+    mask = np.ones((NZ, NLAT, NLON), np.int32)
+    mask[:, 3, 2] = 0
+    circ = synthetic.gen_circulation(NZ, NLAT, NLON, mask=mask, n_seasons=4)
+    assert synthetic.stable_steps_per_year(circ) <= N_STEPS
     coef = build_transport3d(
         circ["mask"], circ["dz"], circ["TAREA"], uet=circ["UET"],
-        vnt=circ["VNT"], wtt=circ["WTT"],
+        vnt=circ["VNT"], wtt=circ["WTT"], hdiff_e=circ["HDIFF_E"],
+        hdiff_n=circ["HDIFF_N"],
     )
     kv, dz_r = vmix_vertical_coeff(circ["VDC"], circ["dz"])
-    diag = np.zeros((1, NZ, NLAT * NLON))
+    kv = mask_vmix_coeff(kv, circ["mask"])
+    rng = np.random.default_rng(11)
+    wet = (mask > 0).astype(np.float64)
+    diag = -rng.uniform(0.0, 1.0e-7, (T_DIM, NZ, NLAT, NLON)) * wet
+    src = rng.uniform(0.0, 1.0e-8, (T_DIM, NZ, NLAT, NLON)) * wet
+    y0 = rng.uniform(0.0, 1.0, (T_DIM, NZ, NLAT, NLON)) * wet
+    return circ, coef, kv, dz_r, diag, src, y0, wet
+
+
+def _scan_reference_seasonal(coef, kv, dz_r, diag, src, y0):
+    """float64 imex_year ground truth with seasonal circulation/mixing:
+    coefficients sampled by periodic midpoint interpolation at the exact
+    times the integrator passes (the megakernel must reproduce this)"""
+    from newton_krylov_ooc_tpu.ops.transport3d import (
+        interp_month,
+        interp_transport_coef,
+    )
+
+    src2 = jnp.asarray(src.reshape(T_DIM, NZ, NLAT * NLON))
+
+    def tend(t, y):
+        c_t = interp_transport_coef(coef, jnp.mod(t / YEAR, 1.0))
+        y3 = y.reshape(y.shape[:-1] + (NLAT, NLON))
+        return transport_tend(c_t, y3).reshape(y.shape) + src2
+
+    kv_j = jnp.asarray(kv)
+    if kv_j.ndim == 3:
+        vert_coeff = lambda t: interp_month(kv_j, jnp.mod(t / YEAR, 1.0))
+    else:
+        vert_coeff = lambda t: kv_j
+    return np.asarray(
+        imex_year(
+            tend,
+            vert_coeff,
+            jnp.asarray(diag.reshape(T_DIM, NZ, NLAT * NLON)),
+            dz_r,
+            jnp.asarray(y0.reshape(T_DIM, NZ, NLAT * NLON)),
+            (0.0, YEAR),
+            N_STEPS,
+        )
+    ).reshape(T_DIM, NZ, NLAT, NLON)
+
+
+def test_megakernel_seasonal_matches_scan(seasonal_problem):
+    """monthly circulation AND monthly vertical mixing: the HBM-resident
+    month stacks + 3-slab VMEM ring reproduce the scan's interpolated
+    year to the float32 discretization level"""
+    _circ, coef, kv, dz_r, diag, src, y0, wet = seasonal_problem
+    expected = _scan_reference_seasonal(coef, kv, dz_r, diag, src, y0)
+    fn = build_transport3d_year_pallas(
+        coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+        src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+    )
+    got = np.asarray(fn(jnp.asarray(y0), interpret=True))
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-5 * scale)
+    assert np.abs(got * (1.0 - wet)).max() == 0.0
+
+    # the seasonal cycle must actually matter: the annual-mean-coefficient
+    # year differs from the seasonal year well above the comparison tol
+    from newton_krylov_ooc_tpu.ops.transport3d import mean_transport_coef
+
+    steady = _scan_reference(
+        mean_transport_coef(coef), jnp.asarray(kv).mean(axis=0), dz_r,
+        diag, src, y0,
+    )
+    assert np.abs(steady - expected).max() > 1e-4 * scale
+
+
+def test_megakernel_seasonal_steady_kv(seasonal_problem):
+    """seasonal faces with STEADY vertical mixing (mixed case): only the
+    face fields ride the DMA ring, the CN bands stay VMEM-resident"""
+    _circ, coef, kv, dz_r, diag, src, y0, _wet = seasonal_problem
+    kv0 = np.asarray(kv)[0]
+    expected = _scan_reference_seasonal(coef, kv0, dz_r, diag, src, y0)
+    fn = build_transport3d_year_pallas(
+        coef, kv0, dz_r, diag.reshape(T_DIM, NZ, -1),
+        src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+    )
+    got = np.asarray(fn(jnp.asarray(y0), interpret=True))
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-5 * scale)
+
+
+def test_megakernel_seasonal_rejects_coarse_steps(seasonal_problem):
+    """steps longer than one coefficient interval would outrun the
+    3-slab residency ring: refuse instead of interpolating stale months"""
+    _circ, coef, kv, dz_r, diag, _src, _y0, _wet = seasonal_problem
     with pytest.raises(ValueError, match="seasonal"):
         build_transport3d_year_pallas(
-            coef, np.asarray(kv)[0], dz_r, diag, diag, (0.0, YEAR), 16
+            coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+            diag.reshape(T_DIM, NZ, -1), (0.0, YEAR), 3,
         )
 
 

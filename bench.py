@@ -337,6 +337,16 @@ def main():
     # secondary measured fields (best-effort; the primary metric above is
     # complete even if these are skipped by budget or failure)
     bench_t0 = time.time()
+    # per-section wall-clock so the time gates below can be tuned on data
+    # instead of guesswork (the watchdog budget is ~1500 s total)
+    _sect_prev = [bench_t0]
+    result["bench_section_seconds"] = {}
+
+    def _mark(name):
+        now = time.time()
+        result["bench_section_seconds"][name] = round(now - _sect_prev[0], 1)
+        _sect_prev[0] = now
+
     if os.environ.get("NK_BENCH_EXTRA", "1") != "0":
         from newton_krylov_ooc_tpu.models.py_driver_2d import physics
         from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
@@ -394,6 +404,7 @@ def main():
         # lateral-diffusion stability bound dt <= dy^2/(2K) ~ 3125 s -- the
         # step count refines until the Heun half is comfortably stable, and
         # the output is checked finite (an unstable run "benchmarks" NaNs).
+        _mark("pallas_2d")
         if time.time() - bench_t0 < 240:
             try:
                 from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
@@ -438,6 +449,7 @@ def main():
         # matvecs the host path pays one ~25 ms dispatch round-trip per
         # Arnoldi step while the jitted path is ONE device call -- the
         # wall-clock gap is the recorded delta (ops/gmres.py)
+        _mark("million_cell")
         if time.time() - bench_t0 < 300:
             try:
                 from newton_krylov_ooc_tpu.core.incore import (
@@ -505,6 +517,7 @@ def main():
         # between halo exchanges (the production path); the per-step XLA
         # variant is timed at a coarse step count and scaled, as a
         # structural comparison point.
+        _mark("gmres_newton")
         if time.time() - bench_t0 < 420:
             try:
                 from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
@@ -612,6 +625,7 @@ def main():
         # the cime_pop-class workload -- ~700k wet cells as one on-device
         # IMEX scan.  The reference runs this by submitting POP to a
         # batch scheduler.
+        _mark("sharded_million")
         if time.time() - bench_t0 < 480:
             try:
                 g_nz, g_nlat, g_nlon = 60, 116, 100  # POP gx3v7 extents
@@ -632,6 +646,7 @@ def main():
         # VMEM-resident for every step (the XLA scan above re-streams
         # ~50 MB of stencil coefficients from HBM each step).  Accelerator
         # only -- interpret mode at this scale is pointless.
+        _mark("gx3_scan")
         if (
             time.time() - bench_t0 < 510
             and jax.devices()[0].platform != "cpu"
@@ -677,8 +692,9 @@ def main():
         # reference's PRODUCTION grid -- its preconditioner solve alone
         # takes 256 MPI ranks at 2.3 GB each): one XLA-scan year of 7.4M
         # cells on a single chip.  Accelerator only.
+        _mark("gx3_pallas")
         if (
-            time.time() - bench_t0 < 520
+            time.time() - bench_t0 < 560
             and jax.devices()[0].platform != "cpu"
         ):
             try:
@@ -705,8 +721,9 @@ def main():
         # Skipped whenever the measured backend is a CPU (forced fallback
         # or simply no accelerator present): the full solve would dominate
         # the watchdog budget without measuring the device.
+        _mark("gx1")
         if (
-            time.time() - bench_t0 < 540
+            time.time() - bench_t0 < 640
             and (
                 jax.devices()[0].platform != "cpu"
                 or os.environ.get("NK_BENCH_IRF3D_GRID")
@@ -777,8 +794,10 @@ def main():
                 )
 
                 solve_out = None
+                # per-MODULE fit is enough: the kernel class splits a
+                # too-large family into per-module megakernels itself
                 if jax.devices()[0].platform != "cpu" and megakernel_fits_vmem(
-                    s_nz, s_nlat, s_nlon, sum(len(m) for m in specs)
+                    s_nz, s_nlat, s_nlon, max(len(m) for m in specs)
                 ):
                     try:
                         solve_out = run_spinup(True)
@@ -800,6 +819,73 @@ def main():
             except Exception as exc:  # noqa: BLE001
                 result["irf3d_solve_bench_error"] = f"{type(exc).__name__}: {exc}"
 
+    # SEASONAL whole-year megakernel: monthly circulation AND monthly
+    # vertical mixing streamed from HBM through the kernel's 3-slab DMA
+    # residency ring (the reference can only run the ncra-collapsed
+    # annual mean).  Grid is the largest gx3-class seasonal extent that
+    # fits one core's VMEM with 12-month rings; accuracy vs the scan is
+    # pinned by tests/test_transport3d_pallas.py.  Accelerator only.
+    _mark("full_solve")
+    if (
+        os.environ.get("NK_BENCH_EXTRA", "1") != "0"
+        and time.time() - bench_t0 < 900
+        and jax.devices()[0].platform != "cpu"
+    ):
+        try:
+            from newton_krylov_ooc_tpu.models.irf_offline import synthetic
+            from newton_krylov_ooc_tpu.ops.transport3d import (
+                build_transport3d,
+                mask_vmix_coeff,
+                vmix_vertical_coeff,
+            )
+            from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
+                build_transport3d_year_pallas,
+            )
+
+            s_nz, s_nlat, s_nlon = 60, 88, 100
+            circ_s = synthetic.gen_circulation(
+                s_nz, s_nlat, s_nlon, n_seasons=12
+            )
+            coef_s = build_transport3d(
+                circ_s["mask"], circ_s["dz"], circ_s["TAREA"],
+                uet=circ_s["UET"], vnt=circ_s["VNT"], wtt=circ_s["WTT"],
+                hdiff_e=circ_s["HDIFF_E"], hdiff_n=circ_s["HDIFF_N"],
+            )
+            kv_s, dzr_s = vmix_vertical_coeff(circ_s["VDC"], circ_s["dz"])
+            kv_s = mask_vmix_coeff(kv_s, circ_s["mask"])
+            steps_s = max(1460, synthetic.stable_steps_per_year(circ_s))
+            diag_s = np.zeros((1, s_nz, s_nlat * s_nlon), np.float32)
+            season_year = build_transport3d_year_pallas(
+                coef_s, kv_s, dzr_s, diag_s, diag_s, (0.0, year), steps_s
+            )
+            wet_s = (np.asarray(circ_s["mask"]) > 0).astype(np.float32)
+            y0_s = jnp.asarray(
+                np.random.default_rng(5)
+                .uniform(0.0, 1.0, (1, s_nz, s_nlat, s_nlon))
+                .astype(np.float32)
+                * wet_s
+            )
+            out_s = season_year(y0_s)
+            out_s.block_until_ready()
+            assert np.isfinite(np.asarray(out_s)).all()
+            times_s = []
+            for _ in range(2):
+                start = time.time()
+                season_year(y0_s).block_until_ready()
+                times_s.append(time.time() - start)
+            result["irf3d_seasonal_year_pallas_seconds"] = round(
+                min(times_s), 4
+            )
+            result["irf3d_seasonal_cells"] = s_nz * s_nlat * s_nlon
+            result["irf3d_seasonal_n_steps"] = steps_s
+            result["irf3d_seasonal_pallas_cell_steps_per_second"] = round(
+                s_nz * s_nlat * s_nlon * steps_s / min(times_s)
+            )
+        except Exception as exc:  # noqa: BLE001
+            result["irf3d_seasonal_bench_error"] = (
+                f"{type(exc).__name__}: {exc}"
+            )
+
     # device sparse preconditioner solve at gx3 scale through the REAL
     # pipeline: synthetic IRF circulation -> native gen_A assembly ->
     # ops/sparse BiCGSTAB, comparing the pointwise-Jacobi baseline to the
@@ -812,9 +898,10 @@ def main():
         os.path.dirname(os.path.realpath(__file__)),
         "native", "precond_tools", "bin", "gen_A",
     )
+    _mark("seasonal")
     if (
         os.environ.get("NK_BENCH_EXTRA", "1") != "0"
-        and time.time() - bench_t0 < 900
+        and time.time() - bench_t0 < 1200
         and os.path.exists(gen_a_bin)
     ):
         try:
@@ -912,6 +999,7 @@ def main():
         except Exception as exc:  # noqa: BLE001
             result["precond_bench_error"] = f"{type(exc).__name__}: {exc}"
 
+    _mark("precond_x64")
     print(json.dumps(result))
 
 

@@ -550,19 +550,61 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
                 )
             if dtype != jnp.float32:
                 raise ValueError("the pallas megakernel is float32-only")
-            year_p = build_transport3d_year_pallas(
-                coef, kv, dz_r, diag, src, t_span, n_steps, couple=couple
-            )
-            year0_p = build_transport3d_year_pallas(
-                coef, kv, dz_r, diag, np.zeros_like(src), t_span, n_steps,
-                couple=couple,
-            )
-            self._year_flat = lambda y: year_p(
-                y, interpret=pallas_interpret
-            )
-            self._year0_flat = lambda y: year0_p(
-                y, interpret=pallas_interpret
-            )
+
+            def build_years(diag_b, src_b, couple_b):
+                """(year, year0) megakernels over a tracer batch"""
+                return (
+                    build_transport3d_year_pallas(
+                        coef, kv, dz_r, diag_b, src_b, t_span, n_steps,
+                        couple=couple_b,
+                    ),
+                    build_transport3d_year_pallas(
+                        coef, kv, dz_r, diag_b, np.zeros_like(src_b),
+                        t_span, n_steps, couple=couple_b,
+                    ),
+                )
+
+            try:
+                year_p, year0_p = build_years(diag, src, couple)
+                self._year_flat = lambda y: year_p(
+                    y, interpret=pallas_interpret
+                )
+                self._year0_flat = lambda y: year0_p(
+                    y, interpret=pallas_interpret
+                )
+            except ValueError:
+                if self.module_batch == 1:
+                    raise
+                # the FAMILY batch overflows one core's VMEM but a single
+                # module may still fit: per-tracer state costs 7 resident
+                # fields while the shared coefficients are paid once, so
+                # per-module megakernels (couple is block-diagonal over
+                # modules) extend the fast path to multi-module solves at
+                # the cost of one kernel launch per module per year
+                per_mod = []
+                for m_ind in range(self.module_batch):
+                    blk = slice(m_ind * t_dim, (m_ind + 1) * t_dim)
+                    couple_m = (
+                        None if couple is None else couple[blk, blk]
+                    )
+                    per_mod.append(
+                        build_years(diag[blk], src[blk], couple_m)
+                    )
+
+                def _cat(fns, y):
+                    parts = [
+                        fn(
+                            y[m * t_dim : (m + 1) * t_dim],
+                            interpret=pallas_interpret,
+                        )
+                        for m, fn in enumerate(fns)
+                    ]
+                    return jnp.concatenate(parts, axis=0)
+
+                years = [pair[0] for pair in per_mod]
+                years0 = [pair[1] for pair in per_mod]
+                self._year_flat = lambda y: _cat(years, y)
+                self._year0_flat = lambda y: _cat(years0, y)
             flat_shape = (n_flat, nz, nlat, nlon)
             self._year_consts = {"year": (), "year0": ()}
 

@@ -186,6 +186,54 @@ def test_kernel_pallas_seasonal_fcn_matches_xla(seasonal_problem):
     np.testing.assert_allclose(outs[1], outs[0], rtol=0.0, atol=2e-5 * scale)
 
 
+def test_kernel_pallas_per_module_split(problem, monkeypatch):
+    """when the FAMILY tracer batch overflows the megakernel's VMEM
+    budget but one module fits, the kernel splits into per-module
+    megakernels (couple is block-diagonal) and matches the scan year"""
+    from jax.sharding import Mesh
+
+    from newton_krylov_ooc_tpu.ops import transport3d_pallas as t3p
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        ShardedTransport3dKernel,
+    )
+
+    circ = problem[0]
+    specs = [
+        [{"name": "DYE_A", "source_per_year": 0.1,
+          "sink_rate_per_year": 0.5, "surf_restore_pv_cm_s": 5.0e-3}],
+        [{"name": "DYE_B", "sink_rate_per_year": 0.2,
+          "surf_restore_pv_cm_s": 2.0e-3}],
+    ]
+    # pin the cap between the one-module and two-module footprints so the
+    # family build raises and the per-module split engages
+    coef = problem[1]
+    n_coef = sum(1 for _k, arr in coef.items() if arr is not None)
+    est1 = t3p._estimate_vmem(NZ, NLAT, NLON, 1, n_coef)
+    est2 = t3p._estimate_vmem(NZ, NLAT, NLON, 2, n_coef)
+    assert est1 < est2
+    monkeypatch.setattr(t3p, "_VMEM_CAP", (est1 + est2) // 2)
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:1]), ("space",))
+    outs = []
+    for use_pallas in (False, True):
+        kernel = ShardedTransport3dKernel(
+            mesh, circ, specs, n_steps=N_STEPS, dtype=jnp.float32,
+            use_pallas=use_pallas, pallas_interpret=use_pallas,
+        )
+        x0 = kernel.init_iterate()
+        outs.append(np.asarray(kernel.comp_fcn(x0)))
+    scale = max(np.abs(outs[0]).max(), 1e-30)
+    np.testing.assert_allclose(outs[1], outs[0], rtol=0.0, atol=2e-5 * scale)
+
+    # and a batch that overflows even per-module still raises
+    monkeypatch.setattr(t3p, "_VMEM_CAP", est1 - 1)
+    with pytest.raises(ValueError, match="VMEM"):
+        ShardedTransport3dKernel(
+            mesh, circ, specs, n_steps=N_STEPS, dtype=jnp.float32,
+            use_pallas=True,
+        )
+
+
 def test_kernel_pallas_rejects_multi_device(problem):
     from jax.sharding import Mesh
 

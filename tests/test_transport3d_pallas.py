@@ -368,3 +368,65 @@ def test_megakernel_rejects_oversized_grid(problem):
         build_transport3d_year_pallas(
             coef, kv, dz_r, big, big, (0.0, YEAR), 16
         )
+
+
+# -- HBM-streaming year kernel (transport3d_stream_pallas) ----------------
+
+
+def test_stream_kernel_matches_scan(problem):
+    """the streaming (HBM ping-pong + latitude-block window) year must
+    reproduce the float64 scan year to the float32 discretization level,
+    across a block size that tiles nlat unevenly (forcing dry padding)"""
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+    )
+
+    _circ, coef, kv, dz_r, diag, src, y0, wet = problem
+    expected = _scan_reference(coef, kv, dz_r, diag, src, y0)
+    scale = np.abs(expected).max()
+    for block_rows, prefetch in ((8, False), (16, False), (8, True)):
+        fn = build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+            src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+            block_rows=block_rows, prefetch=prefetch,
+        )
+        got = np.asarray(fn(jnp.asarray(y0), interpret=True))
+        np.testing.assert_allclose(
+            got, expected, rtol=0.0, atol=1e-5 * scale
+        )
+        assert np.abs(got * (1.0 - wet)).max() == 0.0
+
+
+def test_stream_kernel_coupled(problem):
+    """surface gas-exchange coupling rides the streaming kernel too"""
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+    )
+
+    circ, coef, kv, dz_r, diag, src, y0, wet = problem
+    couple = np.zeros((T_DIM, T_DIM))
+    couple[1, 0] = 4.25e-3 / circ["dz"][0]
+    couple[1, 1] = -2.0e-3 / circ["dz"][0]
+    expected = _scan_reference(
+        coef, kv, dz_r, diag, src, y0, couple=couple, wet=wet
+    )
+    fn = build_transport3d_year_stream(
+        coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+        src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS, couple=couple,
+    )
+    got = np.asarray(fn(jnp.asarray(y0), interpret=True))
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-5 * scale)
+
+
+def test_stream_kernel_rejects_seasonal(seasonal_problem):
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+    )
+
+    _circ, coef, kv, dz_r, diag, _src, _y0, _wet = seasonal_problem
+    with pytest.raises(ValueError, match="steady-only"):
+        build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+            diag.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+        )

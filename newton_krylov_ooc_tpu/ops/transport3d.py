@@ -244,6 +244,32 @@ def build_transport3d(
     return coef
 
 
+UPWIND3_SELECTOR_KEYS = (
+    "sel3p_e", "sel3n_e", "sel3p_n", "sel3n_n", "sel3p_t", "sel3n_t",
+)
+
+
+def upwind3_selectors(wet):
+    """derive the six upwind3 far-cell selector fields from a wet mask.
+
+    Every selector is a pure shift of `wet` (periodic in lon, zero-filled
+    in lat/depth) -- identical to the arrays build_transport3d
+    precomputes, so streaming/VMEM-resident kernels can hold only `wet`
+    and rebuild the selectors on the fly (six fewer resident/streamed
+    fields).  Valid wherever `wet` itself is valid to a 2-cell shift:
+    on a lat-window, rows within 2 of a window cut get zero-filled
+    neighbors exactly as a dry halo row would provide.
+    """
+    return {
+        "sel3p_e": jnp.roll(wet, 1, axis=-1),
+        "sel3n_e": jnp.roll(wet, -2, axis=-1),
+        "sel3p_n": _shift(wet, -1, -2),
+        "sel3n_n": _shift(wet, 2, -2),
+        "sel3p_t": _shift(wet, 1, -3),
+        "sel3n_t": _shift(wet, -2, -3),
+    }
+
+
 def _face_value(trans, y_up, y_dn, y_uu, y_dd, sel3p, sel3n, upwind3):
     """advective face tracer value for transport `trans` from cell `up`
     toward cell `dn` (positive trans); y_uu/y_dd are the far cells"""

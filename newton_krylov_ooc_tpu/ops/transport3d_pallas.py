@@ -47,7 +47,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .imex_pallas import _pcr_minor2
-from .transport3d import _shift, transport_coef_n_time, transport_tend
+from .transport3d import (
+    UPWIND3_SELECTOR_KEYS,
+    _shift,
+    transport_coef_n_time,
+    transport_tend,
+    upwind3_selectors,
+)
 
 SEC_PER_YEAR = 365.0 * 86400.0
 
@@ -72,13 +78,15 @@ def _padded_field_bytes(nz, nlat, nlon):
 
 
 def megakernel_fits_vmem(
-    nz, nlat, nlon, t_dim, n_coef=13, n_seasonal=0, kv_seasonal=False
+    nz, nlat, nlon, t_dim, n_coef=7, n_seasonal=0, kv_seasonal=False
 ):
     """advisory: does a t_dim-tracer megakernel of this grid fit the VMEM
-    budget?  n_coef counts the STEADY coefficient fields; each seasonal
-    field (n_seasonal, plus the two CN band fields when kv_seasonal) costs
-    _SLABS resident month slabs instead of one.  Callers can test BEFORE
-    building anything; the same estimate gates
+    budget?  n_coef counts the STEADY coefficient fields (7 for the full
+    stencil: wet, recip_vol, three transports, two conductances -- the six
+    upwind3 selectors are derived from `wet` in-kernel and cost nothing);
+    each seasonal field (n_seasonal, plus the two CN band fields when
+    kv_seasonal) costs _SLABS resident month slabs instead of one.
+    Callers can test BEFORE building anything; the same estimate gates
     build_transport3d_year_pallas, and Mosaic's compile-time check remains
     the authority on hardware."""
     return (
@@ -200,7 +208,16 @@ def build_transport3d_year_pallas(
             f"({period / n_time:.0f} s); got dt={dt:.0f} s -- raise n_steps"
         )
 
-    all_names = [name for name, arr in sorted(coef.items()) if arr is not None]
+    # the six upwind3 selectors are pure shifts of `wet`: derive them from
+    # the resident wet field per block instead of keeping six more fields
+    # in VMEM -- ~22 MiB back at gx3 scale, which is what lets two-tracer
+    # families fit the whole-year kernel
+    upwind3 = coef.get("sel3p_e") is not None
+    all_names = [
+        name
+        for name, arr in sorted(coef.items())
+        if arr is not None and name not in UPWIND3_SELECTOR_KEYS
+    ]
     seasonal_names = [n for n in all_names if np.asarray(coef[n]).ndim == 4]
     steady_names = [n for n in all_names if n not in seasonal_names]
 
@@ -424,6 +441,8 @@ def build_transport3d_year_pallas(
             cw = {
                 name: coef_win(name, tw, j0, j1) for name in all_names
             }
+            if upwind3:
+                cw.update(upwind3_selectors(cw["wet"]))
             y_w = y_of_win(j0, j1)
             out = transport_tend(cw, y_w) + win(src_ref, j0, j1)
             if couple_np is not None:

@@ -53,7 +53,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .transport3d import transport_coef_n_time, transport_tend
+from .transport3d import (
+    UPWIND3_SELECTOR_KEYS,
+    transport_coef_n_time,
+    transport_tend,
+    upwind3_selectors,
+)
 from .transport3d_pallas import _cn_bands, _pcr_axis3
 
 SEC_PER_YEAR = 365.0 * 86400.0
@@ -73,7 +78,7 @@ def _pad_rows(arr, rows, lanes):
 
 def build_transport3d_year_stream(
     coef, kv, dz_r, diag, src, t_span, n_steps, couple=None, block_rows=16,
-    prefetch=False,
+    prefetch=False, steps_per_sweep=1,
 ):
     """build fn(y0, interpret=False) -> y_end, the streaming-year kernel.
 
@@ -88,6 +93,14 @@ def build_transport3d_year_stream(
     dominant per-block DMA): block k+1's window streams while block k
     computes, hiding most of the coefficient traffic behind the stencil
     work at the cost of a second window buffer in VMEM.
+
+    steps_per_sweep=2 runs TWO model steps per latitude sweep inside one
+    window residency -- the 8-row halo is exactly two steps' stencil
+    consumption (step one updates rows halo/2 .. W-halo/2, step two the
+    interior), halving the per-step coefficient/state traffic for ~12%
+    more VPU work.  Requires even n_steps.  Results remain block-size
+    independent: the halo rows' step-one update is the bitwise-identical
+    arithmetic the neighboring block applies to the same rows.
     """
     if transport_coef_n_time(coef) is not None or np.asarray(kv).ndim == 3:
         raise ValueError(
@@ -96,6 +109,10 @@ def build_transport3d_year_stream(
         )
     if block_rows % 8 or block_rows <= 0:
         raise ValueError("block_rows must be a positive multiple of 8")
+    if steps_per_sweep not in (1, 2):
+        raise ValueError("steps_per_sweep must be 1 or 2")
+    if steps_per_sweep == 2 and int(n_steps) % 2:
+        raise ValueError("steps_per_sweep=2 needs an even n_steps")
 
     dtype = jnp.float32
     wet = np.asarray(coef["wet"], np.float32)
@@ -111,7 +128,15 @@ def build_transport3d_year_stream(
     n_blocks = nlat_p // b_rows
     w_rows = b_rows + 2 * _HALO
 
-    names = [name for name, arr in sorted(coef.items()) if arr is not None]
+    # the six upwind3 selectors are pure shifts of `wet`: derive them from
+    # the wet window in-kernel instead of streaming six more field-windows
+    # per block (43% of the coefficient traffic at the full stencil)
+    upwind3 = "sel3p_e" in coef and coef["sel3p_e"] is not None
+    names = [
+        name
+        for name, arr in sorted(coef.items())
+        if arr is not None and name not in UPWIND3_SELECTOR_KEYS
+    ]
     n_coef = len(names)
     n_w = n_coef + t_dim  # window stack: coefficients, then per-tracer src
     stack_w = np.concatenate(
@@ -147,6 +172,8 @@ def build_transport3d_year_stream(
     name_ind = {name: ind for ind, name in enumerate(names)}
     buf_shape = (t_dim, nz, rows, lanes)
     int_lo, int_hi = _HALO, _HALO + b_rows  # block interior inside a window
+    k_steps = steps_per_sweep
+    n_sweeps = n_steps // k_steps + 1  # sweep 0 is the opening CNh(dt/2)
 
     def kernel(stack_w_hbm, stack_b_hbm, y0_hbm, y_pp_in, c_pp_in,
                y_pp, c_pp, w_buf, b_buf, y_buf, f1_buf, c_buf, sems):
@@ -173,7 +200,7 @@ def build_transport3d_year_stream(
             # on the block index -- never on the sweep or the state -- so
             # prefetching across the sweep boundary is hazard-free.
             g = s * n_blocks + blk
-            total = (n_steps + 1) * n_blocks
+            total = n_sweeps * n_blocks
 
             def dma_w(slot, g2):
                 blk2 = jnp.remainder(g2, n_blocks)
@@ -196,7 +223,7 @@ def build_transport3d_year_stream(
         else:
             copy(stack_w_hbm.at[:, :, pl.ds(win0, w_rows), :], w_buf.at[0], 0)
             w_cur = 0
-        copy(stack_b_hbm.at[:, :, pl.ds(int0, b_rows), :], b_buf, 1)
+        copy(stack_b_hbm.at[:, :, pl.ds(win0, w_rows), :], b_buf, 1)
 
         @pl.when(s == 0)
         def _():
@@ -208,7 +235,7 @@ def build_transport3d_year_stream(
             copy(
                 y_pp.at[(s - 1) % 2, :, :, pl.ds(win0, w_rows), :], y_buf, 2
             )
-            copy(c_pp.at[:, :, pl.ds(int0, b_rows), :], c_buf, 3)
+            copy(c_pp.at[:, :, pl.ds(win0, w_rows), :], c_buf, 3)
 
         # COMPUTE ON LANE-TRIMMED VALUES: the lon axis is periodic and
         # transport_tend wraps it with jnp.roll, so the (128-tile) lane
@@ -220,12 +247,14 @@ def build_transport3d_year_stream(
             name: w_buf[w_cur, ind][..., :nlon]
             for name, ind in name_ind.items()
         }
+        if upwind3:
+            coef_w.update(upwind3_selectors(coef_w["wet"]))
         src_w = jnp.stack(
             [w_buf[w_cur, n_coef + t] for t in range(t_dim)]
         )[..., :nlon]
-        dlb = b_buf[0][..., :nlon]
-        dub = b_buf[1][..., :nlon]
-        diag_b = b_buf[2 : 2 + t_dim][..., :nlon]
+        dlb_w = b_buf[0][..., :nlon]
+        dub_w = b_buf[1][..., :nlon]
+        diag_w = b_buf[2 : 2 + t_dim][..., :nlon]
 
         def tend(y_w):
             out = transport_tend(coef_w, y_w) + src_w
@@ -250,52 +279,73 @@ def build_transport3d_year_stream(
             y_new = y + adj
             return y_new, adj - (y_new - y)
 
-        # -- Heun on the block interior (sweeps 1..n); stage-1 tendency is
-        # recomputed over the halo so f1 never round-trips HBM ------------
-        @pl.when(s > 0)
-        def _():
+        def cn(lo, hi, half):
+            """Crank-Nicolson on window rows [lo, hi) (column-local in
+            depth); flux-form rhs: neighbor differences first
+            (cancellation-safe) -- exactly imex_year's solve"""
+            y_r = y_buf[:, :, lo:hi, :nlon]
+            dlb = dlb_w[:, lo:hi, :]
+            dub = dub_w[:, lo:hi, :]
+            dgb = diag_w[:, :, lo:hi, :]
+            d_up = _shift_z(y_r, 1) - y_r   # dub's zero last level
+            d_dn = _shift_z(y_r, -1) - y_r  # dlb's zero first level
+            m_v = dub * d_up + dlb * d_dn + dgb * y_r
+            b_main = 1.0 + half * (dub + dlb) - half * dgb
+            dv = _pcr_axis3(
+                -half * dlb, b_main, -half * dub, 2.0 * half * m_v, nz
+            )
+            y_new, c_new = kahan(y_r, c_buf[:, :, lo:hi, :nlon], dv)
+            y_buf[:, :, lo:hi, :nlon] = y_new
+            c_buf[:, :, lo:hi, :nlon] = c_new
+
+        def heun(lo, hi):
+            """one Heun update on window rows [lo, hi); the stage-1
+            tendency is recomputed over the halo so it never round-trips
+            HBM"""
             y_w = y_buf[:, :, :, :nlon]
             f1 = tend(y_w)
             f1_buf[:, :, :, :nlon] = f1
-            f2_int = tend(y_w + dtype(dt) * f1)[:, :, int_lo:int_hi, :]
-            delta = 0.5 * dtype(dt) * (
-                f1_buf[:, :, int_lo:int_hi, :nlon] + f2_int
-            )
+            f2_r = tend(y_w + dtype(dt) * f1)[:, :, lo:hi, :]
+            delta = 0.5 * dtype(dt) * (f1_buf[:, :, lo:hi, :nlon] + f2_r)
             y_new, c_new = kahan(
-                y_buf[:, :, int_lo:int_hi, :nlon],
-                c_buf[:, :, :, :nlon],
-                delta,
+                y_buf[:, :, lo:hi, :nlon], c_buf[:, :, lo:hi, :nlon], delta
             )
-            y_buf[:, :, int_lo:int_hi, :nlon] = y_new
-            c_buf[:, :, :, :nlon] = c_new
+            y_buf[:, :, lo:hi, :nlon] = y_new
+            c_buf[:, :, lo:hi, :nlon] = c_new
 
-        # -- Crank-Nicolson on the interior (column-local in depth).  The
-        # half-step sweeps (s == 0 and s == n_steps) solve over dt/2; the
-        # merged interior sweeps over dt -- exactly imex_year's schedule.
-        # Flux-form rhs: neighbor differences first (cancellation-safe) --
-        half = 0.5 * jnp.where(
-            jnp.logical_or(s == 0, s == n_steps), dtype(0.5 * dt), dtype(dt)
-        )
-        y_int = y_buf[:, :, int_lo:int_hi, :nlon]
-        d_up = _shift_z(y_int, 1) - y_int   # dub's zero last level
-        d_dn = _shift_z(y_int, -1) - y_int  # dlb's zero first level
-        m_v = dub * d_up + dlb * d_dn + diag_b * y_int
-        b_main = 1.0 + half * (dub + dlb) - half * diag_b
-        dv = _pcr_axis3(
-            -half * dlb, b_main, -half * dub, 2.0 * half * m_v, nz
-        )
-        y_new, c_new = kahan(y_int, c_buf[:, :, :, :nlon], dv)
-        y_buf[:, :, int_lo:int_hi, :nlon] = y_new
-        c_buf[:, :, :, :nlon] = c_new
+        # -- model steps: sweep 0 is the opening CNh(dt/2); each later
+        # sweep runs k_steps x [Heun; CN], the FIRST on rows
+        # [halo/2, W - halo/2) so its result feeds the second step's
+        # stencil (halo rows get the bitwise-identical update their owning
+        # block applies, so results stay block-size independent), the last
+        # on the interior.  The final model step's CN is the closing
+        # CNh(dt/2) -- exactly imex_year's merged-half-step schedule. ----
+        @pl.when(s == 0)
+        def _():
+            cn(int_lo, int_hi, dtype(0.25 * dt))
+
+        @pl.when(s > 0)
+        def _():
+            if k_steps == 2:
+                heun(_HALO // 2, w_rows - _HALO // 2)
+                cn(_HALO // 2, w_rows - _HALO // 2, dtype(0.5 * dt))
+            last = s == n_sweeps - 1
+            heun(int_lo, int_hi)
+            half_b = 0.5 * jnp.where(last, dtype(0.5 * dt), dtype(dt))
+            cn(int_lo, int_hi, half_b)
 
         # -- write back: the interior rows, to this sweep's ping-pong slot
-        # (the final sweep's slot, n_steps % 2, is the kernel result) -----
+        # (the final sweep's slot, (n_sweeps-1) % 2, is the result) -------
         copy(
             y_buf.at[:, :, pl.ds(int_lo, b_rows), :],
             y_pp.at[s % 2, :, :, pl.ds(int0, b_rows), :],
             5,
         )
-        copy(c_buf, c_pp.at[:, :, pl.ds(int0, b_rows), :], 6)
+        copy(
+            c_buf.at[:, :, pl.ds(int_lo, b_rows), :],
+            c_pp.at[:, :, pl.ds(int0, b_rows), :],
+            6,
+        )
 
     def _shift_z(arr, off):
         """result[..., k, :, :] = arr[..., k + off, :, :], zero off-grid"""
@@ -311,18 +361,18 @@ def build_transport3d_year_stream(
 
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)  # noqa: E731
 
-    grid = (n_steps + 1, n_blocks)
+    grid = (n_sweeps, n_blocks)
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
-        vmem_limit_bytes=120 << 20,
+        vmem_limit_bytes=127 << 20,
     )
     n_slots = 2 if prefetch else 1
     scratch_shapes = [
         pltpu.VMEM((n_slots, n_w, nz, w_rows, lanes), dtype),  # windows
-        pltpu.VMEM((2 + t_dim, nz, b_rows, lanes), dtype),     # bands+diag
+        pltpu.VMEM((2 + t_dim, nz, w_rows, lanes), dtype),     # bands+diag
         pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),         # state win
         pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),         # Heun f1
-        pltpu.VMEM((t_dim, nz, b_rows, lanes), dtype),         # comp
+        pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),         # comp
         pltpu.SemaphoreType.DMA((9,)),
     ]
 
@@ -357,7 +407,7 @@ def build_transport3d_year_stream(
             jnp.zeros((2,) + buf_shape, dtype),
             jnp.zeros(buf_shape, dtype),
         )
-        return y_pp[n_steps % 2, :, :, _HALO : _HALO + nlat, :nlon]
+        return y_pp[(n_sweeps - 1) % 2, :, :, _HALO : _HALO + nlat, :nlon]
 
     def year(y0, interpret=False):
         return _year_op(y0, stack_w_j, stack_b_j, interpret=interpret)

@@ -206,8 +206,14 @@ def test_kernel_pallas_per_module_split(problem, monkeypatch):
     ]
     # pin the cap between the one-module and two-module footprints so the
     # family build raises and the per-module split engages
+    from newton_krylov_ooc_tpu.ops.transport3d import UPWIND3_SELECTOR_KEYS
+
     coef = problem[1]
-    n_coef = sum(1 for _k, arr in coef.items() if arr is not None)
+    n_coef = sum(
+        1
+        for k, arr in coef.items()
+        if arr is not None and k not in UPWIND3_SELECTOR_KEYS
+    )
     est1 = t3p._estimate_vmem(NZ, NLAT, NLON, 1, n_coef)
     est2 = t3p._estimate_vmem(NZ, NLAT, NLON, 2, n_coef)
     assert est1 < est2
@@ -384,11 +390,14 @@ def test_stream_kernel_matches_scan(problem):
     _circ, coef, kv, dz_r, diag, src, y0, wet = problem
     expected = _scan_reference(coef, kv, dz_r, diag, src, y0)
     scale = np.abs(expected).max()
-    for block_rows, prefetch in ((8, False), (16, False), (8, True)):
+    for block_rows, prefetch, k in (
+        (8, False, 1), (16, False, 1), (8, True, 1), (8, False, 2),
+        (16, True, 2),
+    ):
         fn = build_transport3d_year_stream(
             coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
             src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
-            block_rows=block_rows, prefetch=prefetch,
+            block_rows=block_rows, prefetch=prefetch, steps_per_sweep=k,
         )
         got = np.asarray(fn(jnp.asarray(y0), interpret=True))
         np.testing.assert_allclose(

@@ -823,12 +823,12 @@ def main():
                     build_transport3d_year_stream,
                 )
 
-                x_diag = np.zeros(
-                    (1, x_nz, x_nlat * x_nlon), np.float32
-                )
                 stream_year = build_transport3d_year_stream(
-                    x_coef, x_kv, x_dzr, x_diag, x_diag, (0.0, year),
-                    x_steps,
+                    x_coef, x_kv, x_dzr, None, None, (0.0, year),
+                    x_steps, t_dim=1,
+                    recip_area=1.0 / np.asarray(_xc["TAREA"]),
+                    recip_dz=1.0 / np.asarray(_xc["dz"]),
+                    steps_per_sweep=2 if x_steps % 2 == 0 else 1,
                 )
                 y0_4d = jnp.asarray(
                     np.asarray(x_y0).reshape(1, x_nz, x_nlat, x_nlon)

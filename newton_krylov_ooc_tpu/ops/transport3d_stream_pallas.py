@@ -78,7 +78,8 @@ def _pad_rows(arr, rows, lanes):
 
 def build_transport3d_year_stream(
     coef, kv, dz_r, diag, src, t_span, n_steps, couple=None, block_rows=16,
-    prefetch=False, steps_per_sweep=1,
+    prefetch=False, steps_per_sweep=1, recip_area=None, recip_dz=None,
+    t_dim=None,
 ):
     """build fn(y0, interpret=False) -> y_end, the streaming-year kernel.
 
@@ -88,6 +89,23 @@ def build_transport3d_year_stream(
     block_rows is the latitude block height (multiple of 8).  Raises for
     seasonal inputs.  y0: (T, nz, nlat, nlon), any float dtype (cast to
     float32).
+
+    The kernel is HBM-bandwidth-bound (measured ~334 GB/s sustained at
+    gx1, invariant under prefetch), so every streamed field it can shed
+    pays ~proportionally.  Three sheds beyond the derived upwind3
+    selectors:
+
+    * recip_area ((nlat, nlon)) + recip_dz ((nz,)): coef["recip_vol"]
+      is wet/(dz x tarea) by construction (transport3d.py:214), i.e.
+      exactly separable; given the factors, the 3D field is dropped from
+      the window stack and rebuilt in-kernel from the resident wet
+      window, a VMEM-resident 2D area plane, and a baked depth profile.
+    * diag=None (or all zeros) drops the per-tracer implicit-rate
+      windows from the band stack; src=None (or all zeros) drops the
+      per-tracer source windows from the coefficient stack.
+    * at steps_per_sweep=1 the CN bands and the Kahan compensation only
+      cover the block interior (the k=2 wide-window residency is not
+      paid unless requested).
 
     prefetch=True double-buffers the coefficient-stack window (the
     dominant per-block DMA): block k+1's window streams while block k
@@ -117,7 +135,13 @@ def build_transport3d_year_stream(
     dtype = jnp.float32
     wet = np.asarray(coef["wet"], np.float32)
     nz, nlat, nlon = wet.shape
-    t_dim = int(np.asarray(diag).shape[0])
+    has_diag = diag is not None and bool(np.any(np.asarray(diag)))
+    has_src = src is not None and bool(np.any(np.asarray(src)))
+    for arr in (diag, src):
+        if t_dim is None and arr is not None:
+            t_dim = int(np.asarray(arr).shape[0])
+    if t_dim is None:
+        raise ValueError("t_dim is required when diag and src are None")
     dt = float((t_span[1] - t_span[0]) / n_steps)
     n_steps = int(n_steps)
 
@@ -128,40 +152,71 @@ def build_transport3d_year_stream(
     n_blocks = nlat_p // b_rows
     w_rows = b_rows + 2 * _HALO
 
+    # recip_vol is separable by construction; with the factors supplied it
+    # is rebuilt in-kernel instead of streamed (one fewer field-window)
+    sep_rv = recip_area is not None
+    if sep_rv:
+        if recip_dz is None:
+            raise ValueError("recip_area requires recip_dz")
+        ra_np = _pad_rows(np.asarray(recip_area, np.float32), rows, lanes)
+        rdz_np = np.asarray(recip_dz, np.float32)
+        rv_chk = (
+            wet * rdz_np[:, None, None]
+            * np.asarray(recip_area, np.float32)[None]
+        )
+        # atol must be 0: recip_vol is O(1e-19) in CGS, far below
+        # allclose's default absolute floor
+        if not np.allclose(
+            rv_chk, np.asarray(coef["recip_vol"], np.float32),
+            rtol=1e-5, atol=0.0,
+        ):
+            raise ValueError(
+                "recip_area/recip_dz do not factor coef['recip_vol']"
+            )
+
     # the six upwind3 selectors are pure shifts of `wet`: derive them from
     # the wet window in-kernel instead of streaming six more field-windows
     # per block (43% of the coefficient traffic at the full stencil)
     upwind3 = "sel3p_e" in coef and coef["sel3p_e"] is not None
+    skip = set(UPWIND3_SELECTOR_KEYS)
+    if sep_rv:
+        skip.add("recip_vol")
     names = [
         name
         for name, arr in sorted(coef.items())
-        if arr is not None and name not in UPWIND3_SELECTOR_KEYS
+        if arr is not None and name not in skip
     ]
     n_coef = len(names)
-    n_w = n_coef + t_dim  # window stack: coefficients, then per-tracer src
-    stack_w = np.concatenate(
-        [
-            np.stack([_pad_rows(coef[name], rows, lanes) for name in names]),
+    # window stack: coefficients, then per-tracer src (if any is nonzero)
+    n_w = n_coef + (t_dim if has_src else 0)
+    parts_w = [
+        np.stack([_pad_rows(coef[name], rows, lanes) for name in names])
+    ]
+    if has_src:
+        parts_w.append(
             _pad_rows(
                 np.asarray(src).reshape(t_dim, nz, nlat, nlon), rows, lanes
-            ),
-        ]
-    )
+            )
+        )
+    stack_w = np.concatenate(parts_w)
 
     dl_b, du_b = _cn_bands(
         np.asarray(kv, np.float32), np.asarray(dz_r, np.float64), nz, nlat,
         nlon,
     )
-    stack_b = np.concatenate(
-        [
-            np.stack(
-                [_pad_rows(dl_b, rows, lanes), _pad_rows(du_b, rows, lanes)]
-            ),
+    n_b = 2 + (t_dim if has_diag else 0)
+    parts_b = [
+        np.stack(
+            [_pad_rows(dl_b, rows, lanes), _pad_rows(du_b, rows, lanes)]
+        )
+    ]
+    if has_diag:
+        parts_b.append(
             _pad_rows(
                 np.asarray(diag).reshape(t_dim, nz, nlat, nlon), rows, lanes
-            ),
-        ]
-    ).astype(np.float32)
+            )
+        )
+    stack_b = np.concatenate(parts_b).astype(np.float32)
 
     couple_np = None
     if couple is not None:
@@ -174,8 +229,13 @@ def build_transport3d_year_stream(
     int_lo, int_hi = _HALO, _HALO + b_rows  # block interior inside a window
     k_steps = steps_per_sweep
     n_sweeps = n_steps // k_steps + 1  # sweep 0 is the opening CNh(dt/2)
+    # the CN bands and Kahan compensation cover the window only when the
+    # two-step schedule updates halo rows; at k=1 the block interior is
+    # enough -- `roff` maps window row coordinates into these buffers
+    rows_cn = w_rows if k_steps == 2 else b_rows
+    roff = 0 if k_steps == 2 else _HALO
 
-    def kernel(stack_w_hbm, stack_b_hbm, y0_hbm, y_pp_in, c_pp_in,
+    def kernel(stack_w_hbm, stack_b_hbm, y0_hbm, y_pp_in, c_pp_in, ra_res,
                y_pp, c_pp, w_buf, b_buf, y_buf, f1_buf, c_buf, sems):
         # y_pp/c_pp are the OUTPUT refs aliased onto the zero-initialized
         # y_pp_in/c_pp_in operands (pallas HBM scratch does not survive
@@ -223,7 +283,8 @@ def build_transport3d_year_stream(
         else:
             copy(stack_w_hbm.at[:, :, pl.ds(win0, w_rows), :], w_buf.at[0], 0)
             w_cur = 0
-        copy(stack_b_hbm.at[:, :, pl.ds(win0, w_rows), :], b_buf, 1)
+        cn0 = win0 + roff  # buffer row where the band/comp windows start
+        copy(stack_b_hbm.at[:, :, pl.ds(cn0, rows_cn), :], b_buf, 1)
 
         @pl.when(s == 0)
         def _():
@@ -235,7 +296,7 @@ def build_transport3d_year_stream(
             copy(
                 y_pp.at[(s - 1) % 2, :, :, pl.ds(win0, w_rows), :], y_buf, 2
             )
-            copy(c_pp.at[:, :, pl.ds(win0, w_rows), :], c_buf, 3)
+            copy(c_pp.at[:, :, pl.ds(cn0, rows_cn), :], c_buf, 3)
 
         # COMPUTE ON LANE-TRIMMED VALUES: the lon axis is periodic and
         # transport_tend wraps it with jnp.roll, so the (128-tile) lane
@@ -249,15 +310,30 @@ def build_transport3d_year_stream(
         }
         if upwind3:
             coef_w.update(upwind3_selectors(coef_w["wet"]))
-        src_w = jnp.stack(
-            [w_buf[w_cur, n_coef + t] for t in range(t_dim)]
-        )[..., :nlon]
+        if sep_rv:
+            # the resident plane packs the area rows first, then the
+            # lane-replicated depth profile (pallas kernels cannot
+            # closure-capture array constants)
+            ra_w = ra_res[pl.ds(win0, w_rows), :][:, :nlon]
+            rdz_col = ra_res[pl.ds(rows, nz), :][:, :1][:, :, None]
+            coef_w["recip_vol"] = (
+                coef_w["wet"] * (rdz_col * ra_w[None, :, :])
+            )
+        src_w = (
+            jnp.stack(
+                [w_buf[w_cur, n_coef + t] for t in range(t_dim)]
+            )[..., :nlon]
+            if has_src
+            else None
+        )
         dlb_w = b_buf[0][..., :nlon]
         dub_w = b_buf[1][..., :nlon]
-        diag_w = b_buf[2 : 2 + t_dim][..., :nlon]
+        diag_w = b_buf[2 : 2 + t_dim][..., :nlon] if has_diag else None
 
         def tend(y_w):
-            out = transport_tend(coef_w, y_w) + src_w
+            out = transport_tend(coef_w, y_w)
+            if src_w is not None:
+                out = out + src_w
             if couple_np is not None:
                 surf = y_w[:, 0]  # (T, W, lanes)
                 rws = []
@@ -284,34 +360,44 @@ def build_transport3d_year_stream(
             depth); flux-form rhs: neighbor differences first
             (cancellation-safe) -- exactly imex_year's solve"""
             y_r = y_buf[:, :, lo:hi, :nlon]
-            dlb = dlb_w[:, lo:hi, :]
-            dub = dub_w[:, lo:hi, :]
-            dgb = diag_w[:, :, lo:hi, :]
+            dlb = dlb_w[:, lo - roff : hi - roff, :]
+            dub = dub_w[:, lo - roff : hi - roff, :]
             d_up = _shift_z(y_r, 1) - y_r   # dub's zero last level
             d_dn = _shift_z(y_r, -1) - y_r  # dlb's zero first level
-            m_v = dub * d_up + dlb * d_dn + dgb * y_r
-            b_main = 1.0 + half * (dub + dlb) - half * dgb
+            m_v = dub * d_up + dlb * d_dn
+            b_main = 1.0 + half * (dub + dlb)
+            if has_diag:
+                dgb = diag_w[:, :, lo - roff : hi - roff, :]
+                m_v = m_v + dgb * y_r
+                b_main = b_main - half * dgb
             dv = _pcr_axis3(
                 -half * dlb, b_main, -half * dub, 2.0 * half * m_v, nz
             )
-            y_new, c_new = kahan(y_r, c_buf[:, :, lo:hi, :nlon], dv)
+            y_new, c_new = kahan(
+                y_r, c_buf[:, :, lo - roff : hi - roff, :nlon], dv
+            )
             y_buf[:, :, lo:hi, :nlon] = y_new
-            c_buf[:, :, lo:hi, :nlon] = c_new
+            c_buf[:, :, lo - roff : hi - roff, :nlon] = c_new
 
         def heun(lo, hi):
             """one Heun update on window rows [lo, hi); the stage-1
             tendency is recomputed over the halo so it never round-trips
-            HBM"""
+            HBM.  f1 itself is what the scratch holds: stashing the
+            rounded stage-2 input y + dt*f1 instead would drop the low
+            bits of dt*f1 that the Kahan compensation exists to carry
+            (measured 20x accuracy loss over a year)."""
             y_w = y_buf[:, :, :, :nlon]
             f1 = tend(y_w)
             f1_buf[:, :, :, :nlon] = f1
             f2_r = tend(y_w + dtype(dt) * f1)[:, :, lo:hi, :]
             delta = 0.5 * dtype(dt) * (f1_buf[:, :, lo:hi, :nlon] + f2_r)
             y_new, c_new = kahan(
-                y_buf[:, :, lo:hi, :nlon], c_buf[:, :, lo:hi, :nlon], delta
+                y_buf[:, :, lo:hi, :nlon],
+                c_buf[:, :, lo - roff : hi - roff, :nlon],
+                delta,
             )
             y_buf[:, :, lo:hi, :nlon] = y_new
-            c_buf[:, :, lo:hi, :nlon] = c_new
+            c_buf[:, :, lo - roff : hi - roff, :nlon] = c_new
 
         # -- model steps: sweep 0 is the opening CNh(dt/2); each later
         # sweep runs k_steps x [Heun; CN], the FIRST on rows
@@ -342,7 +428,7 @@ def build_transport3d_year_stream(
             5,
         )
         copy(
-            c_buf.at[:, :, pl.ds(int_lo, b_rows), :],
+            c_buf.at[:, :, pl.ds(int_lo - roff, b_rows), :],
             c_pp.at[:, :, pl.ds(int0, b_rows), :],
             6,
         )
@@ -369,22 +455,32 @@ def build_transport3d_year_stream(
     n_slots = 2 if prefetch else 1
     scratch_shapes = [
         pltpu.VMEM((n_slots, n_w, nz, w_rows, lanes), dtype),  # windows
-        pltpu.VMEM((2 + t_dim, nz, w_rows, lanes), dtype),     # bands+diag
+        pltpu.VMEM((n_b, nz, rows_cn, lanes), dtype),          # bands+diag
         pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),         # state win
         pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),         # Heun f1
-        pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),         # comp
+        pltpu.VMEM((t_dim, nz, rows_cn, lanes), dtype),        # comp
         pltpu.SemaphoreType.DMA((9,)),
     ]
 
     # the coefficient stacks ride the jit boundary as OPERANDS, never
     # closures: captured half-GB constants become program literals, which
     # both re-upload per call and overflow remote-compile request limits
-    # (the same operand-form rule as ops/sparse.py and the sharded year)
+    # (the same operand-form rule as ops/sparse.py and the sharded year).
+    # The area plane is small enough to stay VMEM-resident for the whole
+    # run (fetched once: its block index never changes).
     stack_w_j = jnp.asarray(stack_w)
     stack_b_j = jnp.asarray(stack_b)
+    ra_j = jnp.asarray(
+        np.concatenate(
+            [ra_np, np.repeat(rdz_np[:, None], lanes, axis=1)]
+        )
+        if sep_rv
+        else np.zeros((8, 128), np.float32)
+    )
+    ra_spec = pl.BlockSpec(ra_j.shape, lambda s, b: (0, 0))
 
     @partial(jax.jit, static_argnames=("interpret",))
-    def _year_op(y0, sw, sb, interpret=False):
+    def _year_op(y0, sw, sb, ra, interpret=False):
         y0_p = jnp.zeros(buf_shape, dtype)
         y0_p = y0_p.at[
             :, :, _HALO : _HALO + nlat, :nlon
@@ -396,7 +492,7 @@ def build_transport3d_year_stream(
                 jax.ShapeDtypeStruct((2,) + buf_shape, dtype),
                 jax.ShapeDtypeStruct(buf_shape, dtype),
             ],
-            in_specs=[hbm(), hbm(), hbm(), hbm(), hbm()],
+            in_specs=[hbm(), hbm(), hbm(), hbm(), hbm(), ra_spec],
             out_specs=[hbm(), hbm()],
             input_output_aliases={3: 0, 4: 1},
             scratch_shapes=scratch_shapes,
@@ -406,14 +502,15 @@ def build_transport3d_year_stream(
             sw, sb, y0_p,
             jnp.zeros((2,) + buf_shape, dtype),
             jnp.zeros(buf_shape, dtype),
+            ra,
         )
         return y_pp[(n_sweeps - 1) % 2, :, :, _HALO : _HALO + nlat, :nlon]
 
     def year(y0, interpret=False):
-        return _year_op(y0, stack_w_j, stack_b_j, interpret=interpret)
+        return _year_op(y0, stack_w_j, stack_b_j, ra_j, interpret=interpret)
 
     # callers composing this year into a larger jit trace year.pure and
     # thread year.operands through their own argument lists
     year.pure = _year_op
-    year.operands = (stack_w_j, stack_b_j)
+    year.operands = (stack_w_j, stack_b_j, ra_j)
     return year

@@ -428,6 +428,49 @@ def test_stream_kernel_coupled(problem):
     np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-5 * scale)
 
 
+def test_stream_kernel_shed_fields(problem):
+    """the bandwidth sheds -- factored recip_vol, dropped diag/src
+    streams, interior-only CN bands -- reproduce the scan year"""
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+    )
+
+    circ, coef, kv, dz_r, diag, src, y0, wet = problem
+    zeros = np.zeros_like(diag)
+    expected = _scan_reference(coef, kv, dz_r, zeros, zeros, y0)
+    scale = np.abs(expected).max()
+    recip_area = 1.0 / np.asarray(circ["TAREA"])
+    recip_dz = 1.0 / np.asarray(circ["dz"])
+    for k in (1, 2):
+        fn = build_transport3d_year_stream(
+            coef, kv, dz_r, None, None, (0.0, YEAR), N_STEPS,
+            steps_per_sweep=k, recip_area=recip_area, recip_dz=recip_dz,
+            t_dim=T_DIM,
+        )
+        got = np.asarray(fn(jnp.asarray(y0), interpret=True))
+        np.testing.assert_allclose(
+            got, expected, rtol=0.0, atol=1e-5 * scale
+        )
+    # all-zero diag/src arrays shed the same streams as None
+    fn = build_transport3d_year_stream(
+        coef, kv, dz_r, zeros.reshape(T_DIM, NZ, -1),
+        zeros.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+        recip_area=recip_area, recip_dz=recip_dz,
+    )
+    got = np.asarray(fn(jnp.asarray(y0), interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-5 * scale)
+    # factor consistency is checked, not trusted
+    with pytest.raises(ValueError, match="factor"):
+        build_transport3d_year_stream(
+            coef, kv, dz_r, None, None, (0.0, YEAR), N_STEPS,
+            recip_area=1.1 * recip_area, recip_dz=recip_dz, t_dim=T_DIM,
+        )
+    with pytest.raises(ValueError, match="t_dim"):
+        build_transport3d_year_stream(
+            coef, kv, dz_r, None, None, (0.0, YEAR), N_STEPS
+        )
+
+
 def test_stream_kernel_rejects_seasonal(seasonal_problem):
     from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
         build_transport3d_year_stream,

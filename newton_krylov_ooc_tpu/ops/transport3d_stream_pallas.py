@@ -32,9 +32,10 @@ zero-fill through _HALO dry rows padded onto both buffer ends (wet == 0
 there kills every stencil contribution; the pads are zeroed once before
 the first sweep so no uninitialized memory is ever read).
 
-Steady circulation only: one sweep's coefficient windows are
-time-independent.  Seasonal gx1-class runs use the sharded scan
-(parallel/sharded_transport3d.py).
+Seasonal circulation streams too: the monthly stacks live in HBM with
+two wrap months appended and each block DMAs one contiguous 3-month
+window per sweep, blended in-VMEM with the scan's periodic midpoint
+interpolation weights (see build_transport3d_year_stream's docstring).
 
 The reference runs this grid by submitting POP to a batch scheduler and
 solving the preconditioner with 256 MPI ranks of SuperLU_DIST
@@ -79,16 +80,15 @@ def _pad_rows(arr, rows, lanes):
 def build_transport3d_year_stream(
     coef, kv, dz_r, diag, src, t_span, n_steps, couple=None, block_rows=16,
     prefetch=False, steps_per_sweep=1, recip_area=None, recip_dz=None,
-    t_dim=None,
+    t_dim=None, period=SEC_PER_YEAR,
 ):
     """build fn(y0, interpret=False) -> y_end, the streaming-year kernel.
 
     Arguments as ops.transport3d_pallas.build_transport3d_year_pallas
     (steady coef pytree from build_transport3d, (nz-1, nlat*nlon) kv,
     (T, nz, nlat*nlon) diag/src, optional (T, T) surface coupling);
-    block_rows is the latitude block height (multiple of 8).  Raises for
-    seasonal inputs.  y0: (T, nz, nlat, nlon), any float dtype (cast to
-    float32).
+    block_rows is the latitude block height (multiple of 8).
+    y0: (T, nz, nlat, nlon), any float dtype (cast to float32).
 
     The kernel is HBM-bandwidth-bound (measured ~334 GB/s sustained at
     gx1, invariant under prefetch), so every streamed field it can shed
@@ -119,18 +119,45 @@ def build_transport3d_year_stream(
     more VPU work.  Requires even n_steps.  Results remain block-size
     independent: the halo rows' step-one update is the bitwise-identical
     arithmetic the neighboring block applies to the same rows.
+
+    SEASONAL circulation (4D time-varying face fields, optionally
+    seasonal kv) streams too: the monthly stacks live in HBM with two
+    wrap months appended, and each block DMAs a contiguous THREE-month
+    window per sweep -- the Heun stage times t and t+dt and the CN
+    sample t+dt always fall inside three consecutive intervals when
+    dt <= period/n_time -- then blends them with the scan's periodic
+    midpoint interpolation weights in-VMEM (exactly the megakernel's
+    scheme, ops/transport3d_pallas.py, with per-block windows replacing
+    full-grid residency rings).  This is the gx1-class seasonal year the
+    reference cannot express at all: its setup ncra-collapses monthly
+    IRF output to an annual mean (nk_ooc/cime_pop/setup_solver.py:100-166).
+    Seasonal runs require steps_per_sweep=1.
     """
-    if transport_coef_n_time(coef) is not None or np.asarray(kv).ndim == 3:
-        raise ValueError(
-            "the streaming year kernel is steady-only; seasonal "
-            "circulations use the sharded scan year"
-        )
+    n_time = transport_coef_n_time(coef)
+    kv_np = np.asarray(kv, np.float32)
+    kv_seasonal = kv_np.ndim == 3
+    if kv_seasonal:
+        if n_time is not None and kv_np.shape[0] != n_time:
+            raise ValueError(
+                "seasonal kv and coefficient time axes disagree: "
+                f"{kv_np.shape[0]} vs {n_time}"
+            )
+        n_time = n_time or kv_np.shape[0]
+    seasonal = n_time is not None
     if block_rows % 8 or block_rows <= 0:
         raise ValueError("block_rows must be a positive multiple of 8")
     if steps_per_sweep not in (1, 2):
         raise ValueError("steps_per_sweep must be 1 or 2")
     if steps_per_sweep == 2 and int(n_steps) % 2:
         raise ValueError("steps_per_sweep=2 needs an even n_steps")
+    if seasonal:
+        if steps_per_sweep != 1:
+            raise ValueError("seasonal streaming needs steps_per_sweep=1")
+        if float((t_span[1] - t_span[0]) / n_steps) > period / n_time:
+            raise ValueError(
+                "seasonal streaming needs dt <= period/n_time "
+                f"({period / n_time:.0f} s) -- raise n_steps"
+            )
 
     dtype = jnp.float32
     wet = np.asarray(coef["wet"], np.float32)
@@ -181,13 +208,18 @@ def build_transport3d_year_stream(
     skip = set(UPWIND3_SELECTOR_KEYS)
     if sep_rv:
         skip.add("recip_vol")
-    names = [
+    all_names = [
         name
         for name, arr in sorted(coef.items())
         if arr is not None and name not in skip
     ]
+    seasonal_names = [
+        n for n in all_names if np.asarray(coef[n]).ndim == 4
+    ]
+    names = [n for n in all_names if n not in seasonal_names]
     n_coef = len(names)
-    # window stack: coefficients, then per-tracer src (if any is nonzero)
+    n_s = len(seasonal_names)
+    # steady window stack: coefficients, then per-tracer src (if nonzero)
     n_w = n_coef + (t_dim if has_src else 0)
     parts_w = [
         np.stack([_pad_rows(coef[name], rows, lanes) for name in names])
@@ -199,24 +231,57 @@ def build_transport3d_year_stream(
             )
         )
     stack_w = np.concatenate(parts_w)
-
-    dl_b, du_b = _cn_bands(
-        np.asarray(kv, np.float32), np.asarray(dz_r, np.float64), nz, nlat,
-        nlon,
-    )
-    n_b = 2 + (t_dim if has_diag else 0)
-    parts_b = [
-        np.stack(
-            [_pad_rows(dl_b, rows, lanes), _pad_rows(du_b, rows, lanes)]
+    # seasonal month stack with two wrap months appended, so the 3-month
+    # bracket window is always one contiguous slice
+    stack_s = None
+    if n_s:
+        month_seq = list(range(n_time)) + [0, 1]
+        stack_s = np.stack(
+            [
+                np.stack(
+                    [
+                        _pad_rows(np.asarray(coef[nm])[m], rows, lanes)
+                        for nm in seasonal_names
+                    ]
+                )
+                for m in month_seq
+            ]
         )
-    ]
+
+    dz_r_np = np.asarray(dz_r, np.float64)
+    stack_bs = None
+    if kv_seasonal:
+        months_b = [
+            _cn_bands(kv_np[m], dz_r_np, nz, nlat, nlon)
+            for m in range(n_time)
+        ]
+        stack_bs = np.stack(
+            [
+                np.stack(
+                    [_pad_rows(dl, rows, lanes), _pad_rows(du, rows, lanes)]
+                )
+                for dl, du in months_b + months_b[:2]
+            ]
+        ).astype(np.float32)
+        parts_b = []
+    else:
+        dl_b, du_b = _cn_bands(kv_np, dz_r_np, nz, nlat, nlon)
+        parts_b = [
+            np.stack(
+                [_pad_rows(dl_b, rows, lanes), _pad_rows(du_b, rows, lanes)]
+            )
+        ]
     if has_diag:
         parts_b.append(
             _pad_rows(
                 np.asarray(diag).reshape(t_dim, nz, nlat, nlon), rows, lanes
             )
         )
-    stack_b = np.concatenate(parts_b).astype(np.float32)
+    n_b = sum(p.shape[0] for p in parts_b)
+    stack_b = (
+        np.concatenate(parts_b).astype(np.float32) if parts_b else None
+    )
+    diag_ind = 0 if kv_seasonal else 2
 
     couple_np = None
     if couple is not None:
@@ -235,13 +300,31 @@ def build_transport3d_year_stream(
     rows_cn = w_rows if k_steps == 2 else b_rows
     roff = 0 if k_steps == 2 else _HALO
 
-    def kernel(stack_w_hbm, stack_b_hbm, y0_hbm, y_pp_in, c_pp_in, ra_res,
-               y_pp, c_pp, w_buf, b_buf, y_buf, f1_buf, c_buf, sems):
-        # y_pp/c_pp are the OUTPUT refs aliased onto the zero-initialized
-        # y_pp_in/c_pp_in operands (pallas HBM scratch does not survive
-        # this toolchain's remote AOT compile; aliased operands do, and
-        # arrive pre-zeroed so padding rows are never uninitialized)
-        del y_pp_in, c_pp_in
+    x_scale = np.float32(n_time / period) if seasonal else None
+    dt_f = np.float32(dt)
+    t0_f = np.float32(t_span[0])
+
+    def kernel(*refs):
+        # input/output/scratch refs in build order (optional stacks are
+        # simply absent); y_pp/c_pp are the OUTPUT refs aliased onto the
+        # zero-initialized y_pp_in/c_pp_in operands (pallas HBM scratch
+        # does not survive this toolchain's remote AOT compile; aliased
+        # operands do, and arrive pre-zeroed so padding rows are never
+        # uninitialized)
+        refs = list(refs)
+        stack_w_hbm = refs.pop(0)
+        stack_b_hbm = refs.pop(0) if stack_b is not None else None
+        stack_s_hbm = refs.pop(0) if stack_s is not None else None
+        stack_bs_hbm = refs.pop(0) if stack_bs is not None else None
+        y0_hbm = refs.pop(0)
+        _y_pp_in, _c_pp_in, ra_res = refs.pop(0), refs.pop(0), refs.pop(0)
+        y_pp, c_pp = refs.pop(0), refs.pop(0)
+        w_buf = refs.pop(0)
+        b_buf = refs.pop(0) if stack_b is not None else None
+        s_buf = refs.pop(0) if stack_s is not None else None
+        bs_buf = refs.pop(0) if stack_bs is not None else None
+        y_buf, f1_buf, c_buf, sems = refs
+
         s = pl.program_id(0)       # sweep: 0=CNh, 1..n-1=Heun+CN, n=Heun+CNh
         blk = pl.program_id(1)
         win0 = blk * b_rows        # buffer row of the window start
@@ -284,7 +367,51 @@ def build_transport3d_year_stream(
             copy(stack_w_hbm.at[:, :, pl.ds(win0, w_rows), :], w_buf.at[0], 0)
             w_cur = 0
         cn0 = win0 + roff  # buffer row where the band/comp windows start
-        copy(stack_b_hbm.at[:, :, pl.ds(cn0, rows_cn), :], b_buf, 1)
+        if stack_b is not None:
+            copy(stack_b_hbm.at[:, :, pl.ds(cn0, rows_cn), :], b_buf, 1)
+
+        if seasonal:
+            # periodic midpoint interpolation, the scan's interp_month:
+            # x(t) = t/period*n_time - 0.5.  Stage 1 samples t, stage 2
+            # and the CN solve sample t+dt; with dt <= period/n_time both
+            # brackets sit inside months {base, base+1, base+2}, streamed
+            # as ONE contiguous window of the wrap-extended stacks.
+            # Sweep 0's only sample is t0 itself.
+            t_1 = t0_f + jnp.maximum(s - 1, 0).astype(jnp.float32) * dt_f
+            x_1 = t_1 * x_scale - np.float32(0.5)
+            m0f = jnp.floor(x_1)
+            w_1 = x_1 - m0f
+            x_2 = x_1 + dt_f * x_scale
+            m2f = jnp.floor(x_2)
+            w_2 = x_2 - m2f
+            up = m2f > m0f  # stage-2 bracket advanced one interval
+            zero, one = np.float32(0.0), np.float32(1.0)
+            w2_abc = (
+                jnp.where(up, zero, one - w_2),
+                jnp.where(up, one - w_2, w_2),
+                jnp.where(up, w_2, zero),
+            )
+            cn_abc = tuple(
+                jnp.where(s == 0, w0, w2)
+                for w0, w2 in zip((one - w_1, w_1, zero), w2_abc)
+            )
+            m_base = jnp.remainder(m0f.astype(jnp.int32), n_time)
+            if stack_s is not None:
+                copy(
+                    stack_s_hbm.at[
+                        pl.ds(m_base, 3), :, :, pl.ds(win0, w_rows), :
+                    ],
+                    s_buf,
+                    9,
+                )
+            if stack_bs is not None:
+                copy(
+                    stack_bs_hbm.at[
+                        pl.ds(m_base, 3), :, :, pl.ds(cn0, rows_cn), :
+                    ],
+                    bs_buf,
+                    10,
+                )
 
         @pl.when(s == 0)
         def _():
@@ -326,12 +453,36 @@ def build_transport3d_year_stream(
             if has_src
             else None
         )
-        dlb_w = b_buf[0][..., :nlon]
-        dub_w = b_buf[1][..., :nlon]
-        diag_w = b_buf[2 : 2 + t_dim][..., :nlon] if has_diag else None
 
-        def tend(y_w):
-            out = transport_tend(coef_w, y_w)
+        def coef_at(weights):
+            """stage coefficient dict: steady entries plus the 3-month
+            blend of the seasonal window stack"""
+            if not n_s:
+                return coef_w
+            cw = dict(coef_w)
+            w_a, w_b, w_c = weights
+            for pos, nm in enumerate(seasonal_names):
+                sl = s_buf[:, pos][..., :nlon]  # (3, nz, W, nlon)
+                cw[nm] = w_a * sl[0] + w_b * sl[1] + w_c * sl[2]
+            return cw
+
+        if kv_seasonal:
+            bl = bs_buf[:, 0][..., :nlon]
+            bu = bs_buf[:, 1][..., :nlon]
+            w_a, w_b, w_c = cn_abc
+            dlb_w = w_a * bl[0] + w_b * bl[1] + w_c * bl[2]
+            dub_w = w_a * bu[0] + w_b * bu[1] + w_c * bu[2]
+        else:
+            dlb_w = b_buf[0][..., :nlon]
+            dub_w = b_buf[1][..., :nlon]
+        diag_w = (
+            b_buf[diag_ind : diag_ind + t_dim][..., :nlon]
+            if has_diag
+            else None
+        )
+
+        def tend(y_w, cw=None):
+            out = transport_tend(coef_w if cw is None else cw, y_w)
             if src_w is not None:
                 out = out + src_w
             if couple_np is not None:
@@ -387,9 +538,11 @@ def build_transport3d_year_stream(
             bits of dt*f1 that the Kahan compensation exists to carry
             (measured 20x accuracy loss over a year)."""
             y_w = y_buf[:, :, :, :nlon]
-            f1 = tend(y_w)
+            cw1 = coef_at((one - w_1, w_1, zero)) if seasonal else None
+            cw2 = coef_at(w2_abc) if seasonal else None
+            f1 = tend(y_w, cw1)
             f1_buf[:, :, :, :nlon] = f1
-            f2_r = tend(y_w + dtype(dt) * f1)[:, :, lo:hi, :]
+            f2_r = tend(y_w + dtype(dt) * f1, cw2)[:, :, lo:hi, :]
             delta = 0.5 * dtype(dt) * (f1_buf[:, :, lo:hi, :nlon] + f2_r)
             y_new, c_new = kahan(
                 y_buf[:, :, lo:hi, :nlon],
@@ -455,11 +608,24 @@ def build_transport3d_year_stream(
     n_slots = 2 if prefetch else 1
     scratch_shapes = [
         pltpu.VMEM((n_slots, n_w, nz, w_rows, lanes), dtype),  # windows
-        pltpu.VMEM((n_b, nz, rows_cn, lanes), dtype),          # bands+diag
+    ]
+    if stack_b is not None:
+        scratch_shapes.append(
+            pltpu.VMEM((n_b, nz, rows_cn, lanes), dtype)       # bands+diag
+        )
+    if stack_s is not None:
+        scratch_shapes.append(
+            pltpu.VMEM((3, n_s, nz, w_rows, lanes), dtype)     # month win
+        )
+    if stack_bs is not None:
+        scratch_shapes.append(
+            pltpu.VMEM((3, 2, nz, rows_cn, lanes), dtype)      # month bands
+        )
+    scratch_shapes += [
         pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),         # state win
         pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),         # Heun f1
         pltpu.VMEM((t_dim, nz, rows_cn, lanes), dtype),        # comp
-        pltpu.SemaphoreType.DMA((9,)),
+        pltpu.SemaphoreType.DMA((11,)),
     ]
 
     # the coefficient stacks ride the jit boundary as OPERANDS, never
@@ -468,8 +634,6 @@ def build_transport3d_year_stream(
     # (the same operand-form rule as ops/sparse.py and the sharded year).
     # The area plane is small enough to stay VMEM-resident for the whole
     # run (fetched once: its block index never changes).
-    stack_w_j = jnp.asarray(stack_w)
-    stack_b_j = jnp.asarray(stack_b)
     ra_j = jnp.asarray(
         np.concatenate(
             [ra_np, np.repeat(rdz_np[:, None], lanes, axis=1)]
@@ -478,9 +642,16 @@ def build_transport3d_year_stream(
         else np.zeros((8, 128), np.float32)
     )
     ra_spec = pl.BlockSpec(ra_j.shape, lambda s, b: (0, 0))
+    stack_ops = tuple(
+        jnp.asarray(st)
+        for st in (stack_w, stack_b, stack_s, stack_bs)
+        if st is not None
+    )
+    n_stacks = len(stack_ops)
 
     @partial(jax.jit, static_argnames=("interpret",))
-    def _year_op(y0, sw, sb, ra, interpret=False):
+    def _year_op(y0, *ops, interpret=False):
+        stacks, ra = ops[:-1], ops[-1]
         y0_p = jnp.zeros(buf_shape, dtype)
         y0_p = y0_p.at[
             :, :, _HALO : _HALO + nlat, :nlon
@@ -492,14 +663,14 @@ def build_transport3d_year_stream(
                 jax.ShapeDtypeStruct((2,) + buf_shape, dtype),
                 jax.ShapeDtypeStruct(buf_shape, dtype),
             ],
-            in_specs=[hbm(), hbm(), hbm(), hbm(), hbm(), ra_spec],
+            in_specs=[hbm()] * (n_stacks + 3) + [ra_spec],
             out_specs=[hbm(), hbm()],
-            input_output_aliases={3: 0, 4: 1},
+            input_output_aliases={n_stacks + 1: 0, n_stacks + 2: 1},
             scratch_shapes=scratch_shapes,
             compiler_params=compiler_params,
             interpret=interpret,
         )(
-            sw, sb, y0_p,
+            *stacks, y0_p,
             jnp.zeros((2,) + buf_shape, dtype),
             jnp.zeros(buf_shape, dtype),
             ra,
@@ -507,10 +678,10 @@ def build_transport3d_year_stream(
         return y_pp[(n_sweeps - 1) % 2, :, :, _HALO : _HALO + nlat, :nlon]
 
     def year(y0, interpret=False):
-        return _year_op(y0, stack_w_j, stack_b_j, ra_j, interpret=interpret)
+        return _year_op(y0, *stack_ops, ra_j, interpret=interpret)
 
     # callers composing this year into a larger jit trace year.pure and
     # thread year.operands through their own argument lists
     year.pure = _year_op
-    year.operands = (stack_w_j, stack_b_j, ra_j)
+    year.operands = stack_ops + (ra_j,)
     return year

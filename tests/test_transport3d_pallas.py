@@ -471,14 +471,49 @@ def test_stream_kernel_shed_fields(problem):
         )
 
 
-def test_stream_kernel_rejects_seasonal(seasonal_problem):
+def test_stream_kernel_seasonal_matches_scan(seasonal_problem):
+    """monthly circulation AND monthly vertical mixing stream through
+    per-block 3-month windows; the blend must reproduce the scan's
+    periodic midpoint interpolation (the gx1-class seasonal year the
+    reference's annual-mean-only setup cannot express)"""
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+    )
+
+    circ, coef, kv, dz_r, diag, src, y0, wet = seasonal_problem
+    expected = _scan_reference_seasonal(coef, kv, dz_r, diag, src, y0)
+    scale = np.abs(expected).max()
+    recip_area = 1.0 / np.asarray(circ["TAREA"])
+    recip_dz = 1.0 / np.asarray(circ["dz"])
+    for block_rows, sheds in ((8, False), (16, True)):
+        fn = build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+            src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+            block_rows=block_rows,
+            recip_area=recip_area if sheds else None,
+            recip_dz=recip_dz if sheds else None,
+        )
+        got = np.asarray(fn(jnp.asarray(y0), interpret=True))
+        np.testing.assert_allclose(
+            got, expected, rtol=0.0, atol=1e-5 * scale
+        )
+        assert np.abs(got * (1.0 - wet)).max() == 0.0
+
+
+def test_stream_kernel_seasonal_guards(seasonal_problem):
     from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
         build_transport3d_year_stream,
     )
 
     _circ, coef, kv, dz_r, diag, _src, _y0, _wet = seasonal_problem
-    with pytest.raises(ValueError, match="steady-only"):
+    with pytest.raises(ValueError, match="steps_per_sweep"):
         build_transport3d_year_stream(
             coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
             diag.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+            steps_per_sweep=2,
+        )
+    with pytest.raises(ValueError, match="dt <= period/n_time"):
+        build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+            diag.reshape(T_DIM, NZ, -1), (0.0, YEAR), 2,
         )

@@ -688,6 +688,117 @@ def main():
                     f"{type(exc).__name__}: {exc}"
                 )
 
+        # gx1-scale year throughput (POP gx1v7 extents 60x384x320, the
+        # reference's PRODUCTION grid -- its preconditioner solve alone
+        # takes 256 MPI ranks at 2.3 GB each): one XLA-scan year of 7.4M
+        # cells on a single chip.  Accelerator only.
+        if (
+            time.time() - bench_t0 < 700
+            and jax.devices()[0].platform != "cpu"
+        ):
+            try:
+                x_nz, x_nlat, x_nlon = 60, 384, 320
+                (
+                    _xc, x_coef, x_kv, x_dzr, x_steps, x_y0, x_out, gx1_s
+                ) = _time_irf3d_year(x_nz, x_nlat, x_nlon, reps=1)
+                result["irf3d_gx1_year_seconds"] = round(gx1_s, 4)
+                result["irf3d_gx1_cells"] = x_nz * x_nlat * x_nlon
+                result["irf3d_gx1_cell_steps_per_second"] = round(
+                    x_nz * x_nlat * x_nlon * x_steps / gx1_s
+                )
+                # the same year through the HBM-streaming pallas kernel
+                # (state ping-pong in HBM, latitude-block windows through
+                # VMEM) -- the grid is ~6x past one core's VMEM, so the
+                # whole-year megakernel cannot apply and the scan above is
+                # the fallback this kernel must beat
+                from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (  # noqa: E501
+                    build_transport3d_year_stream,
+                )
+
+                stream_year = build_transport3d_year_stream(
+                    x_coef, x_kv, x_dzr, None, None, (0.0, year),
+                    x_steps, t_dim=1,
+                    recip_area=1.0 / np.asarray(_xc["TAREA"]),
+                    recip_dz=1.0 / np.asarray(_xc["dz"]),
+                    steps_per_sweep=2 if x_steps % 2 == 0 else 1,
+                )
+                y0_4d = jnp.asarray(
+                    np.asarray(x_y0).reshape(1, x_nz, x_nlat, x_nlon)
+                )
+                out_st = stream_year(y0_4d)
+                out_st.block_until_ready()
+                out_st_np = np.asarray(out_st).reshape(x_nz, -1)
+                assert np.isfinite(out_st_np).all()
+                scan_np = np.asarray(x_out)
+                result["irf3d_gx1_stream_vs_scan_rel"] = float(
+                    np.abs(out_st_np - scan_np).max()
+                    / np.abs(scan_np).max()
+                )
+                start = time.time()
+                stream_year(y0_4d).block_until_ready()
+                st_s = time.time() - start
+                result["irf3d_gx1_year_stream_seconds"] = round(st_s, 4)
+                result["irf3d_gx1_stream_cell_steps_per_second"] = round(
+                    x_nz * x_nlat * x_nlon * x_steps / st_s
+                )
+                # SEASONAL gx1: monthly circulation + monthly vertical
+                # mixing streamed as per-block 3-month windows (the
+                # reference's setup can only ncra-collapse monthly IRF
+                # output to an annual mean).  Timing only -- accuracy vs
+                # the seasonal scan is pinned by
+                # tests/test_transport3d_pallas.py and was measured
+                # on chip at rel 4.6e-7 (scan: 11.0 ms/step).
+                if time.time() - bench_t0 > 850:
+                    raise TimeoutError(
+                        "skipping seasonal gx1 stream (bench budget)"
+                    )
+                from newton_krylov_ooc_tpu.models.irf_offline import (
+                    synthetic,
+                )
+                from newton_krylov_ooc_tpu.ops.transport3d import (
+                    build_transport3d,
+                    mask_vmix_coeff,
+                    vmix_vertical_coeff,
+                )
+
+                xs_circ = synthetic.gen_circulation(
+                    x_nz, x_nlat, x_nlon, n_seasons=12
+                )
+                xs_coef = build_transport3d(
+                    xs_circ["mask"], xs_circ["dz"], xs_circ["TAREA"],
+                    uet=xs_circ["UET"], vnt=xs_circ["VNT"],
+                    wtt=xs_circ["WTT"], hdiff_e=xs_circ["HDIFF_E"],
+                    hdiff_n=xs_circ["HDIFF_N"],
+                )
+                xs_kv, xs_dzr = vmix_vertical_coeff(
+                    xs_circ["VDC"], xs_circ["dz"]
+                )
+                xs_kv = mask_vmix_coeff(xs_kv, xs_circ["mask"])
+                xs_steps = max(
+                    2000, synthetic.stable_steps_per_year(xs_circ)
+                )
+                xs_year = build_transport3d_year_stream(
+                    xs_coef, xs_kv, xs_dzr, None, None, (0.0, year),
+                    xs_steps, t_dim=1,
+                    recip_area=1.0 / np.asarray(xs_circ["TAREA"]),
+                    recip_dz=1.0 / np.asarray(xs_circ["dz"]),
+                )
+                out_xs = xs_year(y0_4d)
+                out_xs.block_until_ready()
+                assert np.isfinite(np.asarray(out_xs)).all()
+                start = time.time()
+                xs_year(y0_4d).block_until_ready()
+                xs_s = time.time() - start
+                result["irf3d_gx1_seasonal_stream_seconds"] = round(xs_s, 4)
+                result["irf3d_gx1_seasonal_stream_cell_steps_per_second"] = (
+                    round(x_nz * x_nlat * x_nlon * xs_steps / xs_s)
+                )
+            except Exception as exc:  # noqa: BLE001
+                result["irf3d_gx1_bench_error"] = (
+                    f"{type(exc).__name__}: {exc}"
+                )
+
+        _mark("gx1_stream")
         # FULL 3D spin-up: a two-module tracer family solved to its
         # cyclostationary state at gx3 scale with the whole Newton-Krylov
         # stack on device (exact linear JVPs, jitted GMRES, column-local
@@ -699,7 +810,7 @@ def main():
         # the watchdog budget without measuring the device.
         _mark("gx3_pallas")
         if (
-            time.time() - bench_t0 < 640
+            time.time() - bench_t0 < 1250
             and (
                 jax.devices()[0].platform != "cpu"
                 or os.environ.get("NK_BENCH_IRF3D_GRID")
@@ -795,118 +906,16 @@ def main():
             except Exception as exc:  # noqa: BLE001
                 result["irf3d_solve_bench_error"] = f"{type(exc).__name__}: {exc}"
 
-        # gx1-scale year throughput (POP gx1v7 extents 60x384x320, the
-        # reference's PRODUCTION grid -- its preconditioner solve alone
-        # takes 256 MPI ranks at 2.3 GB each): one XLA-scan year of 7.4M
-        # cells on a single chip.  Accelerator only.
         _mark("full_solve")
-        if (
-            time.time() - bench_t0 < 800
-            and jax.devices()[0].platform != "cpu"
-        ):
-            try:
-                x_nz, x_nlat, x_nlon = 60, 384, 320
-                (
-                    _xc, x_coef, x_kv, x_dzr, x_steps, x_y0, x_out, gx1_s
-                ) = _time_irf3d_year(x_nz, x_nlat, x_nlon, reps=1)
-                result["irf3d_gx1_year_seconds"] = round(gx1_s, 4)
-                result["irf3d_gx1_cells"] = x_nz * x_nlat * x_nlon
-                result["irf3d_gx1_cell_steps_per_second"] = round(
-                    x_nz * x_nlat * x_nlon * x_steps / gx1_s
-                )
-                # the same year through the HBM-streaming pallas kernel
-                # (state ping-pong in HBM, latitude-block windows through
-                # VMEM) -- the grid is ~6x past one core's VMEM, so the
-                # whole-year megakernel cannot apply and the scan above is
-                # the fallback this kernel must beat
-                from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (  # noqa: E501
-                    build_transport3d_year_stream,
-                )
-
-                stream_year = build_transport3d_year_stream(
-                    x_coef, x_kv, x_dzr, None, None, (0.0, year),
-                    x_steps, t_dim=1,
-                    recip_area=1.0 / np.asarray(_xc["TAREA"]),
-                    recip_dz=1.0 / np.asarray(_xc["dz"]),
-                    steps_per_sweep=2 if x_steps % 2 == 0 else 1,
-                )
-                y0_4d = jnp.asarray(
-                    np.asarray(x_y0).reshape(1, x_nz, x_nlat, x_nlon)
-                )
-                out_st = stream_year(y0_4d)
-                out_st.block_until_ready()
-                out_st_np = np.asarray(out_st).reshape(x_nz, -1)
-                assert np.isfinite(out_st_np).all()
-                scan_np = np.asarray(x_out)
-                result["irf3d_gx1_stream_vs_scan_rel"] = float(
-                    np.abs(out_st_np - scan_np).max()
-                    / np.abs(scan_np).max()
-                )
-                start = time.time()
-                stream_year(y0_4d).block_until_ready()
-                st_s = time.time() - start
-                result["irf3d_gx1_year_stream_seconds"] = round(st_s, 4)
-                result["irf3d_gx1_stream_cell_steps_per_second"] = round(
-                    x_nz * x_nlat * x_nlon * x_steps / st_s
-                )
-                # SEASONAL gx1: monthly circulation + monthly vertical
-                # mixing streamed as per-block 3-month windows (the
-                # reference's setup can only ncra-collapse monthly IRF
-                # output to an annual mean).  Timing only -- accuracy vs
-                # the seasonal scan is pinned by
-                # tests/test_transport3d_pallas.py and was measured
-                # on chip at rel 4.6e-7 (scan: 11.0 ms/step).
-                if time.time() - bench_t0 > 850:
-                    raise TimeoutError(
-                        "skipping seasonal gx1 stream (bench budget)"
-                    )
-                xs_circ = synthetic.gen_circulation(
-                    x_nz, x_nlat, x_nlon, n_seasons=12
-                )
-                xs_coef = build_transport3d(
-                    xs_circ["mask"], xs_circ["dz"], xs_circ["TAREA"],
-                    uet=xs_circ["UET"], vnt=xs_circ["VNT"],
-                    wtt=xs_circ["WTT"], hdiff_e=xs_circ["HDIFF_E"],
-                    hdiff_n=xs_circ["HDIFF_N"],
-                )
-                xs_kv, xs_dzr = vmix_vertical_coeff(
-                    xs_circ["VDC"], xs_circ["dz"]
-                )
-                xs_kv = mask_vmix_coeff(xs_kv, xs_circ["mask"])
-                xs_steps = max(
-                    2000, synthetic.stable_steps_per_year(xs_circ)
-                )
-                xs_year = build_transport3d_year_stream(
-                    xs_coef, xs_kv, xs_dzr, None, None, (0.0, year),
-                    xs_steps, t_dim=1,
-                    recip_area=1.0 / np.asarray(xs_circ["TAREA"]),
-                    recip_dz=1.0 / np.asarray(xs_circ["dz"]),
-                )
-                out_xs = xs_year(y0_4d)
-                out_xs.block_until_ready()
-                assert np.isfinite(np.asarray(out_xs)).all()
-                start = time.time()
-                xs_year(y0_4d).block_until_ready()
-                xs_s = time.time() - start
-                result["irf3d_gx1_seasonal_stream_seconds"] = round(xs_s, 4)
-                result["irf3d_gx1_seasonal_stream_cell_steps_per_second"] = (
-                    round(x_nz * x_nlat * x_nlon * xs_steps / xs_s)
-                )
-            except Exception as exc:  # noqa: BLE001
-                result["irf3d_gx1_bench_error"] = (
-                    f"{type(exc).__name__}: {exc}"
-                )
-
     # SEASONAL whole-year megakernel: monthly circulation AND monthly
     # vertical mixing streamed from HBM through the kernel's 3-slab DMA
     # residency ring (the reference can only run the ncra-collapsed
     # annual mean).  Grid is the largest gx3-class seasonal extent that
     # fits one core's VMEM with 12-month rings; accuracy vs the scan is
     # pinned by tests/test_transport3d_pallas.py.  Accelerator only.
-    _mark("gx1")
     if (
         os.environ.get("NK_BENCH_EXTRA", "1") != "0"
-        and time.time() - bench_t0 < 980
+        and time.time() - bench_t0 < 1650
         and jax.devices()[0].platform != "cpu"
     ):
         try:

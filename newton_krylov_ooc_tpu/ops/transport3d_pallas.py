@@ -105,9 +105,15 @@ def _estimate_vmem(nz, nlat, nlon, t_dim, n_coef, n_seasonal=0,
     # authority and surfaces as a clear error).  HBM-resident month stacks
     # do not count.
     bands = 2 * (_SLABS if kv_seasonal else 1)
+    # multi-tracer kernels pay heavy register-allocator spills on top of
+    # the resident fields (measured: a 2-tracer gx3 kernel spilled 45 MiB
+    # of vector registers and OOMed while this sum said it fit) -- charge
+    # 12 field-equivalents per tracer beyond the first so oversized
+    # families take the per-module split instead of a doomed compile
+    spill = (t_dim - 1) * 12
     return (
         _padded_field_bytes(nz, nlat, nlon)
-        * (n_coef + _SLABS * n_seasonal + bands + t_dim * 7)
+        * (n_coef + _SLABS * n_seasonal + bands + t_dim * 7 + spill)
         + _TEMP_BUDGET
     )
 

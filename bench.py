@@ -882,9 +882,17 @@ def main():
 
                 solve_out = None
                 # per-MODULE fit is enough: the kernel class splits a
-                # too-large family into per-module megakernels itself
-                if jax.devices()[0].platform != "cpu" and megakernel_fits_vmem(
-                    s_nz, s_nlat, s_nlon, max(len(m) for m in specs)
+                # too-large family into per-module megakernels itself.
+                # Default OFF for the benched solve: two per-module kernel
+                # compiles (~5 min) dominate a single spin-up's wall-clock
+                # (measured 367 s pallas vs 72 s scan for the same solve);
+                # the pallas year's own speed is benched separately.
+                if (
+                    os.environ.get("NK_BENCH_PALLAS_SOLVE") == "1"
+                    and jax.devices()[0].platform != "cpu"
+                    and megakernel_fits_vmem(
+                        s_nz, s_nlat, s_nlon, max(len(m) for m in specs)
+                    )
                 ):
                     try:
                         solve_out = run_spinup(True)
@@ -988,7 +996,7 @@ def main():
     _mark("seasonal")
     if (
         os.environ.get("NK_BENCH_EXTRA", "1") != "0"
-        and time.time() - bench_t0 < 1200
+        and time.time() - bench_t0 < 1850
         and os.path.exists(gen_a_bin)
     ):
         try:

@@ -423,7 +423,9 @@ def build_transport3d_year_stream(
             copy(
                 y_pp.at[(s - 1) % 2, :, :, pl.ds(win0, w_rows), :], y_buf, 2
             )
-            copy(c_pp.at[:, :, pl.ds(cn0, rows_cn), :], c_buf, 3)
+            copy(
+                c_pp.at[(s - 1) % 2, :, :, pl.ds(cn0, rows_cn), :], c_buf, 3
+            )
 
         # COMPUTE ON LANE-TRIMMED VALUES: the lon axis is periodic and
         # transport_tend wraps it with jnp.roll, so the (128-tile) lane
@@ -582,7 +584,7 @@ def build_transport3d_year_stream(
         )
         copy(
             c_buf.at[:, :, pl.ds(int_lo - roff, b_rows), :],
-            c_pp.at[:, :, pl.ds(int0, b_rows), :],
+            c_pp.at[s % 2, :, :, pl.ds(int0, b_rows), :],
             6,
         )
 
@@ -661,7 +663,7 @@ def build_transport3d_year_stream(
             grid=grid,
             out_shape=[
                 jax.ShapeDtypeStruct((2,) + buf_shape, dtype),
-                jax.ShapeDtypeStruct(buf_shape, dtype),
+                jax.ShapeDtypeStruct((2,) + buf_shape, dtype),
             ],
             in_specs=[hbm()] * (n_stacks + 3) + [ra_spec],
             out_specs=[hbm(), hbm()],
@@ -672,7 +674,7 @@ def build_transport3d_year_stream(
         )(
             *stacks, y0_p,
             jnp.zeros((2,) + buf_shape, dtype),
-            jnp.zeros(buf_shape, dtype),
+            jnp.zeros((2,) + buf_shape, dtype),
             ra,
         )
         return y_pp[(n_sweeps - 1) % 2, :, :, _HALO : _HALO + nlat, :nlon]

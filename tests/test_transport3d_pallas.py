@@ -390,6 +390,7 @@ def test_stream_kernel_matches_scan(problem):
     _circ, coef, kv, dz_r, diag, src, y0, wet = problem
     expected = _scan_reference(coef, kv, dz_r, diag, src, y0)
     scale = np.abs(expected).max()
+    by_k = {}
     for block_rows, prefetch, k in (
         (8, False, 1), (16, False, 1), (8, True, 1), (8, False, 2),
         (16, True, 2),
@@ -404,6 +405,13 @@ def test_stream_kernel_matches_scan(problem):
             got, expected, rtol=0.0, atol=1e-5 * scale
         )
         assert np.abs(got * (1.0 - wet)).max() == 0.0
+        # the documented invariant is BITWISE block-size independence:
+        # every window row's update is the identical arithmetic its
+        # owning block applies (this is what caught the k=2 comp-buffer
+        # same-sweep overwrite hazard the loose scan tolerance missed)
+        if k in by_k:
+            np.testing.assert_array_equal(got, by_k[k])
+        by_k[k] = got
 
 
 def test_stream_kernel_coupled(problem):

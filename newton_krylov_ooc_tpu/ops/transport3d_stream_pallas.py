@@ -28,7 +28,7 @@ The step math is IDENTICAL to ops.imex.imex_year's composition
 with Kahan-compensated float32 accumulation and the cancellation-safe
 flux-form CN right-hand side (see transport3d_pallas.py for why).  The
 lat-block windows reproduce ops.transport3d._shift's closed-boundary
-zero-fill through _HALO dry rows padded onto both buffer ends (wet == 0
+zero-fill through halo dry rows padded onto both buffer ends (wet == 0
 there kills every stencil contribution; the pads are zeroed once before
 the first sweep so no uninitialized memory is ever read).
 
@@ -64,15 +64,20 @@ from .transport3d_pallas import _cn_bands, _pcr_axis3
 
 SEC_PER_YEAR = 365.0 * 86400.0
 
-_HALO = 8  # >= 4 rows consumed per step (two stencil radii), 8-aligned
+
+def _halo_rows(steps_per_sweep):
+    """buffer halo for k steps per sweep: each step consumes 4 rows of
+    stencil validity per side (two upwind3 radii per Heun stage), padded
+    up to the 8-row f32 sublane tile"""
+    return max(8, -(-4 * steps_per_sweep // 8) * 8)
 
 
-def _pad_rows(arr, rows, lanes):
+def _pad_rows(arr, rows, lanes, halo):
     """zero-pad the minor two axes to (rows, lanes), physical row 0 at
-    buffer row _HALO"""
+    buffer row `halo`"""
     arr = np.asarray(arr, np.float32)
     pad = [(0, 0)] * arr.ndim
-    pad[-2] = (_HALO, rows - _HALO - arr.shape[-2])
+    pad[-2] = (halo, rows - halo - arr.shape[-2])
     pad[-1] = (0, lanes - arr.shape[-1])
     return np.pad(arr, pad)
 
@@ -112,13 +117,17 @@ def build_transport3d_year_stream(
     computes, hiding most of the coefficient traffic behind the stencil
     work at the cost of a second window buffer in VMEM.
 
-    steps_per_sweep=2 runs TWO model steps per latitude sweep inside one
-    window residency -- the 8-row halo is exactly two steps' stencil
-    consumption (step one updates rows halo/2 .. W-halo/2, step two the
-    interior), halving the per-step coefficient/state traffic for ~12%
-    more VPU work.  Requires even n_steps.  Results remain block-size
-    independent: the halo rows' step-one update is the bitwise-identical
-    arithmetic the neighboring block applies to the same rows.
+    steps_per_sweep=k runs k model steps per latitude sweep inside one
+    window residency, dividing the per-step coefficient/state traffic by
+    k at the price of a 4k-row halo (each step consumes 4 rows of stencil
+    validity per side; intermediate step j updates rows
+    [halo-4(k-1-j), W-halo+4(k-1-j)), the last the interior).  Requires
+    k | n_steps.  Results remain block-size independent: every halo row's
+    intermediate update is the bitwise-identical arithmetic the owning
+    block applies to the same row (both windows hold identical inputs to
+    a 4-row depth per remaining step, by induction over steps).  The
+    redundant-VPU/traffic trade is best at block_rows ~ 2*halo: the
+    window/interior ratio stays ~2 while traffic drops ~1/k.
 
     SEASONAL circulation (4D time-varying face fields, optionally
     seasonal kv) streams too: the monthly stacks live in HBM with two
@@ -146,10 +155,13 @@ def build_transport3d_year_stream(
     seasonal = n_time is not None
     if block_rows % 8 or block_rows <= 0:
         raise ValueError("block_rows must be a positive multiple of 8")
-    if steps_per_sweep not in (1, 2):
-        raise ValueError("steps_per_sweep must be 1 or 2")
-    if steps_per_sweep == 2 and int(n_steps) % 2:
-        raise ValueError("steps_per_sweep=2 needs an even n_steps")
+    steps_per_sweep = int(steps_per_sweep)
+    if steps_per_sweep < 1:
+        raise ValueError("steps_per_sweep must be a positive integer")
+    if int(n_steps) % steps_per_sweep:
+        raise ValueError(
+            f"steps_per_sweep={steps_per_sweep} must divide n_steps"
+        )
     if seasonal:
         if steps_per_sweep != 1:
             raise ValueError("seasonal streaming needs steps_per_sweep=1")
@@ -172,12 +184,13 @@ def build_transport3d_year_stream(
     dt = float((t_span[1] - t_span[0]) / n_steps)
     n_steps = int(n_steps)
 
+    halo = _halo_rows(steps_per_sweep)
     b_rows = block_rows
     nlat_p = -(-nlat // b_rows) * b_rows
     lanes = -(-nlon // 128) * 128
-    rows = nlat_p + 2 * _HALO  # buffer row r == physical row r - _HALO
+    rows = nlat_p + 2 * halo  # buffer row r == physical row r - halo
     n_blocks = nlat_p // b_rows
-    w_rows = b_rows + 2 * _HALO
+    w_rows = b_rows + 2 * halo
 
     # recip_vol is separable by construction; with the factors supplied it
     # is rebuilt in-kernel instead of streamed (one fewer field-window)
@@ -185,7 +198,7 @@ def build_transport3d_year_stream(
     if sep_rv:
         if recip_dz is None:
             raise ValueError("recip_area requires recip_dz")
-        ra_np = _pad_rows(np.asarray(recip_area, np.float32), rows, lanes)
+        ra_np = _pad_rows(np.asarray(recip_area, np.float32), rows, lanes, halo)
         rdz_np = np.asarray(recip_dz, np.float32)
         rv_chk = (
             wet * rdz_np[:, None, None]
@@ -222,12 +235,15 @@ def build_transport3d_year_stream(
     # steady window stack: coefficients, then per-tracer src (if nonzero)
     n_w = n_coef + (t_dim if has_src else 0)
     parts_w = [
-        np.stack([_pad_rows(coef[name], rows, lanes) for name in names])
+        np.stack(
+            [_pad_rows(coef[name], rows, lanes, halo) for name in names]
+        )
     ]
     if has_src:
         parts_w.append(
             _pad_rows(
-                np.asarray(src).reshape(t_dim, nz, nlat, nlon), rows, lanes
+                np.asarray(src).reshape(t_dim, nz, nlat, nlon),
+                rows, lanes, halo,
             )
         )
     stack_w = np.concatenate(parts_w)
@@ -240,7 +256,7 @@ def build_transport3d_year_stream(
             [
                 np.stack(
                     [
-                        _pad_rows(np.asarray(coef[nm])[m], rows, lanes)
+                        _pad_rows(np.asarray(coef[nm])[m], rows, lanes, halo)
                         for nm in seasonal_names
                     ]
                 )
@@ -258,7 +274,10 @@ def build_transport3d_year_stream(
         stack_bs = np.stack(
             [
                 np.stack(
-                    [_pad_rows(dl, rows, lanes), _pad_rows(du, rows, lanes)]
+                    [
+                        _pad_rows(dl, rows, lanes, halo),
+                        _pad_rows(du, rows, lanes, halo),
+                    ]
                 )
                 for dl, du in months_b + months_b[:2]
             ]
@@ -268,13 +287,17 @@ def build_transport3d_year_stream(
         dl_b, du_b = _cn_bands(kv_np, dz_r_np, nz, nlat, nlon)
         parts_b = [
             np.stack(
-                [_pad_rows(dl_b, rows, lanes), _pad_rows(du_b, rows, lanes)]
+                [
+                    _pad_rows(dl_b, rows, lanes, halo),
+                    _pad_rows(du_b, rows, lanes, halo),
+                ]
             )
         ]
     if has_diag:
         parts_b.append(
             _pad_rows(
-                np.asarray(diag).reshape(t_dim, nz, nlat, nlon), rows, lanes
+                np.asarray(diag).reshape(t_dim, nz, nlat, nlon),
+                rows, lanes, halo,
             )
         )
     n_b = sum(p.shape[0] for p in parts_b)
@@ -291,14 +314,14 @@ def build_transport3d_year_stream(
 
     name_ind = {name: ind for ind, name in enumerate(names)}
     buf_shape = (t_dim, nz, rows, lanes)
-    int_lo, int_hi = _HALO, _HALO + b_rows  # block interior inside a window
+    int_lo, int_hi = halo, halo + b_rows  # block interior inside a window
     k_steps = steps_per_sweep
     n_sweeps = n_steps // k_steps + 1  # sweep 0 is the opening CNh(dt/2)
     # the CN bands and Kahan compensation cover the window only when the
-    # two-step schedule updates halo rows; at k=1 the block interior is
+    # multi-step schedule updates halo rows; at k=1 the block interior is
     # enough -- `roff` maps window row coordinates into these buffers
-    rows_cn = w_rows if k_steps == 2 else b_rows
-    roff = 0 if k_steps == 2 else _HALO
+    rows_cn = w_rows if k_steps >= 2 else b_rows
+    roff = 0 if k_steps >= 2 else halo
 
     x_scale = np.float32(n_time / period) if seasonal else None
     dt_f = np.float32(dt)
@@ -328,7 +351,7 @@ def build_transport3d_year_stream(
         s = pl.program_id(0)       # sweep: 0=CNh, 1..n-1=Heun+CN, n=Heun+CNh
         blk = pl.program_id(1)
         win0 = blk * b_rows        # buffer row of the window start
-        int0 = win0 + _HALO        # buffer row of the block interior
+        int0 = win0 + halo         # buffer row of the block interior
 
         def copy(src_ref, dst_ref, sem_ind):
             dma = pltpu.make_async_copy(src_ref, dst_ref, sems.at[sem_ind])
@@ -567,9 +590,14 @@ def build_transport3d_year_stream(
 
         @pl.when(s > 0)
         def _():
-            if k_steps == 2:
-                heun(_HALO // 2, w_rows - _HALO // 2)
-                cn(_HALO // 2, w_rows - _HALO // 2, dtype(0.5 * dt))
+            # intermediate step j updates rows [lo_j, W - lo_j) with
+            # lo_j = halo - 4*(k - 1 - j): each remaining step consumes 4
+            # rows of validity per side, so the last step lands exactly on
+            # the interior with every input row carrying a complete update
+            for j in range(k_steps - 1):
+                lo_j = halo - 4 * (k_steps - 1 - j)
+                heun(lo_j, w_rows - lo_j)
+                cn(lo_j, w_rows - lo_j, dtype(0.5 * dt))
             last = s == n_sweeps - 1
             heun(int_lo, int_hi)
             half_b = 0.5 * jnp.where(last, dtype(0.5 * dt), dtype(dt))
@@ -656,7 +684,7 @@ def build_transport3d_year_stream(
         stacks, ra = ops[:-1], ops[-1]
         y0_p = jnp.zeros(buf_shape, dtype)
         y0_p = y0_p.at[
-            :, :, _HALO : _HALO + nlat, :nlon
+            :, :, halo : halo + nlat, :nlon
         ].set(jnp.asarray(y0, dtype).reshape(t_dim, nz, nlat, nlon))
         y_pp, _c_pp = pl.pallas_call(
             kernel,
@@ -677,7 +705,7 @@ def build_transport3d_year_stream(
             jnp.zeros((2,) + buf_shape, dtype),
             ra,
         )
-        return y_pp[(n_sweeps - 1) % 2, :, :, _HALO : _HALO + nlat, :nlon]
+        return y_pp[(n_sweeps - 1) % 2, :, :, halo : halo + nlat, :nlon]
 
     def year(y0, interpret=False):
         return _year_op(y0, *stack_ops, ra_j, interpret=interpret)

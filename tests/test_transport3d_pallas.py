@@ -525,3 +525,72 @@ def test_stream_kernel_seasonal_guards(seasonal_problem):
             coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
             diag.reshape(T_DIM, NZ, -1), (0.0, YEAR), 2,
         )
+
+
+def test_stream_kernel_deep_sweeps_multiblock():
+    """steps_per_sweep=4 (16-row halo) on a grid tall enough for several
+    latitude blocks: matches the scan AND is bitwise block-size
+    independent (the multi-step halo updates must be the identical
+    arithmetic the owning block applies to the same rows)"""
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+    )
+
+    nz, nlat, nlon = 3, 24, 6
+    mask = np.ones((nz, nlat, nlon), np.int32)
+    mask[:, 7, 2] = 0
+    mask[1:, 15, 4] = 0
+    circ = synthetic.gen_circulation(nz, nlat, nlon, mask=mask)
+    n_steps = max(32, synthetic.stable_steps_per_year(circ))
+    n_steps += (-n_steps) % 4
+    coef = build_transport3d(
+        circ["mask"], circ["dz"], circ["TAREA"], uet=circ["UET"],
+        vnt=circ["VNT"], wtt=circ["WTT"], hdiff_e=circ["HDIFF_E"],
+        hdiff_n=circ["HDIFF_N"],
+    )
+    kv, dz_r = vmix_vertical_coeff(circ["VDC"], circ["dz"])
+    kv = mask_vmix_coeff(kv, circ["mask"])
+    rng = np.random.default_rng(11)
+    wet = (mask > 0).astype(np.float64)
+    t_dim = 2
+    diag = -rng.uniform(0.0, 1.0e-7, (t_dim, nz, nlat, nlon)) * wet
+    src = rng.uniform(0.0, 1.0e-8, (t_dim, nz, nlat, nlon)) * wet
+    y0 = rng.uniform(0.0, 1.0, (t_dim, nz, nlat, nlon)) * wet
+
+    src2 = jnp.asarray(src.reshape(t_dim, nz, nlat * nlon))
+    diag2 = jnp.asarray(diag.reshape(t_dim, nz, nlat * nlon))
+    kv_j = jnp.asarray(kv)
+    coef64 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float64), coef
+    )
+
+    def tend(t, y):
+        flat = transport_tend(
+            coef64, y.reshape(t_dim, nz, nlat, nlon)
+        ).reshape(t_dim, nz, nlat * nlon)
+        return flat + src2
+
+    expected = np.asarray(
+        imex_year(
+            tend, lambda t: kv_j, diag2,
+            jnp.asarray(np.asarray(dz_r)),
+            jnp.asarray(y0.reshape(t_dim, nz, nlat * nlon)),
+            (0.0, YEAR), n_steps,
+        )
+    ).reshape(t_dim, nz, nlat, nlon)
+    scale = np.abs(expected).max()
+
+    outs = []
+    for block_rows in (8, 24):
+        fn = build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(t_dim, nz, -1),
+            src.reshape(t_dim, nz, -1), (0.0, YEAR), n_steps,
+            block_rows=block_rows, steps_per_sweep=4,
+        )
+        got = np.asarray(fn(jnp.asarray(y0), interpret=True))
+        np.testing.assert_allclose(
+            got, expected, rtol=0.0, atol=1e-5 * scale
+        )
+        assert np.abs(got * (1.0 - wet)).max() == 0.0
+        outs.append(got)
+    np.testing.assert_array_equal(outs[0], outs[1])

@@ -62,14 +62,19 @@ class IageKernel:
     """
 
     def __init__(self, depth, ypos, modelinfo, dtype=jnp.float32, n_steps=8760,
-                 region_mask=None, grid_weight=None, use_pallas=None):
+                 region_mask=None, grid_weight=None, use_pallas=None,
+                 warn_unstable=True):
         self.depth = depth
         self.ypos = ypos
         self.dtype = dtype
         self.n_steps = n_steps
         self.grid = physics.make_grid(depth, ypos, modelinfo, dtype)
         self.nz, self.ny = len(depth), len(ypos)
-        _warn_if_explicit_unstable(self.grid, n_steps)
+        # warn_unstable=False is for kernels that are lowered but never
+        # executed (cost analysis at n_steps=1): the bound is meaningless
+        # there and the warning would read as a real divergence
+        if warn_unstable:
+            _warn_if_explicit_unstable(self.grid, n_steps)
         self.rate = surf_restore_rate(depth)
         self.year = physics.SEC_PER_YEAR
 

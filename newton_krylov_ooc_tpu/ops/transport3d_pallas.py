@@ -58,6 +58,14 @@ from .transport3d import (
 SEC_PER_YEAR = 365.0 * 86400.0
 
 _VMEM_CAP = 110 << 20  # leave headroom below a v5e core's 128 MiB
+
+
+class VmemBudgetError(ValueError):
+    """the requested grid/tracer batch exceeds the megakernel's VMEM
+    budget estimate -- callers that can split the work (per-module
+    megakernels, the sharded year) catch exactly this, never the
+    unrelated build-time ValueErrors"""
+
 # ceiling on the live stencil temporaries of one latitude block: the block
 # size is chosen so ~_TEMPS_PER_BLOCK windows of (T, nz, block+4, nlon)
 # stay inside this, which is what keeps Mosaic's register allocator from
@@ -270,7 +278,7 @@ def build_transport3d_year_pallas(
         nz, nlat, nlon, t_dim, len(steady_ops), len(seasonal_ops), kv_seasonal
     )
     if est > _VMEM_CAP:
-        raise ValueError(
+        raise VmemBudgetError(
             f"~{est >> 20} MiB estimated VMEM for {t_dim} tracers of "
             f"{nz}x{nlat}x{nlon} exceeds the ~{_VMEM_CAP >> 20} MiB "
             "budget; shard the grid (parallel/sharded_transport3d.py)"
@@ -383,9 +391,16 @@ def build_transport3d_year_pallas(
 
         def advance_to(t):
             """keep months {b(t), b(t)+1, b(t)+2} resident -- covers every
-            sample in [t, t + dt] since the bracket advances at most one
-            interval per step (guarded by the dt <= period/n_time check)"""
+            sample in [t, t + dt].  dt <= period/n_time bounds the exact
+            bracket advance to one interval per step, but at dt exactly on
+            the boundary float32 evaluation of x(t) can round floor(x)
+            forward by TWO in one step -- so a 2-interval advance refills
+            the skipped slot as well instead of leaving a stale slab"""
             b_now = bracket_of(t)
+
+            @pl.when(b_now > cur_b_ref[0] + 1)
+            def _():
+                load_month(b_now + 1)
 
             @pl.when(b_now > cur_b_ref[0])
             def _():

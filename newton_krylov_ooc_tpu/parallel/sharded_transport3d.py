@@ -540,6 +540,7 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
             # multi-device meshes, non-f32, or grids past the VMEM budget
             # -- explicit beats a silent fallback)
             from ..ops.transport3d_pallas import (
+                VmemBudgetError,
                 build_transport3d_year_pallas,
             )
 
@@ -572,7 +573,7 @@ class ShardedTransport3dKernel(_ShardedKernelInterface):
                 self._year0_flat = lambda y: year0_p(
                     y, interpret=pallas_interpret
                 )
-            except ValueError:
+            except VmemBudgetError:
                 if self.module_batch == 1:
                     raise
                 # the FAMILY batch overflows one core's VMEM but a single

@@ -95,8 +95,7 @@ def build_transport3d_year_stream(
     block_rows is the latitude block height (multiple of 8).
     y0: (T, nz, nlat, nlon), any float dtype (cast to float32).
 
-    The kernel is HBM-bandwidth-bound (measured ~334 GB/s sustained at
-    gx1, invariant under prefetch), so every streamed field it can shed
+    The kernel is HBM-traffic-bound, so every streamed field it can shed
     pays ~proportionally.  Three sheds beyond the derived upwind3
     selectors:
 
@@ -112,10 +111,21 @@ def build_transport3d_year_stream(
       cover the block interior (the k=2 wide-window residency is not
       paid unless requested).
 
-    prefetch=True double-buffers the coefficient-stack window (the
-    dominant per-block DMA): block k+1's window streams while block k
-    computes, hiding most of the coefficient traffic behind the stencil
-    work at the cost of a second window buffer in VMEM.
+    prefetch=True PIPELINES the whole block loop: every input window
+    (coefficient stack, CN bands, state, Kahan compensation) is
+    double-buffered and block g+1's DMAs are issued while block g
+    computes, and the write-back DMAs are waited one iteration late --
+    so in steady state the stencil work of one block fully overlaps the
+    HBM traffic of its neighbors instead of serializing with it.  The
+    schedule is eager-safe (every DMA's source data is complete at ISSUE
+    time, not just at wait time): state windows read the ping-pong slot
+    the current sweep never writes, and the one cross-sweep issue (last
+    block of sweep s prefetching block 0 of sweep s+1) only needs
+    interiors whose write-back was already waited, which holds whenever
+    n_blocks >= ceil(halo/block_rows) + 2.  Below that block count (and
+    for seasonal band stacks) the build silently falls back to the
+    serial schedule -- check fn.pipelined.  VMEM cost: a second slot for
+    the coefficient/band/state/comp windows (~2x the serial footprint).
 
     steps_per_sweep=k runs k model steps per latitude sweep inside one
     window residency, dividing the per-step coefficient/state traffic by
@@ -317,6 +327,18 @@ def build_transport3d_year_stream(
     int_lo, int_hi = halo, halo + b_rows  # block interior inside a window
     k_steps = steps_per_sweep
     n_sweeps = n_steps // k_steps + 1  # sweep 0 is the opening CNh(dt/2)
+    # the pipelined schedule's one cross-sweep prefetch (last block of
+    # sweep s issuing block 0 of sweep s+1) is eager-safe only when the
+    # window rows it reads were write-back-waited already (docstring);
+    # seasonal runs keep the serial schedule for now -- their month-window
+    # slab copies are blocking either way, so the overlap win is partial
+    # and unmeasured there
+    pipeline = (
+        bool(prefetch)
+        and not seasonal
+        and n_blocks >= -(-halo // b_rows) + 2
+    )
+    n_slots = 2 if pipeline else 1
     # the CN bands and Kahan compensation cover the window only when the
     # multi-step schedule updates halo rows; at k=1 the block interior is
     # enough -- `roff` maps window row coordinates into these buffers
@@ -350,48 +372,137 @@ def build_transport3d_year_stream(
 
         s = pl.program_id(0)       # sweep: 0=CNh, 1..n-1=Heun+CN, n=Heun+CNh
         blk = pl.program_id(1)
+        g = s * n_blocks + blk     # global iteration index
+        total = n_sweeps * n_blocks
+        # this iteration's buffer slot (static 0 keeps the serial path's
+        # indexing free of dynamic slices)
+        p = jnp.remainder(g, 2) if pipeline else 0
         win0 = blk * b_rows        # buffer row of the window start
         int0 = win0 + halo         # buffer row of the block interior
+        cn0 = win0 + roff  # buffer row where the band/comp windows start
 
         def copy(src_ref, dst_ref, sem_ind):
             dma = pltpu.make_async_copy(src_ref, dst_ref, sems.at[sem_ind])
             dma.start()
             dma.wait()
 
-        # -- stream this block's inputs -----------------------------------
-        if prefetch:
-            # double-buffered coefficient windows: start block g+1's DMA
-            # before waiting on block g's (issued one iteration earlier;
-            # warm-up start at g == 0).  Coefficient windows depend only
-            # on the block index -- never on the sweep or the state -- so
-            # prefetching across the sweep boundary is hazard-free.
-            g = s * n_blocks + blk
-            total = n_sweeps * n_blocks
+        # DMA semaphore map: inputs get one semaphore per buffer slot so
+        # an in-flight prefetch never aliases the live block's wait
+        SEM_W, SEM_B, SEM_Y, SEM_C = 0, 2, 4, 6     # + slot
+        SEM_YO, SEM_CO, SEM_S, SEM_BS = 8, 9, 10, 11
 
-            def dma_w(slot, g2):
-                blk2 = jnp.remainder(g2, n_blocks)
-                return pltpu.make_async_copy(
-                    stack_w_hbm.at[:, :, pl.ds(blk2 * b_rows, w_rows), :],
+        def in_dmas(g2, slot):
+            """iteration g2's input-DMA descriptors into buffer `slot`,
+            built identically at issue and wait time (same refs, same
+            semaphores) so a DMA started one grid iteration earlier can
+            be waited here"""
+            s2 = g2 // n_blocks
+            blk2 = g2 - s2 * n_blocks
+            w2 = blk2 * b_rows
+            c2 = w2 + roff
+            pp2 = jnp.remainder(s2 - 1, 2)
+            dmas = {
+                "w": pltpu.make_async_copy(
+                    stack_w_hbm.at[:, :, pl.ds(w2, w_rows), :],
                     w_buf.at[slot],
-                    sems.at[7 + slot],
+                    sems.at[SEM_W + slot],
+                ),
+                "y0": pltpu.make_async_copy(
+                    y0_hbm.at[:, :, pl.ds(w2, w_rows), :],
+                    y_buf.at[slot],
+                    sems.at[SEM_Y + slot],
+                ),
+                "y": pltpu.make_async_copy(
+                    y_pp.at[pp2, :, :, pl.ds(w2, w_rows), :],
+                    y_buf.at[slot],
+                    sems.at[SEM_Y + slot],
+                ),
+                "c": pltpu.make_async_copy(
+                    c_pp.at[pp2, :, :, pl.ds(c2, rows_cn), :],
+                    c_buf.at[slot],
+                    sems.at[SEM_C + slot],
+                ),
+            }
+            if stack_b is not None:
+                dmas["b"] = pltpu.make_async_copy(
+                    stack_b_hbm.at[:, :, pl.ds(c2, rows_cn), :],
+                    b_buf.at[slot],
+                    sems.at[SEM_B + slot],
                 )
+            return s2, dmas
+
+        def start_inputs(g2, slot):
+            s2, dmas = in_dmas(g2, slot)
+            dmas["w"].start()
+            if "b" in dmas:
+                dmas["b"].start()
+
+            @pl.when(s2 == 0)
+            def _():
+                dmas["y0"].start()
+
+            @pl.when(s2 > 0)
+            def _():
+                dmas["y"].start()
+                dmas["c"].start()
+
+        def wait_inputs(g2, slot):
+            s2, dmas = in_dmas(g2, slot)
+            dmas["w"].wait()
+            if "b" in dmas:
+                dmas["b"].wait()
+
+            @pl.when(s2 == 0)
+            def _():
+                dmas["y0"].wait()
+
+            @pl.when(s2 > 0)
+            def _():
+                dmas["y"].wait()
+                dmas["c"].wait()
+
+        def out_dmas(g2, slot):
+            s2 = g2 // n_blocks
+            blk2 = g2 - s2 * n_blocks
+            i0 = blk2 * b_rows + halo
+            pp2 = jnp.remainder(s2, 2)
+            return (
+                pltpu.make_async_copy(
+                    y_buf.at[slot, :, :, pl.ds(int_lo, b_rows), :],
+                    y_pp.at[pp2, :, :, pl.ds(i0, b_rows), :],
+                    sems.at[SEM_YO],
+                ),
+                pltpu.make_async_copy(
+                    c_buf.at[slot, :, :, pl.ds(int_lo - roff, b_rows), :],
+                    c_pp.at[pp2, :, :, pl.ds(i0, b_rows), :],
+                    sems.at[SEM_CO],
+                ),
+            )
+
+        # -- stream this block's inputs -----------------------------------
+        if pipeline:
+            # wait the previous iteration's write-back before its buffers
+            # are re-targeted by the prefetch below
+            @pl.when(g > 0)
+            def _():
+                yo_p, co_p = out_dmas(g - 1, jnp.remainder(g - 1, n_slots))
+                yo_p.wait()
+                co_p.wait()
 
             @pl.when(g == 0)
             def _():
-                dma_w(0, 0).start()
+                start_inputs(0, 0)
 
             @pl.when(g + 1 < total)
             def _():
-                dma_w(jnp.remainder(g + 1, 2), g + 1).start()
+                start_inputs(g + 1, jnp.remainder(g + 1, n_slots))
 
-            dma_w(jnp.remainder(g, 2), g).wait()
-            w_cur = jnp.remainder(g, 2)
+            wait_inputs(g, p)
         else:
-            copy(stack_w_hbm.at[:, :, pl.ds(win0, w_rows), :], w_buf.at[0], 0)
-            w_cur = 0
-        cn0 = win0 + roff  # buffer row where the band/comp windows start
-        if stack_b is not None:
-            copy(stack_b_hbm.at[:, :, pl.ds(cn0, rows_cn), :], b_buf, 1)
+            # serial schedule: still START every input DMA before waiting
+            # any, so the streams at least overlap each other
+            start_inputs(g, 0)
+            wait_inputs(g, 0)
 
         if seasonal:
             # periodic midpoint interpolation, the scan's interp_month:
@@ -425,7 +536,7 @@ def build_transport3d_year_stream(
                         pl.ds(m_base, 3), :, :, pl.ds(win0, w_rows), :
                     ],
                     s_buf,
-                    9,
+                    SEM_S,
                 )
             if stack_bs is not None:
                 copy(
@@ -433,22 +544,14 @@ def build_transport3d_year_stream(
                         pl.ds(m_base, 3), :, :, pl.ds(cn0, rows_cn), :
                     ],
                     bs_buf,
-                    10,
+                    SEM_BS,
                 )
 
+        # sweep 0 has no compensation history: zero the slot in-VPU (no
+        # DMA was issued for it)
         @pl.when(s == 0)
         def _():
-            copy(y0_hbm.at[:, :, pl.ds(win0, w_rows), :], y_buf, 2)
-            c_buf[:] = jnp.zeros_like(c_buf[:])
-
-        @pl.when(s > 0)
-        def _():
-            copy(
-                y_pp.at[(s - 1) % 2, :, :, pl.ds(win0, w_rows), :], y_buf, 2
-            )
-            copy(
-                c_pp.at[(s - 1) % 2, :, :, pl.ds(cn0, rows_cn), :], c_buf, 3
-            )
+            c_buf[p] = jnp.zeros_like(c_buf[p])
 
         # COMPUTE ON LANE-TRIMMED VALUES: the lon axis is periodic and
         # transport_tend wraps it with jnp.roll, so the (128-tile) lane
@@ -457,7 +560,7 @@ def build_transport3d_year_stream(
         # write touches only the logical lanes (the pad lanes round-trip
         # the zeros they were initialized with)
         coef_w = {
-            name: w_buf[w_cur, ind][..., :nlon]
+            name: w_buf[p, ind][..., :nlon]
             for name, ind in name_ind.items()
         }
         if upwind3:
@@ -473,7 +576,7 @@ def build_transport3d_year_stream(
             )
         src_w = (
             jnp.stack(
-                [w_buf[w_cur, n_coef + t] for t in range(t_dim)]
+                [w_buf[p, n_coef + t] for t in range(t_dim)]
             )[..., :nlon]
             if has_src
             else None
@@ -498,10 +601,10 @@ def build_transport3d_year_stream(
             dlb_w = w_a * bl[0] + w_b * bl[1] + w_c * bl[2]
             dub_w = w_a * bu[0] + w_b * bu[1] + w_c * bu[2]
         else:
-            dlb_w = b_buf[0][..., :nlon]
-            dub_w = b_buf[1][..., :nlon]
+            dlb_w = b_buf[p, 0][..., :nlon]
+            dub_w = b_buf[p, 1][..., :nlon]
         diag_w = (
-            b_buf[diag_ind : diag_ind + t_dim][..., :nlon]
+            b_buf[p, diag_ind : diag_ind + t_dim][..., :nlon]
             if has_diag
             else None
         )
@@ -535,7 +638,7 @@ def build_transport3d_year_stream(
             """Crank-Nicolson on window rows [lo, hi) (column-local in
             depth); flux-form rhs: neighbor differences first
             (cancellation-safe) -- exactly imex_year's solve"""
-            y_r = y_buf[:, :, lo:hi, :nlon]
+            y_r = y_buf[p, :, :, lo:hi, :nlon]
             dlb = dlb_w[:, lo - roff : hi - roff, :]
             dub = dub_w[:, lo - roff : hi - roff, :]
             d_up = _shift_z(y_r, 1) - y_r   # dub's zero last level
@@ -550,10 +653,10 @@ def build_transport3d_year_stream(
                 -half * dlb, b_main, -half * dub, 2.0 * half * m_v, nz
             )
             y_new, c_new = kahan(
-                y_r, c_buf[:, :, lo - roff : hi - roff, :nlon], dv
+                y_r, c_buf[p, :, :, lo - roff : hi - roff, :nlon], dv
             )
-            y_buf[:, :, lo:hi, :nlon] = y_new
-            c_buf[:, :, lo - roff : hi - roff, :nlon] = c_new
+            y_buf[p, :, :, lo:hi, :nlon] = y_new
+            c_buf[p, :, :, lo - roff : hi - roff, :nlon] = c_new
 
         def heun(lo, hi):
             """one Heun update on window rows [lo, hi); the stage-1
@@ -562,7 +665,7 @@ def build_transport3d_year_stream(
             rounded stage-2 input y + dt*f1 instead would drop the low
             bits of dt*f1 that the Kahan compensation exists to carry
             (measured 20x accuracy loss over a year)."""
-            y_w = y_buf[:, :, :, :nlon]
+            y_w = y_buf[p, :, :, :, :nlon]
             cw1 = coef_at((one - w_1, w_1, zero)) if seasonal else None
             cw2 = coef_at(w2_abc) if seasonal else None
             f1 = tend(y_w, cw1)
@@ -570,12 +673,12 @@ def build_transport3d_year_stream(
             f2_r = tend(y_w + dtype(dt) * f1, cw2)[:, :, lo:hi, :]
             delta = 0.5 * dtype(dt) * (f1_buf[:, :, lo:hi, :nlon] + f2_r)
             y_new, c_new = kahan(
-                y_buf[:, :, lo:hi, :nlon],
-                c_buf[:, :, lo - roff : hi - roff, :nlon],
+                y_buf[p, :, :, lo:hi, :nlon],
+                c_buf[p, :, :, lo - roff : hi - roff, :nlon],
                 delta,
             )
-            y_buf[:, :, lo:hi, :nlon] = y_new
-            c_buf[:, :, lo - roff : hi - roff, :nlon] = c_new
+            y_buf[p, :, :, lo:hi, :nlon] = y_new
+            c_buf[p, :, :, lo - roff : hi - roff, :nlon] = c_new
 
         # -- model steps: sweep 0 is the opening CNh(dt/2); each later
         # sweep runs k_steps x [Heun; CN], the FIRST on rows
@@ -604,17 +707,22 @@ def build_transport3d_year_stream(
             cn(int_lo, int_hi, half_b)
 
         # -- write back: the interior rows, to this sweep's ping-pong slot
-        # (the final sweep's slot, (n_sweeps-1) % 2, is the result) -------
-        copy(
-            y_buf.at[:, :, pl.ds(int_lo, b_rows), :],
-            y_pp.at[s % 2, :, :, pl.ds(int0, b_rows), :],
-            5,
-        )
-        copy(
-            c_buf.at[:, :, pl.ds(int_lo - roff, b_rows), :],
-            c_pp.at[s % 2, :, :, pl.ds(int0, b_rows), :],
-            6,
-        )
+        # (the final sweep's slot, (n_sweeps-1) % 2, is the result).  On
+        # the pipelined schedule the wait is deferred to the next grid
+        # iteration (or done here on the last one) so the write-back
+        # overlaps the neighbor block's compute.
+        yo, co = out_dmas(g, p)
+        yo.start()
+        co.start()
+        if pipeline:
+            @pl.when(g == total - 1)
+            def _():
+                yo_l, co_l = out_dmas(g, p)
+                yo_l.wait()
+                co_l.wait()
+        else:
+            yo.wait()
+            co.wait()
 
     def _shift_z(arr, off):
         """result[..., k, :, :] = arr[..., k + off, :, :], zero off-grid"""
@@ -635,13 +743,12 @@ def build_transport3d_year_stream(
         dimension_semantics=("arbitrary", "arbitrary"),
         vmem_limit_bytes=127 << 20,
     )
-    n_slots = 2 if prefetch else 1
     scratch_shapes = [
         pltpu.VMEM((n_slots, n_w, nz, w_rows, lanes), dtype),  # windows
     ]
     if stack_b is not None:
         scratch_shapes.append(
-            pltpu.VMEM((n_b, nz, rows_cn, lanes), dtype)       # bands+diag
+            pltpu.VMEM((n_slots, n_b, nz, rows_cn, lanes), dtype)  # bands
         )
     if stack_s is not None:
         scratch_shapes.append(
@@ -652,10 +759,10 @@ def build_transport3d_year_stream(
             pltpu.VMEM((3, 2, nz, rows_cn, lanes), dtype)      # month bands
         )
     scratch_shapes += [
-        pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),         # state win
-        pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),         # Heun f1
-        pltpu.VMEM((t_dim, nz, rows_cn, lanes), dtype),        # comp
-        pltpu.SemaphoreType.DMA((11,)),
+        pltpu.VMEM((n_slots, t_dim, nz, w_rows, lanes), dtype),   # state
+        pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),            # Heun f1
+        pltpu.VMEM((n_slots, t_dim, nz, rows_cn, lanes), dtype),  # comp
+        pltpu.SemaphoreType.DMA((12,)),
     ]
 
     # the coefficient stacks ride the jit boundary as OPERANDS, never
@@ -714,4 +821,5 @@ def build_transport3d_year_stream(
     # thread year.operands through their own argument lists
     year.pure = _year_op
     year.operands = stack_ops + (ra_j,)
+    year.pipelined = pipeline
     return year

@@ -594,3 +594,88 @@ def test_stream_kernel_deep_sweeps_multiblock():
         assert np.abs(got * (1.0 - wet)).max() == 0.0
         outs.append(got)
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_stream_kernel_pipelined_schedule():
+    """the double-buffered pipelined DMA schedule (prefetch=True on a
+    grid with n_blocks >= ceil(halo/block_rows) + 2) must actually
+    ENGAGE (fn.pipelined) and produce bitwise-identical results to the
+    serial schedule -- the two orderings run the same arithmetic on the
+    same rows, only the DMA overlap differs"""
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+    )
+
+    nz, nlat, nlon = 3, 32, 6
+    mask = np.ones((nz, nlat, nlon), np.int32)
+    mask[:, 9, 1] = 0
+    mask[1:, 21, 3] = 0
+    circ = synthetic.gen_circulation(nz, nlat, nlon, mask=mask)
+    n_steps = max(32, synthetic.stable_steps_per_year(circ))
+    n_steps += (-n_steps) % 2
+    coef = build_transport3d(
+        circ["mask"], circ["dz"], circ["TAREA"], uet=circ["UET"],
+        vnt=circ["VNT"], wtt=circ["WTT"], hdiff_e=circ["HDIFF_E"],
+        hdiff_n=circ["HDIFF_N"],
+    )
+    kv, dz_r = vmix_vertical_coeff(circ["VDC"], circ["dz"])
+    kv = mask_vmix_coeff(kv, circ["mask"])
+    rng = np.random.default_rng(13)
+    wet = (mask > 0).astype(np.float64)
+    t_dim = 2
+    diag = -rng.uniform(0.0, 1.0e-7, (t_dim, nz, nlat, nlon)) * wet
+    src = rng.uniform(0.0, 1.0e-8, (t_dim, nz, nlat, nlon)) * wet
+    y0 = rng.uniform(0.0, 1.0, (t_dim, nz, nlat, nlon)) * wet
+
+    src2 = jnp.asarray(src.reshape(t_dim, nz, nlat * nlon))
+    diag2 = jnp.asarray(diag.reshape(t_dim, nz, nlat * nlon))
+    kv_j = jnp.asarray(kv)
+    coef64 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float64), coef
+    )
+
+    def tend(t, y):
+        flat = transport_tend(
+            coef64, y.reshape(t_dim, nz, nlat, nlon)
+        ).reshape(t_dim, nz, nlat * nlon)
+        return flat + src2
+
+    expected = np.asarray(
+        imex_year(
+            tend, lambda t: kv_j, diag2,
+            jnp.asarray(np.asarray(dz_r)),
+            jnp.asarray(y0.reshape(t_dim, nz, nlat * nlon)),
+            (0.0, YEAR), n_steps,
+        )
+    ).reshape(t_dim, nz, nlat, nlon)
+    scale = np.abs(expected).max()
+
+    # k=1: halo 4, 4 blocks of 8 -> pipelined; k=2: halo 8, still >= 3
+    for k in (1, 2):
+        serial = build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(t_dim, nz, -1),
+            src.reshape(t_dim, nz, -1), (0.0, YEAR), n_steps,
+            block_rows=8, prefetch=False, steps_per_sweep=k,
+        )
+        piped = build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(t_dim, nz, -1),
+            src.reshape(t_dim, nz, -1), (0.0, YEAR), n_steps,
+            block_rows=8, prefetch=True, steps_per_sweep=k,
+        )
+        assert not serial.pipelined
+        assert piped.pipelined
+        got_s = np.asarray(serial(jnp.asarray(y0), interpret=True))
+        got_p = np.asarray(piped(jnp.asarray(y0), interpret=True))
+        np.testing.assert_allclose(
+            got_s, expected, rtol=0.0, atol=1e-5 * scale
+        )
+        np.testing.assert_array_equal(got_p, got_s)
+        assert np.abs(got_p * (1.0 - wet)).max() == 0.0
+
+    # below the safe block count the build falls back to serial
+    small = build_transport3d_year_stream(
+        coef, kv, dz_r, diag.reshape(t_dim, nz, -1),
+        src.reshape(t_dim, nz, -1), (0.0, YEAR), n_steps,
+        block_rows=16, prefetch=True, steps_per_sweep=2,
+    )
+    assert not small.pipelined

@@ -60,9 +60,19 @@ from .transport3d import (
     transport_tend,
     upwind3_selectors,
 )
-from .transport3d_pallas import _cn_bands, _pcr_axis3
+from .transport3d_pallas import VmemBudgetError, _cn_bands, _pcr_axis3
 
 SEC_PER_YEAR = 365.0 * 86400.0
+
+# VMEM budget for one core: scratch windows + the charged per-chunk stencil
+# temporaries must fit this (the compiler limit stays at 127 MiB; the gap
+# is headroom for Mosaic's own allocations)
+_STREAM_VMEM_CAP = 110 << 20
+# live stencil temporaries per tend/CN evaluation, in units of one
+# (chunk, nz, w_rows, lanes) window: upwind3 holds ~a dozen shifted/blended
+# field values at once (calibrated so the measured-good gx1 single-module
+# configs pass and the megakernel's observed spill regimes fail)
+_STREAM_TEMP_WINDOWS = 12
 
 
 def _halo_rows(steps_per_sweep):
@@ -70,6 +80,166 @@ def _halo_rows(steps_per_sweep):
     stencil validity per side (two upwind3 radii per Heun stage), padded
     up to the 8-row f32 sublane tile"""
     return max(8, -(-4 * steps_per_sweep // 8) * 8)
+
+
+def _factor_rate_field(arr, wet):
+    """try to factor per-tracer rate fields as a_t*wet + b_t*wet_surf.
+
+    The family solves build their implicit rates and sources as constant
+    rates times the wet mask plus a surface-only restoring/flux row
+    (ops.transport3d.assemble_rate_fields); such fields carry ZERO
+    information beyond 2 scalars per tracer, so streaming them as dense
+    per-tracer windows is pure waste -- the kernel rebuilds them from the
+    resident wet window instead.  Returns (a, b) as per-tracer float
+    lists, or None when any tracer's field is not of this form (dense
+    streaming then applies).
+    """
+    arr = np.asarray(arr, np.float32)
+    wet = np.asarray(wet, np.float32)
+    a_list, b_list = [], []
+    for t in range(arr.shape[0]):
+        if np.any(arr[t][wet == 0.0] != 0.0):
+            return None
+        interior = arr[t, 1:][wet[1:] > 0.0]
+        a_val = float(interior.flat[0]) if interior.size else 0.0
+        if interior.size and np.any(interior != np.float32(a_val)):
+            return None
+        surf = arr[t, 0][wet[0] > 0.0]
+        s_val = float(surf.flat[0]) if surf.size else a_val
+        if surf.size and np.any(surf != np.float32(s_val)):
+            return None
+        a_list.append(a_val)
+        b_list.append(s_val - a_val)
+    return a_list, b_list
+
+
+def stream_vmem_bytes(
+    nz, nlat, nlon, t_dim, *, block_rows=16, steps_per_sweep=1,
+    prefetch=False, n_coef=6, stream_diag=False, stream_src=False,
+    n_seasonal=0, kv_seasonal=False, tend_chunk=None,
+):
+    """advisory VMEM bytes of one streaming-year kernel instance: the
+    scratch windows of build_transport3d_year_stream plus the charged
+    per-chunk stencil temporaries.  n_coef counts the STEADY streamed
+    coefficient fields (6 for the full stencil with factored recip_vol:
+    wet, two conductances, three transports); stream_diag/stream_src add
+    t_dim windows each (False when the rate fields factor through the wet
+    mask).  Callers can test configs BEFORE building; Mosaic's
+    compile-time check remains the authority on hardware."""
+    k = int(steps_per_sweep)
+    halo = _halo_rows(k)
+    b_rows = int(block_rows)
+    w_rows = b_rows + 2 * halo
+    rows_cn = w_rows if k >= 2 else b_rows
+    lanes = -(-nlon // 128) * 128
+    nlat_p = -(-nlat // b_rows) * b_rows
+    n_blocks = nlat_p // b_rows
+    seasonal = n_seasonal > 0 or kv_seasonal
+    engaged = (
+        bool(prefetch) and not seasonal
+        and n_blocks >= -(-halo // b_rows) + 2
+    )
+    n_slots = 2 if engaged else 1
+    n_w = n_coef + (t_dim if stream_src else 0)
+    n_b = (0 if kv_seasonal else 2) + (t_dim if stream_diag else 0)
+    rows = (
+        n_slots * n_w * w_rows
+        + (n_slots * n_b * rows_cn if n_b else 0)
+        + 3 * n_seasonal * w_rows
+        + (3 * 2 * rows_cn if kv_seasonal else 0)
+        + n_slots * t_dim * w_rows     # state windows
+        + t_dim * w_rows               # Heun f1
+        + n_slots * t_dim * rows_cn    # Kahan compensation
+    )
+    chunk = tend_chunk if tend_chunk else (t_dim if t_dim <= 2 else 1)
+    temp_rows = _STREAM_TEMP_WINDOWS * chunk * w_rows
+    return 4 * nz * lanes * (rows + temp_rows)
+
+
+# relative VPU cost of one updated latitude row against one streamed one;
+# measured on a v5e at gx1 (60x384x320): the k=2/b=16 pipelined schedule is
+# DMA-bound (1.67 ms/step ~ its window traffic) while its compute rows fit
+# under that envelope -- the ratio that reproduces both it and the serial
+# 2.36 ms/step is ~0.1
+_COMPUTE_ROW_COST = 0.1
+
+
+def plan_stream(
+    nz, nlat, nlon, t_dim, n_steps, *, n_coef=6, stream_diag=False,
+    stream_src=False, n_seasonal=0, kv_seasonal=False,
+    vmem_cap=_STREAM_VMEM_CAP,
+):
+    """pick (block_rows, steps_per_sweep, prefetch) for the streaming year.
+
+    Enumerates the small config space, keeps what fits the VMEM budget
+    (stream_vmem_bytes), and ranks by a two-term cost model: streamed
+    window rows per model step (the HBM traffic the kernel exists to
+    minimize) and updated rows per step weighted by _COMPUTE_ROW_COST;
+    the pipelined schedule overlaps the two (max), the serial schedule
+    pays their sum.  Returns a kwargs dict for
+    build_transport3d_year_stream.  Raises VmemBudgetError when no config
+    fits (callers then fall back to per-module kernels or the XLA scan,
+    mirroring ops.transport3d_pallas.megakernel_fits_vmem)."""
+    seasonal = n_seasonal > 0 or kv_seasonal
+    k_opts = [1] if seasonal else [
+        k for k in (1, 2, 3, 4, 6, 8) if n_steps % k == 0
+    ]
+    n_w = n_coef + (t_dim if stream_src else 0)
+    n_b = (0 if kv_seasonal else 2) + (t_dim if stream_diag else 0)
+    best = None
+    for k in k_opts:
+        halo = _halo_rows(k)
+        for b_rows in (8, 16, 24, 32, 48, 64):
+            if b_rows > max(8, -(-nlat // 8) * 8):
+                continue
+            for prefetch in (True, False):
+                kwargs = {
+                    "block_rows": b_rows,
+                    "steps_per_sweep": k,
+                    "prefetch": prefetch,
+                }
+                if stream_vmem_bytes(
+                    nz, nlat, nlon, t_dim, n_coef=n_coef,
+                    stream_diag=stream_diag, stream_src=stream_src,
+                    n_seasonal=n_seasonal, kv_seasonal=kv_seasonal,
+                    **kwargs,
+                ) > vmem_cap:
+                    continue
+                w_rows = b_rows + 2 * halo
+                rows_cn = w_rows if k >= 2 else b_rows
+                nlat_p = -(-nlat // b_rows) * b_rows
+                n_blocks = nlat_p // b_rows
+                engaged = (
+                    prefetch and not seasonal
+                    and n_blocks >= -(-halo // b_rows) + 2
+                )
+                if prefetch and not engaged:
+                    continue  # identical to the serial config
+                traffic = (
+                    (n_w + 3 * n_seasonal + t_dim) * w_rows
+                    + (n_b + (6 if kv_seasonal else 0) + t_dim) * rows_cn
+                    + 2 * t_dim * b_rows
+                ) / (b_rows * k)
+                # updated rows per model step per interior row: stage 1
+                # recomputes the full window, stage 2 and the CN update
+                # b + 4(k-1) rows on average over the k steps
+                compute = (
+                    _COMPUTE_ROW_COST * t_dim
+                    * (w_rows + 2 * b_rows + 8 * (k - 1)) / b_rows
+                )
+                cost = (
+                    max(traffic, compute) if engaged else traffic + compute
+                )
+                # pad ratio: physical rows wasted to block alignment
+                cost *= nlat_p / nlat
+                if best is None or cost < best[0]:
+                    best = (cost, kwargs)
+    if best is None:
+        raise VmemBudgetError(
+            f"no streaming-year config fits {vmem_cap >> 20} MiB VMEM for "
+            f"t_dim={t_dim} at nz={nz}, nlon={nlon}"
+        )
+    return best[1]
 
 
 def _pad_rows(arr, rows, lanes, halo):
@@ -85,7 +255,7 @@ def _pad_rows(arr, rows, lanes, halo):
 def build_transport3d_year_stream(
     coef, kv, dz_r, diag, src, t_span, n_steps, couple=None, block_rows=16,
     prefetch=False, steps_per_sweep=1, recip_area=None, recip_dz=None,
-    t_dim=None, period=SEC_PER_YEAR,
+    t_dim=None, period=SEC_PER_YEAR, factor_rates=True, tend_chunk=None,
 ):
     """build fn(y0, interpret=False) -> y_end, the streaming-year kernel.
 
@@ -107,6 +277,26 @@ def build_transport3d_year_stream(
     * diag=None (or all zeros) drops the per-tracer implicit-rate
       windows from the band stack; src=None (or all zeros) drops the
       per-tracer source windows from the coefficient stack.
+    * factor_rates=True (default) additionally sheds any diag/src whose
+      per-tracer fields factor as a_t*wet + b_t*wet_surf -- the form
+      every assemble_rate_fields family produces -- rebuilding them
+      in-kernel from the resident wet window (2 scalars per tracer
+      replace a dense window stream each).  This is what makes the
+      MULTI-MODULE family stream pay: N tracer modules' states ride one
+      coefficient-window residency (the dominant DMA cost amortizes
+      ~N-fold) while their rate fields cost nothing to stream.
+
+    tend_chunk bounds the tracer width of each stencil evaluation
+    (default: all tracers when t_dim <= 2, else 1): the upwind3 tendency
+    holds ~a dozen live window temporaries, so evaluating a large family
+    all at once would spill Mosaic's register allocator exactly the way
+    the whole-grid megakernel measured (transport3d_pallas.py).  The
+    per-tracer arithmetic is elementwise-independent and the surface
+    coupling term is applied across the full family after the chunked
+    stencil pass in the unchunked order, so results agree across
+    chunkings to compiler instruction-fusion roundoff (the compiler may
+    contract multiply-adds differently for different chunk shapes;
+    measured ulp-level, well inside the float32 discretization error).
     * at steps_per_sweep=1 the CN bands and the Kahan compensation only
       cover the block interior (the k=2 wide-window residency is not
       paid unless requested).
@@ -194,6 +384,26 @@ def build_transport3d_year_stream(
     dt = float((t_span[1] - t_span[0]) / n_steps)
     n_steps = int(n_steps)
 
+    # rate fields of the assemble_rate_fields form shed their streams:
+    # 2 scalars per tracer rebuild them from the resident wet window
+    diag_fac = src_fac = None
+    if factor_rates and has_diag:
+        diag_fac = _factor_rate_field(
+            np.asarray(diag).reshape(t_dim, nz, nlat, nlon), wet
+        )
+    if factor_rates and has_src:
+        src_fac = _factor_rate_field(
+            np.asarray(src).reshape(t_dim, nz, nlat, nlon), wet
+        )
+    stream_diag = has_diag and diag_fac is None
+    stream_src = has_src and src_fac is None
+    chunk = int(tend_chunk) if tend_chunk else (t_dim if t_dim <= 2 else 1)
+    if not 1 <= chunk <= t_dim:
+        raise ValueError(f"tend_chunk={chunk} outside [1, {t_dim}]")
+    tr_slices = [
+        slice(i, min(i + chunk, t_dim)) for i in range(0, t_dim, chunk)
+    ]
+
     halo = _halo_rows(steps_per_sweep)
     b_rows = block_rows
     nlat_p = -(-nlat // b_rows) * b_rows
@@ -242,14 +452,15 @@ def build_transport3d_year_stream(
     names = [n for n in all_names if n not in seasonal_names]
     n_coef = len(names)
     n_s = len(seasonal_names)
-    # steady window stack: coefficients, then per-tracer src (if nonzero)
-    n_w = n_coef + (t_dim if has_src else 0)
+    # steady window stack: coefficients, then per-tracer src (if nonzero
+    # and not factored through the wet mask)
+    n_w = n_coef + (t_dim if stream_src else 0)
     parts_w = [
         np.stack(
             [_pad_rows(coef[name], rows, lanes, halo) for name in names]
         )
     ]
-    if has_src:
+    if stream_src:
         parts_w.append(
             _pad_rows(
                 np.asarray(src).reshape(t_dim, nz, nlat, nlon),
@@ -303,7 +514,7 @@ def build_transport3d_year_stream(
                 ]
             )
         ]
-    if has_diag:
+    if stream_diag:
         parts_b.append(
             _pad_rows(
                 np.asarray(diag).reshape(t_dim, nz, nlat, nlon),
@@ -344,6 +555,21 @@ def build_transport3d_year_stream(
     # enough -- `roff` maps window row coordinates into these buffers
     rows_cn = w_rows if k_steps >= 2 else b_rows
     roff = 0 if k_steps >= 2 else halo
+
+    est = stream_vmem_bytes(
+        nz, nlat, nlon, t_dim, block_rows=b_rows,
+        steps_per_sweep=k_steps, prefetch=prefetch, n_coef=n_coef,
+        stream_diag=stream_diag, stream_src=stream_src, n_seasonal=n_s,
+        kv_seasonal=kv_seasonal, tend_chunk=chunk,
+    )
+    if est > _STREAM_VMEM_CAP:
+        raise VmemBudgetError(
+            f"streaming-year config (block_rows={b_rows}, "
+            f"steps_per_sweep={k_steps}, prefetch={prefetch}, "
+            f"t_dim={t_dim}, tend_chunk={chunk}) estimates "
+            f"{est >> 20} MiB VMEM > {_STREAM_VMEM_CAP >> 20} MiB; "
+            "pick a plan_stream config or split the tracer family"
+        )
 
     x_scale = np.float32(n_time / period) if seasonal else None
     dt_f = np.float32(dt)
@@ -578,9 +804,27 @@ def build_transport3d_year_stream(
             jnp.stack(
                 [w_buf[p, n_coef + t] for t in range(t_dim)]
             )[..., :nlon]
-            if has_src
+            if stream_src
             else None
         )
+
+        def sep_field(fac, wet3, sl):
+            """rebuild a factored rate field a_t*wet + b_t*wet_surf for
+            tracer slice sl from the resident wet values (the dense
+            stream was shed; the scalars bake into the kernel)"""
+            a_vals, b_vals = fac
+            parts = []
+            for t in range(sl.start, sl.stop):
+                a_v, b_v = a_vals[t], b_vals[t]
+                f = (
+                    np.float32(a_v) * wet3
+                    if a_v
+                    else jnp.zeros_like(wet3)
+                )
+                if b_v:
+                    f = f.at[0].add(np.float32(b_v) * wet3[0])
+                parts.append(f)
+            return jnp.stack(parts)
 
         def coef_at(weights):
             """stage coefficient dict: steady entries plus the 3-month
@@ -605,29 +849,36 @@ def build_transport3d_year_stream(
             dub_w = b_buf[p, 1][..., :nlon]
         diag_w = (
             b_buf[p, diag_ind : diag_ind + t_dim][..., :nlon]
-            if has_diag
+            if stream_diag
             else None
         )
 
-        def tend(y_w, cw=None):
-            out = transport_tend(coef_w if cw is None else cw, y_w)
+        def base_tend(y_sl, sl, cw):
+            """transport + source for tracer slice sl; the surface
+            coupling is applied by the caller (it mixes tracers across
+            chunks)"""
+            out = transport_tend(cw, y_sl)
             if src_w is not None:
-                out = out + src_w
-            if couple_np is not None:
-                surf = y_w[:, 0]  # (T, W, lanes)
-                rws = []
-                for x_ind in range(t_dim):
-                    acc = None
-                    for y_ind in range(t_dim):
-                        c_val = float(couple_np[x_ind, y_ind])
-                        if c_val != 0.0:
-                            term = c_val * surf[y_ind]
-                            acc = term if acc is None else acc + term
-                    rws.append(
-                        jnp.zeros_like(surf[0]) if acc is None else acc
-                    )
-                out = out.at[:, 0].add(coef_w["wet"][0] * jnp.stack(rws))
+                out = out + src_w[sl]
+            elif src_fac is not None:
+                out = out + sep_field(src_fac, coef_w["wet"], sl)
             return out
+
+        def couple_rows(surf):
+            """(T, W, lanes) surface coupling tendencies from the full
+            family's surface values (callers guard couple_np)"""
+            rws = []
+            for x_ind in range(t_dim):
+                acc = None
+                for y_ind in range(t_dim):
+                    c_val = float(couple_np[x_ind, y_ind])
+                    if c_val != 0.0:
+                        term = c_val * surf[y_ind]
+                        acc = term if acc is None else acc + term
+                rws.append(
+                    jnp.zeros_like(surf[0]) if acc is None else acc
+                )
+            return coef_w["wet"][0] * jnp.stack(rws)
 
         def kahan(y, comp, delta):
             adj = delta + comp
@@ -636,49 +887,72 @@ def build_transport3d_year_stream(
 
         def cn(lo, hi, half):
             """Crank-Nicolson on window rows [lo, hi) (column-local in
-            depth); flux-form rhs: neighbor differences first
-            (cancellation-safe) -- exactly imex_year's solve"""
-            y_r = y_buf[p, :, :, lo:hi, :nlon]
+            depth), per tracer chunk; flux-form rhs: neighbor differences
+            first (cancellation-safe) -- exactly imex_year's solve"""
             dlb = dlb_w[:, lo - roff : hi - roff, :]
             dub = dub_w[:, lo - roff : hi - roff, :]
-            d_up = _shift_z(y_r, 1) - y_r   # dub's zero last level
-            d_dn = _shift_z(y_r, -1) - y_r  # dlb's zero first level
-            m_v = dub * d_up + dlb * d_dn
-            b_main = 1.0 + half * (dub + dlb)
-            if has_diag:
-                dgb = diag_w[:, :, lo - roff : hi - roff, :]
-                m_v = m_v + dgb * y_r
-                b_main = b_main - half * dgb
-            dv = _pcr_axis3(
-                -half * dlb, b_main, -half * dub, 2.0 * half * m_v, nz
-            )
-            y_new, c_new = kahan(
-                y_r, c_buf[p, :, :, lo - roff : hi - roff, :nlon], dv
-            )
-            y_buf[p, :, :, lo:hi, :nlon] = y_new
-            c_buf[p, :, :, lo - roff : hi - roff, :nlon] = c_new
+            b_base = 1.0 + half * (dub + dlb)
+            if diag_fac is not None:
+                wet_sl = coef_w["wet"][:, lo:hi, :]
+            for sl in tr_slices:
+                y_r = y_buf[p, sl, :, lo:hi, :nlon]
+                d_up = _shift_z(y_r, 1) - y_r   # dub's zero last level
+                d_dn = _shift_z(y_r, -1) - y_r  # dlb's zero first level
+                m_v = dub * d_up + dlb * d_dn
+                b_main = b_base
+                if diag_w is not None:
+                    dgb = diag_w[sl, :, lo - roff : hi - roff, :]
+                elif diag_fac is not None:
+                    dgb = sep_field(diag_fac, wet_sl, sl)
+                else:
+                    dgb = None
+                if dgb is not None:
+                    m_v = m_v + dgb * y_r
+                    b_main = b_main - half * dgb
+                dv = _pcr_axis3(
+                    -half * dlb, b_main, -half * dub, 2.0 * half * m_v, nz
+                )
+                y_new, c_new = kahan(
+                    y_r, c_buf[p, sl, :, lo - roff : hi - roff, :nlon], dv
+                )
+                y_buf[p, sl, :, lo:hi, :nlon] = y_new
+                c_buf[p, sl, :, lo - roff : hi - roff, :nlon] = c_new
 
         def heun(lo, hi):
             """one Heun update on window rows [lo, hi); the stage-1
             tendency is recomputed over the halo so it never round-trips
-            HBM.  f1 itself is what the scratch holds: stashing the
-            rounded stage-2 input y + dt*f1 instead would drop the low
-            bits of dt*f1 that the Kahan compensation exists to carry
-            (measured 20x accuracy loss over a year)."""
+            HBM, in tracer chunks so large families' live stencil
+            temporaries stay inside the VMEM estimate.  f1 itself is what
+            the scratch holds: stashing the rounded stage-2 input
+            y + dt*f1 instead would drop the low bits of dt*f1 that the
+            Kahan compensation exists to carry (measured 20x accuracy
+            loss over a year)."""
             y_w = y_buf[p, :, :, :, :nlon]
-            cw1 = coef_at((one - w_1, w_1, zero)) if seasonal else None
-            cw2 = coef_at(w2_abc) if seasonal else None
-            f1 = tend(y_w, cw1)
-            f1_buf[:, :, :, :nlon] = f1
-            f2_r = tend(y_w + dtype(dt) * f1, cw2)[:, :, lo:hi, :]
-            delta = 0.5 * dtype(dt) * (f1_buf[:, :, lo:hi, :nlon] + f2_r)
-            y_new, c_new = kahan(
-                y_buf[p, :, :, lo:hi, :nlon],
-                c_buf[p, :, :, lo - roff : hi - roff, :nlon],
-                delta,
-            )
-            y_buf[p, :, :, lo:hi, :nlon] = y_new
-            c_buf[p, :, :, lo - roff : hi - roff, :nlon] = c_new
+            cw1 = coef_at((one - w_1, w_1, zero)) if seasonal else coef_w
+            cw2 = coef_at(w2_abc) if seasonal else coef_w
+            for sl in tr_slices:
+                f1_buf[sl, :, :, :nlon] = base_tend(y_w[sl], sl, cw1)
+            if couple_np is not None:
+                f1_buf[:, 0, :, :nlon] = (
+                    f1_buf[:, 0, :, :nlon] + couple_rows(y_w[:, 0])
+                )
+                y2_surf = y_w[:, 0] + dtype(dt) * f1_buf[:, 0, :, :nlon]
+                c2_rows = couple_rows(y2_surf)[:, lo:hi, :]
+            for sl in tr_slices:
+                f1_sl = f1_buf[sl, :, :, :nlon]
+                f2_sl = base_tend(
+                    y_w[sl] + dtype(dt) * f1_sl, sl, cw2
+                )[:, :, lo:hi, :]
+                if couple_np is not None:
+                    f2_sl = f2_sl.at[:, 0].add(c2_rows[sl])
+                delta = 0.5 * dtype(dt) * (f1_sl[:, :, lo:hi, :] + f2_sl)
+                y_new, c_new = kahan(
+                    y_buf[p, sl, :, lo:hi, :nlon],
+                    c_buf[p, sl, :, lo - roff : hi - roff, :nlon],
+                    delta,
+                )
+                y_buf[p, sl, :, lo:hi, :nlon] = y_new
+                c_buf[p, sl, :, lo - roff : hi - roff, :nlon] = c_new
 
         # -- model steps: sweep 0 is the opening CNh(dt/2); each later
         # sweep runs k_steps x [Heun; CN], the FIRST on rows
@@ -822,4 +1096,9 @@ def build_transport3d_year_stream(
     year.pure = _year_op
     year.operands = stack_ops + (ra_j,)
     year.pipelined = pipeline
+    # which rate fields actually stream as dense windows (False when
+    # absent, all-zero, or factored through the wet mask)
+    year.stream_diag = stream_diag
+    year.stream_src = stream_src
+    year.tend_chunk = chunk
     return year

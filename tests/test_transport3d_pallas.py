@@ -679,3 +679,160 @@ def test_stream_kernel_pipelined_schedule():
         block_rows=16, prefetch=True, steps_per_sweep=2,
     )
     assert not small.pipelined
+
+
+def test_stream_kernel_factored_rates(problem):
+    """assemble_rate_fields-form diag/src (a_t*wet + b_t*wet_surf, the
+    form every family solve produces) shed their dense streams: the
+    kernel rebuilds them from the resident wet window -- the scalars
+    ride the instruction stream, not HBM"""
+    from newton_krylov_ooc_tpu.ops.transport3d import assemble_rate_fields
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+    )
+
+    circ, coef, kv, dz_r, _diag, _src, y0, wet = problem
+    specs = [
+        {"name": "a", "sink_rate_per_year": 0.02,
+         "surf_restore_pv_cm_s": 2.0e-4, "surf_restore_target": 1.0},
+        {"name": "b", "source_per_year": 1.0e-3},
+    ]
+    diag, src, couple = assemble_rate_fields(
+        specs, wet.reshape(NZ, -1), float(circ["dz"][0]), YEAR
+    )
+    assert couple is None
+    diag4 = diag.reshape(T_DIM, NZ, NLAT, NLON)
+    src4 = src.reshape(T_DIM, NZ, NLAT, NLON)
+    expected = _scan_reference(coef, kv, dz_r, diag4, src4, y0)
+    scale = np.abs(expected).max()
+    fac = build_transport3d_year_stream(
+        coef, kv, dz_r, diag, src, (0.0, YEAR), N_STEPS
+    )
+    dense = build_transport3d_year_stream(
+        coef, kv, dz_r, diag, src, (0.0, YEAR), N_STEPS,
+        factor_rates=False,
+    )
+    assert not fac.stream_diag and not fac.stream_src
+    assert dense.stream_diag and dense.stream_src
+    got = np.asarray(fac(jnp.asarray(y0), interpret=True))
+    got_dense = np.asarray(dense(jnp.asarray(y0), interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-5 * scale)
+    # the rebuild reproduces the dense stream to the last float32 ulp of
+    # the surface restore row; interior rows are the identical product
+    np.testing.assert_allclose(
+        got, got_dense, rtol=0.0, atol=1e-6 * scale
+    )
+    assert np.abs(got * (1.0 - wet)).max() == 0.0
+    # a field NOT of the factored form keeps its dense stream
+    rng = np.random.default_rng(3)
+    messy = -rng.uniform(0.0, 1e-7, diag4.shape) * wet
+    fn = build_transport3d_year_stream(
+        coef, kv, dz_r, messy.reshape(T_DIM, NZ, -1), src,
+        (0.0, YEAR), N_STEPS,
+    )
+    assert fn.stream_diag and not fn.stream_src
+
+
+def test_stream_kernel_family_chunked(problem):
+    """a wide tracer family (the multi-module gx1 stream) rides one
+    coefficient-window residency; per-tracer stencil arithmetic is
+    elementwise-independent and the cross-tracer surface coupling is
+    applied family-wide in the same order for every tend_chunk, so
+    chunkings agree to compiler instruction-fusion roundoff (bitwise
+    when no coupling forces cross-chunk fusion differences)"""
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+    )
+
+    circ, coef, kv, dz_r, _diag, _src, _y0, wet = problem
+    t_dim = 5
+    rng = np.random.default_rng(21)
+    diag = -rng.uniform(0.0, 1.0e-7, (t_dim, NZ, NLAT, NLON)) * wet
+    src = rng.uniform(0.0, 1.0e-8, (t_dim, NZ, NLAT, NLON)) * wet
+    y0 = rng.uniform(0.0, 1.0, (t_dim, NZ, NLAT, NLON)) * wet
+    couple = np.zeros((t_dim, t_dim))
+    couple[1, 0] = 4.25e-3 / circ["dz"][0]
+    couple[1, 1] = -2.0e-3 / circ["dz"][0]
+    couple[3, 4] = 1.5e-3 / circ["dz"][0]
+
+    src2 = jnp.asarray(src.reshape(t_dim, NZ, NLAT * NLON))
+    wet_surf = jnp.asarray(wet[0].reshape(-1))
+    couple_j = jnp.asarray(couple)
+
+    def tend(t, y):
+        y3 = y.reshape(y.shape[:-1] + (NLAT, NLON))
+        out = transport_tend(coef, y3).reshape(y.shape) + src2
+        sflux = wet_surf * jnp.einsum("xy,yh->xh", couple_j, y[:, 0, :])
+        return out.at[:, 0, :].add(sflux)
+
+    expected = np.asarray(
+        imex_year(
+            tend, lambda t: kv,
+            jnp.asarray(diag.reshape(t_dim, NZ, NLAT * NLON)),
+            dz_r, jnp.asarray(y0.reshape(t_dim, NZ, NLAT * NLON)),
+            (0.0, YEAR), N_STEPS,
+        )
+    ).reshape(t_dim, NZ, NLAT, NLON)
+    scale = np.abs(expected).max()
+
+    outs = {}
+    for chunk in (1, 2, 5):
+        fn = build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(t_dim, NZ, -1),
+            src.reshape(t_dim, NZ, -1), (0.0, YEAR), N_STEPS,
+            couple=couple, tend_chunk=chunk,
+        )
+        assert fn.tend_chunk == chunk
+        outs[chunk] = np.asarray(fn(jnp.asarray(y0), interpret=True))
+        np.testing.assert_allclose(
+            outs[chunk], expected, rtol=0.0, atol=1e-5 * scale
+        )
+        assert np.abs(outs[chunk] * (1.0 - wet)).max() == 0.0
+    # ulp-level across chunkings (measured ~2e-6 relative after a year:
+    # XLA contracts multiply-adds differently for different chunk
+    # shapes, here and in the coupling path; the arithmetic itself is
+    # chunking-invariant)
+    np.testing.assert_allclose(
+        outs[1], outs[2], rtol=0.0, atol=3e-6 * scale
+    )
+    np.testing.assert_allclose(
+        outs[1], outs[5], rtol=0.0, atol=3e-6 * scale
+    )
+    # default chunking for a wide family is per-tracer
+    fn = build_transport3d_year_stream(
+        coef, kv, dz_r, diag.reshape(t_dim, NZ, -1),
+        src.reshape(t_dim, NZ, -1), (0.0, YEAR), N_STEPS,
+    )
+    assert fn.tend_chunk == 1
+    with pytest.raises(ValueError, match="tend_chunk"):
+        build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(t_dim, NZ, -1),
+            src.reshape(t_dim, NZ, -1), (0.0, YEAR), N_STEPS,
+            tend_chunk=7,
+        )
+
+
+def test_plan_stream():
+    """the planner picks a VMEM-feasible config; its estimate matches
+    what the builder charges; infeasible budgets raise the typed error"""
+    from newton_krylov_ooc_tpu.ops.transport3d_pallas import VmemBudgetError
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        plan_stream, stream_vmem_bytes,
+    )
+
+    # gx1-shaped single module: must fit the default cap
+    cfg = plan_stream(60, 384, 320, 1, 5840)
+    assert set(cfg) == {"block_rows", "steps_per_sweep", "prefetch"}
+    assert stream_vmem_bytes(60, 384, 320, 1, **cfg) <= 110 << 20
+    assert 5840 % cfg["steps_per_sweep"] == 0
+    # a 6-module family still plans (narrower blocks / chunked tend)
+    cfg6 = plan_stream(60, 384, 320, 6, 5840)
+    assert stream_vmem_bytes(
+        60, 384, 320, 6, **cfg6
+    ) <= 110 << 20
+    # seasonal: steps_per_sweep pinned to 1, 3-month windows charged
+    cfg_s = plan_stream(60, 384, 320, 1, 5840, n_seasonal=3)
+    assert cfg_s["steps_per_sweep"] == 1
+    # nothing fits an absurd budget
+    with pytest.raises(VmemBudgetError, match="VMEM"):
+        plan_stream(60, 384, 320, 1, 5840, vmem_cap=1 << 20)

@@ -266,6 +266,24 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: the accelerator child's first-compile
+    # cost (big unrolled scans over a remote-tunnel backend) measured ~13
+    # minutes of the deadline budget, deadline-starving the gx1 sections;
+    # cached, repeat runs spend that budget measuring instead
+    cache_dir = os.environ.get(
+        "NK_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.realpath(__file__)),
+                     ".jax_cache"),
+    )
+    if cache_dir and cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception:  # noqa: BLE001 -- cache is best-effort
+            pass
+
     # some device plugins ignore the JAX_PLATFORMS env var (the axon tunnel
     # does) and would still initialize; the config route is respected
     platforms = os.environ.get("JAX_PLATFORMS")
@@ -356,6 +374,17 @@ def main():
         result["bench_section_seconds"][name] = round(now - _sect_prev[0], 1)
         _sect_prev[0] = now
         emit()
+
+    def _gate(name, need):
+        """deadline gate; a skip records the budget shortfall so future
+        thresholds are tuned on data, not guesses"""
+        left = _left()
+        if left > need:
+            return True
+        result.setdefault("bench_sections_skipped", {})[name] = (
+            f"left {left:.0f}s < {need}s"
+        )
+        return False
 
     # device-utilization observability: XLA's own cost model for the SAME
     # mathematics (the scan-path year; the pallas megakernel is opaque to
@@ -474,7 +503,7 @@ def main():
     # most valuable numbers in the file, so they run FIRST among the
     # accelerator sections.  Accelerator only.
     x_y0 = None
-    if extras_on and on_accel and _left() > 420:
+    if extras_on and on_accel and _gate("gx1_stream", 420):
         try:
             x_nz, x_nlat, x_nlon = 60, 384, 320
             (
@@ -528,7 +557,7 @@ def main():
     # ncra-collapse monthly IRF output to an annual mean).  Timing +
     # finite check only -- accuracy vs the seasonal scan is pinned by
     # tests/test_transport3d_pallas.py (measured on chip rel 4.6e-7).
-    if extras_on and on_accel and x_y0 is not None and _left() > 220:
+    if extras_on and on_accel and x_y0 is not None and _gate("gx1_seasonal", 220):
         try:
             from newton_krylov_ooc_tpu.models.irf_offline import synthetic
             from newton_krylov_ooc_tpu.ops.transport3d import (
@@ -583,6 +612,80 @@ def main():
             )
     _mark("gx1_seasonal")
 
+    # MULTI-MODULE gx1 family stream: N tracer modules ride ONE
+    # coefficient-window residency (the workload the reference spreads
+    # over 256 MPI ranks, nk_ooc/cime_pop/model_state.py:317-337).  The
+    # stream kernel is coefficient-traffic-bound, so stacking the family
+    # amortizes the dominant DMA cost ~N-fold: the per-module ms/step is
+    # the headline.  Rate fields take the assemble_rate_fields form
+    # (a*wet + b*wet_surf), so they shed their dense streams; module 0 is
+    # rate-free and must land on the steady scan's year to float32.
+    if extras_on and on_accel and x_y0 is not None and _gate("gx1_family", 260):
+        try:
+            from newton_krylov_ooc_tpu.ops.transport3d import (
+                assemble_rate_fields,
+            )
+            from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+                plan_stream,
+            )
+
+            fam_t = 4
+            wet2 = (
+                np.asarray(_xc["mask"]).reshape(x_nz, -1) > 0
+            ).astype(np.float64)
+            fam_specs = [
+                {"name": "t0"},
+                {"name": "t1", "sink_rate_per_year": 1.0 / 50.0},
+                {"name": "t2", "source_per_year": 1.0e-3,
+                 "sink_rate_per_year": 0.02},
+                {"name": "t3", "surf_restore_pv_cm_s": 2.0e-4,
+                 "surf_restore_target": 1.0},
+            ]
+            fam_diag, fam_src, _cpl = assemble_rate_fields(
+                fam_specs, wet2, float(np.asarray(_xc["dz"])[0]), year
+            )
+            fam_cfg = plan_stream(x_nz, x_nlat, x_nlon, fam_t, x_steps)
+            fam_year = build_transport3d_year_stream(
+                x_coef, x_kv, x_dzr, fam_diag, fam_src, (0.0, year),
+                x_steps,
+                recip_area=1.0 / np.asarray(_xc["TAREA"]),
+                recip_dz=1.0 / np.asarray(_xc["dz"]),
+                **fam_cfg,
+            )
+            assert not fam_year.stream_diag and not fam_year.stream_src
+            y0_fam = jnp.broadcast_to(
+                jnp.asarray(
+                    np.asarray(x_y0).reshape(1, x_nz, x_nlat, x_nlon)
+                ),
+                (fam_t, x_nz, x_nlat, x_nlon),
+            )
+            out_fam = fam_year(y0_fam)
+            out_fam.block_until_ready()
+            fam_np = np.asarray(out_fam)
+            assert np.isfinite(fam_np).all()
+            scan_np = np.asarray(x_out)
+            result["irf3d_gx1_family_vs_scan_rel"] = float(
+                np.abs(fam_np[0].reshape(x_nz, -1) - scan_np).max()
+                / np.abs(scan_np).max()
+            )
+            start = time.time()
+            fam_year(y0_fam).block_until_ready()
+            fam_s = time.time() - start
+            result["irf3d_gx1_family_stream_seconds"] = round(fam_s, 4)
+            result["irf3d_gx1_family_t_dim"] = fam_t
+            result["irf3d_gx1_family_config"] = dict(fam_cfg)
+            result["irf3d_gx1_family_ms_per_step_per_module"] = round(
+                fam_s / x_steps / fam_t * 1.0e3, 4
+            )
+            result["irf3d_gx1_family_cell_steps_per_second"] = round(
+                fam_t * x_nz * x_nlat * x_nlon * x_steps / fam_s
+            )
+        except Exception as exc:  # noqa: BLE001
+            result["irf3d_gx1_family_bench_error"] = (
+                f"{type(exc).__name__}: {exc}"
+            )
+    _mark("gx1_family")
+
     # ---- gx3-scale 3D offline IRF-transport year (irf_offline family):
     # the cime_pop-class workload -- ~700k wet cells as one on-device IMEX
     # scan, then the same year as ONE whole-year pallas megakernel (all
@@ -591,7 +694,7 @@ def main():
     # from HBM each step).
     g_nz = g_nlat = g_nlon = g_steps = None
     circ = coef = g_kv = g_dzr = y0_3d = out3d = None
-    if extras_on and _left() > 300:
+    if extras_on and _gate("gx3_scan", 300):
         try:
             g_nz, g_nlat, g_nlon = 60, 116, 100  # POP gx3v7 extents
             (
@@ -607,7 +710,7 @@ def main():
             result["irf3d_bench_error"] = f"{type(exc).__name__}: {exc}"
     _mark("gx3_scan")
 
-    if extras_on and on_accel and g_steps is not None and _left() > 240:
+    if extras_on and on_accel and g_steps is not None and _gate("gx3_pallas", 240):
         try:
             from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
                 build_transport3d_year_pallas,
@@ -643,7 +746,7 @@ def main():
 
     # ---- cheap small-problem sections: 2D pallas year kernels, jitted
     # GMRES vs the host Krylov loop, fused one-dispatch Newton solve.
-    if extras_on and _left() > 150:
+    if extras_on and _gate("pallas_2d", 150):
         from newton_krylov_ooc_tpu.models.py_driver_2d import physics
         from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
             surf_restore_rate,
@@ -700,7 +803,7 @@ def main():
     # matvecs the host path pays one ~25 ms dispatch round-trip per Arnoldi
     # step while the jitted path is ONE device call -- the wall-clock gap
     # is the recorded delta (ops/gmres.py)
-    if extras_on and _left() > 120:
+    if extras_on and _gate("gmres_newton", 120):
         try:
             from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
 
@@ -768,7 +871,7 @@ def main():
     # of wall-clock on a supercomputer" (SURVEY.md section 6).  Skipped on
     # a CPU backend (forced fallback or no accelerator): the full solve
     # would dominate the budget without measuring the device.
-    if extras_on and _left() > 180 and (
+    if extras_on and _gate("full_solve", 180) and (
         on_accel or os.environ.get("NK_BENCH_IRF3D_GRID")
     ):
         try:
@@ -1029,7 +1132,7 @@ def main():
         os.path.dirname(os.path.realpath(__file__)),
         "native", "precond_tools", "bin", "gen_A",
     )
-    if extras_on and _left() > 120 and os.path.exists(gen_a_bin):
+    if extras_on and _gate("precond_gx3", 120) and os.path.exists(gen_a_bin):
         try:
             import subprocess
             import tempfile
@@ -1141,7 +1244,7 @@ def main():
         # nk_ooc/cime_pop/model_state.py:317-337), as one single-chip
         # ELL/DIA BiCGSTAB with the vertical-line preconditioner.
         # Accelerator only: the matrix alone is ~GB-scale.
-        if on_accel and _left() > 180:
+        if on_accel and _gate("precond_gx1", 180):
             try:
                 q_nz, q_nlat, q_nlon = 25, 384, 320  # gx1 precond extents
                 (

@@ -336,6 +336,318 @@ def build_sharded_transport3d_year(
     year.operands = operands
     return year
 
+def build_sharded_transport3d_year_pallas(
+    mesh, coef, kv, dz_r, diag, src, t_span, n_steps, block_steps=2,
+    couple=None, interpret=False, tend_chunk=None,
+):
+    """VMEM-resident sharded 3D transport year: pallas k-step block
+    kernels between latitude halo exchanges.
+
+    The per-step shard_map year (build_sharded_transport3d_year) pays the
+    XLA scan's coefficient re-streaming every step; this path runs blocks
+    of `block_steps` interior steps as ONE pallas kernel per shard
+    (ops/transport3d_block_pallas: coefficients, CN bands, state, and
+    Kahan compensation all VMEM-resident within a block), exchanging
+    4*block_steps latitude rows per side between blocks -- each upwind3
+    Heun pair consumes 4 rows of halo validity.  Latitude sharding is
+    what puts a gx1-class coefficient window back inside one core's VMEM
+    (the whole-grid megakernel is ~6x oversized there; the reference
+    spreads the same workload over an nprow x npcol MPI grid,
+    nk_ooc/cime_pop/model_state.py:439-450).  The Kahan compensation
+    rides the halo exchange with the state, so accumulation accuracy does
+    not reset at block boundaries.
+
+    The year decomposes as the single-device kernels do (interior Strang
+    half-steps merged): a leading CN(dt/2), (n_steps-1) x [Heun; CN(dt)]
+    in pallas blocks, then a final Heun (one 2-row exchange per stage)
+    and trailing CN(dt/2) in plain jax.  STEADY circulations only
+    (seasonal coefficient interpolation wants the scan year), latitude
+    ('space') decomposition only, float32 (the pallas path's dtype).
+
+    diag/src: (tracer, nz, nlat*nlon) rate fields; the factored
+    a*wet + b*wet_surf form (everything assemble_rate_fields emits) sheds
+    its dense VMEM residency -- 2 scalars per tracer rebuilt from the
+    resident wet mask.  couple: optional (tracer, tracer) surface
+    gas-exchange coupling.  Returns fn(y) for y (tracer, nz, nlat, nlon)
+    sharded P(None, None, 'space', None), with .pure/.operands like the
+    sibling builders.
+    """
+    from ..ops.transport3d_block_pallas import build_block3d_steps
+    from ..ops.transport3d_pallas import _cn_bands
+    from ..ops.transport3d_stream_pallas import _factor_rate_field
+
+    n_space = mesh.shape["space"]
+    if mesh.shape.get("space_x", 1) != 1:
+        raise ValueError(
+            "the pallas block year shards latitude only; drop the "
+            "'space_x' mesh axis or use build_sharded_transport3d_year"
+        )
+    wet_np = np.asarray(coef["wet"])
+    nz, nlat, nlon = wet_np.shape
+    for name, arr in coef.items():
+        if arr is not None and np.asarray(arr).ndim == 4:
+            raise ValueError(
+                f"seasonal coefficient {name!r}: the pallas block year is "
+                "steady-only; use build_sharded_transport3d_year"
+            )
+    kv_np = np.asarray(kv)
+    if kv_np.ndim == 3:
+        raise ValueError("seasonal kv: use build_sharded_transport3d_year")
+    if nlat % n_space != 0:
+        raise ValueError(f"nlat {nlat} does not split over {n_space} shards")
+    nl_loc = nlat // n_space
+    k = int(block_steps)
+    if k < 1:
+        raise ValueError("block_steps must be positive")
+    halo = 4 * k
+    if halo > nl_loc:
+        raise ValueError(
+            f"halo depth 4*block_steps={halo} exceeds the shard width "
+            f"{nl_loc}; the exchange is single-neighbor -- use "
+            f"block_steps <= {nl_loc // 4} (or fewer latitude shards)"
+        )
+    rows_ext = nl_loc + 2 * halo
+    lanes = -(-nlon // 128) * 128
+    dtype = jnp.float32
+    t_dim = int(np.asarray(diag).shape[0])
+    dt = float((t_span[1] - t_span[0]) / n_steps)
+    n_inner = int(n_steps) - 1
+    m_blocks, r_steps = divmod(n_inner, k)
+
+    diag4 = np.asarray(diag, np.float64).reshape(t_dim, nz, nlat, nlon)
+    src4 = np.asarray(src, np.float64).reshape(t_dim, nz, nlat, nlon)
+    has_diag = bool(np.any(diag4))
+    has_src = bool(np.any(src4))
+    diag_fac = _factor_rate_field(diag4, wet_np) if has_diag else None
+    src_fac = _factor_rate_field(src4, wet_np) if has_src else None
+    stream_diag = has_diag and diag_fac is None
+    stream_src = has_src and src_fac is None
+
+    def ext_stack(arr):
+        """(..., nlat, nlon) -> (n_space, ..., rows_ext, lanes) float32:
+        per-shard latitude blocks extended by `halo` rows each side
+        (zero-padded past the physical boundaries) and lane-padded"""
+        arr = np.asarray(arr, np.float64)
+        pad = [(0, 0)] * arr.ndim
+        pad[-2] = (halo, halo)
+        padded = np.pad(arr, pad)
+        blocks = np.stack(
+            [
+                padded[..., s * nl_loc : s * nl_loc + rows_ext, :]
+                for s in range(n_space)
+            ]
+        )
+        out = np.zeros(blocks.shape[:-1] + (lanes,), np.float32)
+        out[..., :nlon] = blocks
+        return out
+
+    coef_names = [n for n, a in sorted(coef.items()) if a is not None]
+    wet_ind = coef_names.index("wet")
+    coef_stack = np.stack(
+        [ext_stack(coef[n]) for n in coef_names], axis=1
+    )  # (n_space, n_coef, nz, rows_ext, lanes)
+    dl_b, du_b = _cn_bands(
+        kv_np, np.asarray(dz_r, np.float64), nz, nlat, nlon
+    )
+    dlb_stack = ext_stack(dl_b)
+    dub_stack = ext_stack(du_b)
+    extra_stacks = []
+    if stream_diag:
+        extra_stacks.append(ext_stack(diag4))
+    if stream_src:
+        extra_stacks.append(ext_stack(src4))
+
+    blk_kw = dict(
+        has_diag=has_diag, has_src=has_src, diag_fac=diag_fac,
+        src_fac=src_fac, couple=couple, tend_chunk=tend_chunk,
+    )
+    blk_k = (
+        build_block3d_steps(
+            coef_names, nz, rows_ext, nlon, t_dim, dt, k, **blk_kw
+        )
+        if m_blocks
+        else None
+    )
+    blk_r = (
+        build_block3d_steps(
+            coef_names, nz, rows_ext, nlon, t_dim, dt, r_steps, **blk_kw
+        )
+        if r_steps
+        else None
+    )
+
+    couple_np = None if couple is None else np.asarray(couple, np.float64)
+    fwd_perm = [(i, i + 1) for i in range(n_space - 1)]
+    bwd_perm = [(i, i - 1) for i in range(1, n_space)]
+    half_cn = np.float32(0.25 * dt)  # CN(dt/2): half = 0.5 * (dt/2)
+    dt_f = np.float32(dt)
+    lane_pad = ((0, 0), (0, 0), (0, 0), (0, lanes - nlon))
+
+    from ..ops.transport3d_pallas import _pcr_axis3, _shift_axis3
+
+    def local_year(y, *ops):
+        cs = ops[0][0]                      # (n_coef, nz, rows_ext, lanes)
+        dlb_e, dub_e = ops[1][0], ops[2][0]
+        pos = 3
+        diag_e = src_e = None
+        if stream_diag:
+            diag_e = ops[pos][0]
+            pos += 1
+        if stream_src:
+            src_e = ops[pos][0]
+
+        # interior and 2-halo slices for the plain-jax half steps
+        rows_i = slice(halo, halo + nl_loc)
+        rows_2 = slice(halo - 2, halo + nl_loc + 2)
+        dlb_i = dlb_e[:, rows_i, :nlon]
+        dub_i = dub_e[:, rows_i, :nlon]
+        wet_i = cs[wet_ind][:, rows_i, :nlon]
+        coef_2 = {
+            name: cs[i][:, rows_2, :nlon]
+            for i, name in enumerate(coef_names)
+        }
+
+        def rebuild(fac):
+            a_vals, b_vals = fac
+            parts = []
+            for t in range(t_dim):
+                f = (
+                    np.float32(a_vals[t]) * wet_i
+                    if a_vals[t]
+                    else jnp.zeros_like(wet_i)
+                )
+                if b_vals[t]:
+                    f = f.at[0].add(np.float32(b_vals[t]) * wet_i[0])
+                parts.append(f)
+            return jnp.stack(parts)
+
+        if stream_diag:
+            diag_i = diag_e[:, :, rows_i, :nlon]
+        elif has_diag:
+            diag_i = rebuild(diag_fac)
+        else:
+            diag_i = None
+        if stream_src:
+            src_i = src_e[:, :, rows_i, :nlon]
+        elif has_src:
+            src_i = rebuild(src_fac)
+        else:
+            src_i = None
+
+        def kahan(y_v, c_v, delta):
+            adj = delta + c_v
+            y_new = y_v + adj
+            return y_new, adj - (y_new - y_v)
+
+        def cn_half(y_v, c_v):
+            d_up = _shift_axis3(y_v, 1) - y_v
+            d_dn = _shift_axis3(y_v, -1) - y_v
+            m_v = dub_i * d_up + dlb_i * d_dn
+            b_main = 1.0 + half_cn * (dub_i + dlb_i)
+            if diag_i is not None:
+                m_v = m_v + diag_i * y_v
+                b_main = b_main - half_cn * diag_i
+            dv = _pcr_axis3(
+                -half_cn * dlb_i, b_main, -half_cn * dub_i,
+                2.0 * half_cn * m_v, nz,
+            )
+            return kahan(y_v, c_v, dv)
+
+        def halo_cat(a, width):
+            south = jax.lax.ppermute(a[..., -width:, :], "space", fwd_perm)
+            north = jax.lax.ppermute(a[..., :width, :], "space", bwd_perm)
+            return jnp.concatenate([south, a, north], axis=-2)
+
+        def run_block(blk, y_v, c_v):
+            y_ext = jnp.pad(halo_cat(y_v, halo), lane_pad)
+            c_ext = jnp.pad(halo_cat(c_v, halo), lane_pad)
+            extras = [e for e in (diag_e, src_e) if e is not None]
+            y_p, c_p = blk(
+                y_ext, c_ext, cs, dlb_e, dub_e, *extras,
+                interpret=interpret,
+            )
+            return y_p[:, :, rows_i, :nlon], c_p[:, :, rows_i, :nlon]
+
+        y = y.astype(dtype)
+        y, c = cn_half(y, jnp.zeros_like(y))
+
+        if m_blocks:
+            def scan_body(carry, _):
+                return run_block(blk_k, *carry), None
+
+            (y, c), _ = jax.lax.scan(
+                scan_body, (y, c), None, length=m_blocks
+            )
+        if r_steps:
+            y, c = run_block(blk_r, y, c)
+
+        # final Heun (one 2-row exchange per stage) + trailing CN(dt/2)
+        def tend_i(y_ext2):
+            out = transport_tend(coef_2, y_ext2)[:, :, 2:-2, :]
+            if src_i is not None:
+                out = out + src_i
+            return out
+
+        def couple_rows(surf):
+            rws = []
+            for x_ind in range(t_dim):
+                acc = None
+                for y_ind in range(t_dim):
+                    c_val = float(couple_np[x_ind, y_ind])
+                    if c_val != 0.0:
+                        term = c_val * surf[y_ind]
+                        acc = term if acc is None else acc + term
+                rws.append(
+                    jnp.zeros_like(surf[0]) if acc is None else acc
+                )
+            return wet_i[0] * jnp.stack(rws)
+
+        f1 = tend_i(halo_cat(y, 2))
+        if couple_np is not None:
+            f1 = f1.at[:, 0].add(couple_rows(y[:, 0]))
+        y_mid = y + dt_f * f1
+        f2 = tend_i(halo_cat(y_mid, 2))
+        if couple_np is not None:
+            f2 = f2.at[:, 0].add(couple_rows(y_mid[:, 0]))
+        y, c = kahan(y, c, np.float32(0.5) * dt_f * (f1 + f2))
+        y, _c = cn_half(y, c)
+        return y
+
+    state_spec = P(None, None, "space", None)
+    stacked = [coef_stack, dlb_stack, dub_stack] + extra_stacks
+    op_specs = [
+        P("space", *([None] * (arr.ndim - 1))) for arr in stacked
+    ]
+
+    sharded = shard_map(
+        local_year,
+        mesh=mesh,
+        in_specs=(state_spec,) + tuple(op_specs),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+
+    operands = tuple(
+        put_global(mesh, arr, spec) for arr, spec in zip(stacked, op_specs)
+    )
+
+    def year_pure(y, ops):
+        """consts-threaded form: ops is the coefficient-operand tuple"""
+        return sharded(y, *ops)
+
+    jitted = jax.jit(year_pure)
+
+    def year(y):
+        return jitted(y, operands)
+
+    year.pure = year_pure
+    year.operands = operands
+    year.vmem_bytes = max(
+        blk.vmem_bytes for blk in (blk_k, blk_r) if blk is not None
+    ) if (blk_k or blk_r) else 0
+    return year
+
+
 def _region_reduction_arrays_3d(mesh, region_mask, grid_weight, dtype,
                                 x_axis=None):
     """device-resident per-(module, region) reduction operators over a 3D

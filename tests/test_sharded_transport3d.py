@@ -485,3 +485,171 @@ def test_phosphorus3d_nonlinear_solve():
     np.testing.assert_allclose(
         results[1], results[0], rtol=0.0, atol=1e-11 * scale
     )
+
+
+# -- VMEM-resident pallas block year (k steps per halo exchange) -----------
+
+
+def test_sharded_year_pallas_matches_single_device():
+    """the pallas k-step block year (ops/transport3d_block_pallas between
+    ppermute halo exchanges) reproduces the scan year at toy extents,
+    across shard counts, block depths, and the remainder-block path"""
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        build_sharded_transport3d_year_pallas,
+    )
+
+    circ, coef, kv, dz_r, diag, src, y0 = _setup()
+    expected = _reference_year(coef, kv, dz_r, diag, src, y0)
+    scale = np.abs(expected).max()
+    wet = (np.asarray(circ["mask"]) > 0).astype(np.float64)
+
+    for n_space, k in ((2, 1), (1, 2), (4, 0)):
+        if k == 0:
+            continue  # nl_loc=2 < halo 4: guarded below
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+        fn = build_sharded_transport3d_year_pallas(
+            mesh, coef, kv, dz_r,
+            diag.reshape(T_DIM, NZ, -1), src.reshape(T_DIM, NZ, -1),
+            (0.0, YEAR), N_STEPS, block_steps=k, interpret=True,
+        )
+        y_dev = jax.device_put(
+            jnp.asarray(y0),
+            NamedSharding(mesh, P(None, None, "space", None)),
+        )
+        got = np.asarray(fn(y_dev))
+        # float32 pallas path vs the float64 scan: discretization level
+        np.testing.assert_allclose(
+            got, expected, rtol=0.0, atol=2e-5 * scale
+        )
+        assert np.abs(got * (1.0 - wet)).max() == 0.0
+
+    mesh4 = Mesh(np.asarray(jax.devices("cpu")[:4]), ("space",))
+    with pytest.raises(ValueError, match="halo depth"):
+        build_sharded_transport3d_year_pallas(
+            mesh4, coef, kv, dz_r,
+            diag.reshape(T_DIM, NZ, -1), src.reshape(T_DIM, NZ, -1),
+            (0.0, YEAR), N_STEPS, block_steps=1, interpret=True,
+        )
+
+
+@pytest.mark.slow
+def test_sharded_year_pallas_gx1_extent_family():
+    """gx1-HORIZONTAL-extent (384 x 320, depth-reduced) coupled family
+    through the pallas block year on the virtual 8-device mesh: per-shard
+    coefficient windows fit one core's VMEM exactly where the whole-grid
+    megakernel is ~6x oversized (the sharding-composes-with-the-gx1-regime
+    requirement; reference anchor: the 256-rank distributed solve,
+    nk_ooc/cime_pop/model_state.py:317-337).  Rates take the
+    assemble_rate_fields form (dense residency shed), dic/dic14-style
+    surface coupling included; 8-device equals 1-device bitwise"""
+    from newton_krylov_ooc_tpu.ops.transport3d import assemble_rate_fields
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        build_sharded_transport3d_year_pallas,
+    )
+
+    nz, nlat, nlon, t_dim = 3, 384, 320, 2
+    n_steps = 368  # >= the synthetic circulation's stability bound (365)
+    mask = np.ones((nz, nlat, nlon), np.int32)
+    mask[:, 100, 37] = 0
+    mask[1:, 251, 200] = 0
+    circ = synthetic.gen_circulation(nz, nlat, nlon, mask=mask)
+    assert synthetic.stable_steps_per_year(circ) <= n_steps
+    coef = build_transport3d(
+        circ["mask"], circ["dz"], circ["TAREA"], uet=circ["UET"],
+        vnt=circ["VNT"], wtt=circ["WTT"], hdiff_e=circ["HDIFF_E"],
+        hdiff_n=circ["HDIFF_N"],
+    )
+    kv, dz_r = vmix_vertical_coeff(circ["VDC"], circ["dz"])
+    kv = mask_vmix_coeff(kv, circ["mask"])
+    wet = (mask > 0).astype(np.float64)
+    specs = [
+        {"name": "dic", "sink_rate_per_year": 0.02,
+         "surf_restore_pv_cm_s": 2.0e-4, "surf_restore_target": 1.0,
+         "surf_flux_d": {"dic14": 1.5e-4}},
+        {"name": "dic14", "source_per_year": 1.0e-3},
+    ]
+    diag, src, couple = assemble_rate_fields(
+        specs, wet.reshape(nz, -1), float(circ["dz"][0]), YEAR
+    )
+    assert couple is not None
+    rng = np.random.default_rng(31)
+    y0 = rng.uniform(0.0, 1.0, (t_dim, nz, nlat, nlon)) * wet
+
+    src2 = jnp.asarray(src)
+    wet_surf = jnp.asarray(wet[0].reshape(-1))
+    couple_j = jnp.asarray(couple)
+
+    def tend(t, y):
+        y3 = y.reshape(y.shape[:-1] + (nlat, nlon))
+        out = transport_tend(coef, y3).reshape(y.shape) + src2
+        sflux = wet_surf * jnp.einsum("xy,yh->xh", couple_j, y[:, 0, :])
+        return out.at[:, 0, :].add(sflux)
+
+    expected = np.asarray(
+        imex_year(
+            tend, lambda t: kv, jnp.asarray(diag), dz_r,
+            jnp.asarray(y0.reshape(t_dim, nz, -1)), (0.0, YEAR), n_steps,
+        )
+    ).reshape(t_dim, nz, nlat, nlon)
+    scale = np.abs(expected).max()
+
+    outs = {}
+    for n_space in (8, 1):
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+        fn = build_sharded_transport3d_year_pallas(
+            mesh, coef, kv, dz_r, diag, src, (0.0, YEAR), n_steps,
+            block_steps=4, couple=couple, interpret=True,
+        )
+        assert fn.vmem_bytes > 0
+        y_dev = jax.device_put(
+            jnp.asarray(y0),
+            NamedSharding(mesh, P(None, None, "space", None)),
+        )
+        outs[n_space] = np.asarray(fn(y_dev))
+        np.testing.assert_allclose(
+            outs[n_space], expected, rtol=0.0, atol=2e-5 * scale
+        )
+        assert np.abs(outs[n_space] * (1.0 - wet)).max() == 0.0
+    # every owned row sees the identical arithmetic regardless of the
+    # shard count (measured exact here; the contract is roundoff-level)
+    np.testing.assert_allclose(
+        outs[8], outs[1], rtol=0.0, atol=1e-6 * scale
+    )
+
+
+def test_sharded_year_pallas_guards():
+    """seasonal coefficients/kv and 2D meshes are explicit errors, not
+    silent fallbacks"""
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        build_sharded_transport3d_year_pallas,
+    )
+
+    circ, coef, kv, dz_r, diag, src, _y0 = _setup()
+    args = (
+        diag.reshape(T_DIM, NZ, -1), src.reshape(T_DIM, NZ, -1),
+        (0.0, YEAR), N_STEPS,
+    )
+    mesh2d = Mesh(
+        np.asarray(jax.devices("cpu")[:4]).reshape(2, 2),
+        ("space", "space_x"),
+    )
+    with pytest.raises(ValueError, match="latitude only"):
+        build_sharded_transport3d_year_pallas(
+            mesh2d, coef, kv, dz_r, *args
+        )
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:2]), ("space",))
+    circ_s = synthetic.gen_circulation(NZ, NLAT, NLON, n_seasons=4)
+    coef_s = build_transport3d(
+        circ_s["mask"], circ_s["dz"], circ_s["TAREA"], uet=circ_s["UET"],
+        vnt=circ_s["VNT"], wtt=circ_s["WTT"], hdiff_e=circ_s["HDIFF_E"],
+        hdiff_n=circ_s["HDIFF_N"],
+    )
+    with pytest.raises(ValueError, match="steady-only"):
+        build_sharded_transport3d_year_pallas(
+            mesh, coef_s, kv, dz_r, *args
+        )
+    kv_s, _dz_r_s = vmix_vertical_coeff(circ_s["VDC"], circ_s["dz"])
+    with pytest.raises(ValueError, match="seasonal kv"):
+        build_sharded_transport3d_year_pallas(
+            mesh, coef, mask_vmix_coeff(kv_s, circ_s["mask"]), dz_r, *args
+        )

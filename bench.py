@@ -521,15 +521,33 @@ def main():
             # this kernel must beat
             from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
                 build_transport3d_year_stream,
+                plan_stream,
             )
 
-            stream_year = build_transport3d_year_stream(
-                x_coef, x_kv, x_dzr, None, None, (0.0, year),
-                x_steps, t_dim=1,
-                recip_area=1.0 / np.asarray(_xc["TAREA"]),
-                recip_dz=1.0 / np.asarray(_xc["dz"]),
-                steps_per_sweep=2 if x_steps % 2 == 0 else 1,
+            def _build_stream(**cfg):
+                return build_transport3d_year_stream(
+                    x_coef, x_kv, x_dzr, None, None, (0.0, year),
+                    x_steps, t_dim=1,
+                    recip_area=1.0 / np.asarray(_xc["TAREA"]),
+                    recip_dz=1.0 / np.asarray(_xc["dz"]),
+                    **cfg,
+                )
+
+            st_cfg = plan_stream(x_nz, x_nlat, x_nlon, 1, x_steps)
+            stream_year = _build_stream(**st_cfg)
+            y0_cfg_probe = jnp.zeros(
+                (1, x_nz, x_nlat, x_nlon), jnp.float32
             )
+            try:  # the planner's VMEM estimate is advisory; Mosaic rules
+                stream_year(y0_cfg_probe).block_until_ready()
+            except Exception:  # noqa: BLE001
+                st_cfg = {
+                    "steps_per_sweep": 2 if x_steps % 2 == 0 else 1,
+                    "block_rows": 16,
+                    "prefetch": True,
+                }
+                stream_year = _build_stream(**st_cfg)
+            result["irf3d_gx1_stream_config"] = dict(st_cfg)
             y0_4d = jnp.asarray(
                 np.asarray(x_y0).reshape(1, x_nz, x_nlat, x_nlon)
             )

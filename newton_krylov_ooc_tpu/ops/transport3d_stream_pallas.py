@@ -13,10 +13,11 @@ traffic EXPLICIT and minimal:
     HBM scratch, aliased operands it accepts);
   * every step sweeps latitude blocks; per block, ONE stacked DMA brings
     the stencil coefficients + sources (a (13+T, nz, W, lanes) window),
-    one more the CN bands + implicit rates, the state window rides a
-    third, and only the updated block interior goes back out -- ~17
-    streamed field-windows per block against the scan's 40+ materialized
-    full-field passes;
+    one more the kv field + implicit rates (the CN bands dl/du are
+    rebuilt in-kernel from kv and the resident dz_r profile), the state
+    window rides a third, and only the updated block interior goes back
+    out -- ~16 streamed field-windows per block against the scan's 40+
+    materialized full-field passes;
   * the Heun stage-1 tendency is recomputed on the block halo (8 rows)
     instead of materialized globally, trading (b+16)/b redundant VPU work
     for never writing f1/f2 to HBM.
@@ -124,8 +125,10 @@ def stream_vmem_bytes(
     coefficient fields (6 for the full stencil with factored recip_vol:
     wet, two conductances, three transports); stream_diag/stream_src add
     t_dim windows each (False when the rate fields factor through the wet
-    mask).  Callers can test configs BEFORE building; Mosaic's
-    compile-time check remains the authority on hardware."""
+    mask).  The steady CN bands cost ONE window (the kv field; dl/du are
+    rebuilt in-kernel from it and the resident dz_r profile).  Callers
+    can test configs BEFORE building; Mosaic's compile-time check remains
+    the authority on hardware."""
     k = int(steps_per_sweep)
     halo = _halo_rows(k)
     b_rows = int(block_rows)
@@ -141,7 +144,7 @@ def stream_vmem_bytes(
     )
     n_slots = 2 if engaged else 1
     n_w = n_coef + (t_dim if stream_src else 0)
-    n_b = (0 if kv_seasonal else 2) + (t_dim if stream_diag else 0)
+    n_b = (0 if kv_seasonal else 1) + (t_dim if stream_diag else 0)
     rows = (
         n_slots * n_w * w_rows
         + (n_slots * n_b * rows_cn if n_b else 0)
@@ -185,7 +188,7 @@ def plan_stream(
         k for k in (1, 2, 3, 4, 6, 8) if n_steps % k == 0
     ]
     n_w = n_coef + (t_dim if stream_src else 0)
-    n_b = (0 if kv_seasonal else 2) + (t_dim if stream_diag else 0)
+    n_b = (0 if kv_seasonal else 1) + (t_dim if stream_diag else 0)
     best = None
     for k in k_opts:
         halo = _halo_rows(k)
@@ -505,15 +508,21 @@ def build_transport3d_year_stream(
         ).astype(np.float32)
         parts_b = []
     else:
-        dl_b, du_b = _cn_bands(kv_np, dz_r_np, nz, nlat, nlon)
-        parts_b = [
-            np.stack(
-                [
-                    _pad_rows(dl_b, rows, lanes, halo),
-                    _pad_rows(du_b, rows, lanes, halo),
-                ]
-            )
-        ]
+        # the steady CN bands ride ONE streamed window: the kv field with
+        # a zero bottom level appended; dl/du are rebuilt in-kernel as
+        # du[k] = kv[k]*dz_r[k], dl[k] = kv[k-1]*dz_r[k] from the
+        # VMEM-resident dz_r depth profile.  Halves the steady band
+        # traffic; the f32 rebuild differs from the f64-product-then-round
+        # bands by <= 2 ulp, far inside the kernel's 1e-5
+        # discretization-level contract, and stays bitwise block-size
+        # independent (elementwise on the same streamed kv rows).
+        kv_full = np.concatenate(
+            [
+                kv_np.reshape(nz - 1, nlat, nlon),
+                np.zeros((1, nlat, nlon), np.float32),
+            ]
+        )
+        parts_b = [_pad_rows(kv_full, rows, lanes, halo)[None]]
     if stream_diag:
         parts_b.append(
             _pad_rows(
@@ -525,7 +534,7 @@ def build_transport3d_year_stream(
     stack_b = (
         np.concatenate(parts_b).astype(np.float32) if parts_b else None
     )
-    diag_ind = 0 if kv_seasonal else 2
+    diag_ind = 0 if kv_seasonal else 1
 
     couple_np = None
     if couple is not None:
@@ -574,6 +583,9 @@ def build_transport3d_year_stream(
     x_scale = np.float32(n_time / period) if seasonal else None
     dt_f = np.float32(dt)
     t0_f = np.float32(t_span[0])
+    # resident-plane row where the dz_r profile starts (after the area
+    # rows and the rdz profile when recip_vol is factored)
+    dzr_off = (rows + nz) if sep_rv else 0
 
     def kernel(*refs):
         # input/output/scratch refs in build order (optional stacks are
@@ -845,8 +857,12 @@ def build_transport3d_year_stream(
             dlb_w = w_a * bl[0] + w_b * bl[1] + w_c * bl[2]
             dub_w = w_a * bu[0] + w_b * bu[1] + w_c * bu[2]
         else:
-            dlb_w = b_buf[p, 0][..., :nlon]
-            dub_w = b_buf[p, 1][..., :nlon]
+            # rebuild dl/du from the single streamed kv window and the
+            # resident dz_r column (see the band-stack construction)
+            kv_w = b_buf[p, 0][..., :nlon]
+            dzr_c = ra_res[pl.ds(dzr_off, nz), :][:, :1][:, :, None]
+            dub_w = kv_w * dzr_c
+            dlb_w = _shift_z(kv_w, -1) * dzr_c
         diag_w = (
             b_buf[p, diag_ind : diag_ind + t_dim][..., :nlon]
             if stream_diag
@@ -1045,11 +1061,21 @@ def build_transport3d_year_stream(
     # (the same operand-form rule as ops/sparse.py and the sharded year).
     # The area plane is small enough to stay VMEM-resident for the whole
     # run (fetched once: its block index never changes).
-    ra_j = jnp.asarray(
-        np.concatenate(
-            [ra_np, np.repeat(rdz_np[:, None], lanes, axis=1)]
+    res_planes = []
+    if sep_rv:
+        res_planes += [ra_np, np.repeat(rdz_np[:, None], lanes, axis=1)]
+    if not kv_seasonal:
+        # dz_r rides the resident plane so the kernel can rebuild the CN
+        # bands from the streamed kv window (dzr_off set above)
+        res_width = lanes if sep_rv else 128
+        res_planes.append(
+            np.repeat(
+                dz_r_np.astype(np.float32)[:, None], res_width, axis=1
+            )
         )
-        if sep_rv
+    ra_j = jnp.asarray(
+        np.concatenate(res_planes)
+        if res_planes
         else np.zeros((8, 128), np.float32)
     )
     ra_spec = pl.BlockSpec(ra_j.shape, lambda s, b: (0, 0))

@@ -393,7 +393,7 @@ def test_stream_kernel_matches_scan(problem):
     by_k = {}
     for block_rows, prefetch, k in (
         (8, False, 1), (16, False, 1), (8, True, 1), (8, False, 2),
-        (16, True, 2),
+        (16, True, 2), (8, False, 4),
     ):
         fn = build_transport3d_year_stream(
             coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),

@@ -570,65 +570,6 @@ def main():
             result["irf3d_gx1_bench_error"] = f"{type(exc).__name__}: {exc}"
     _mark("gx1_stream")
 
-    # SEASONAL gx1: monthly circulation + monthly vertical mixing streamed
-    # as per-block 3-month windows (the reference's setup can only
-    # ncra-collapse monthly IRF output to an annual mean).  Timing +
-    # finite check only -- accuracy vs the seasonal scan is pinned by
-    # tests/test_transport3d_pallas.py (measured on chip rel 4.6e-7).
-    if extras_on and on_accel and x_y0 is not None and _gate("gx1_seasonal", 220):
-        try:
-            from newton_krylov_ooc_tpu.models.irf_offline import synthetic
-            from newton_krylov_ooc_tpu.ops.transport3d import (
-                build_transport3d,
-                mask_vmix_coeff,
-                vmix_vertical_coeff,
-            )
-            from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
-                build_transport3d_year_stream,
-            )
-
-            xs_circ = synthetic.gen_circulation(
-                x_nz, x_nlat, x_nlon, n_seasons=12
-            )
-            xs_coef = build_transport3d(
-                xs_circ["mask"], xs_circ["dz"], xs_circ["TAREA"],
-                uet=xs_circ["UET"], vnt=xs_circ["VNT"],
-                wtt=xs_circ["WTT"], hdiff_e=xs_circ["HDIFF_E"],
-                hdiff_n=xs_circ["HDIFF_N"],
-            )
-            xs_kv, xs_dzr = vmix_vertical_coeff(
-                xs_circ["VDC"], xs_circ["dz"]
-            )
-            xs_kv = mask_vmix_coeff(xs_kv, xs_circ["mask"])
-            xs_steps = max(2000, synthetic.stable_steps_per_year(xs_circ))
-            xs_year = build_transport3d_year_stream(
-                xs_coef, xs_kv, xs_dzr, None, None, (0.0, year),
-                xs_steps, t_dim=1,
-                recip_area=1.0 / np.asarray(xs_circ["TAREA"]),
-                recip_dz=1.0 / np.asarray(xs_circ["dz"]),
-            )
-            # the seasonal circulation's wet mask differs from the steady
-            # one's -- regenerate y0 under ITS mask so the run integrates a
-            # consistent state (dry cells start zero and stay zero)
-            wet_xs = (np.asarray(xs_circ["mask"]) > 0).astype(np.float32)
-            y0_xs = jnp.asarray(
-                np.asarray(x_y0).reshape(1, x_nz, x_nlat, x_nlon) * wet_xs
-            )
-            out_xs = xs_year(y0_xs)
-            out_xs.block_until_ready()
-            assert np.isfinite(np.asarray(out_xs)).all()
-            start = time.time()
-            xs_year(y0_xs).block_until_ready()
-            xs_s = time.time() - start
-            result["irf3d_gx1_seasonal_stream_seconds"] = round(xs_s, 4)
-            result["irf3d_gx1_seasonal_stream_cell_steps_per_second"] = (
-                round(x_nz * x_nlat * x_nlon * xs_steps / xs_s)
-            )
-        except Exception as exc:  # noqa: BLE001
-            result["irf3d_gx1_seasonal_bench_error"] = (
-                f"{type(exc).__name__}: {exc}"
-            )
-    _mark("gx1_seasonal")
 
     # MULTI-MODULE gx1 family stream: N tracer modules ride ONE
     # coefficient-window residency (the workload the reference spreads
@@ -703,6 +644,66 @@ def main():
                 f"{type(exc).__name__}: {exc}"
             )
     _mark("gx1_family")
+
+    # SEASONAL gx1: monthly circulation + monthly vertical mixing streamed
+    # as per-block 3-month windows (the reference's setup can only
+    # ncra-collapse monthly IRF output to an annual mean).  Timing +
+    # finite check only -- accuracy vs the seasonal scan is pinned by
+    # tests/test_transport3d_pallas.py (measured on chip rel 4.6e-7).
+    if extras_on and on_accel and x_y0 is not None and _gate("gx1_seasonal", 430):
+        try:
+            from newton_krylov_ooc_tpu.models.irf_offline import synthetic
+            from newton_krylov_ooc_tpu.ops.transport3d import (
+                build_transport3d,
+                mask_vmix_coeff,
+                vmix_vertical_coeff,
+            )
+            from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+                build_transport3d_year_stream,
+            )
+
+            xs_circ = synthetic.gen_circulation(
+                x_nz, x_nlat, x_nlon, n_seasons=12
+            )
+            xs_coef = build_transport3d(
+                xs_circ["mask"], xs_circ["dz"], xs_circ["TAREA"],
+                uet=xs_circ["UET"], vnt=xs_circ["VNT"],
+                wtt=xs_circ["WTT"], hdiff_e=xs_circ["HDIFF_E"],
+                hdiff_n=xs_circ["HDIFF_N"],
+            )
+            xs_kv, xs_dzr = vmix_vertical_coeff(
+                xs_circ["VDC"], xs_circ["dz"]
+            )
+            xs_kv = mask_vmix_coeff(xs_kv, xs_circ["mask"])
+            xs_steps = max(2000, synthetic.stable_steps_per_year(xs_circ))
+            xs_year = build_transport3d_year_stream(
+                xs_coef, xs_kv, xs_dzr, None, None, (0.0, year),
+                xs_steps, t_dim=1,
+                recip_area=1.0 / np.asarray(xs_circ["TAREA"]),
+                recip_dz=1.0 / np.asarray(xs_circ["dz"]),
+            )
+            # the seasonal circulation's wet mask differs from the steady
+            # one's -- regenerate y0 under ITS mask so the run integrates a
+            # consistent state (dry cells start zero and stay zero)
+            wet_xs = (np.asarray(xs_circ["mask"]) > 0).astype(np.float32)
+            y0_xs = jnp.asarray(
+                np.asarray(x_y0).reshape(1, x_nz, x_nlat, x_nlon) * wet_xs
+            )
+            out_xs = xs_year(y0_xs)
+            out_xs.block_until_ready()
+            assert np.isfinite(np.asarray(out_xs)).all()
+            start = time.time()
+            xs_year(y0_xs).block_until_ready()
+            xs_s = time.time() - start
+            result["irf3d_gx1_seasonal_stream_seconds"] = round(xs_s, 4)
+            result["irf3d_gx1_seasonal_stream_cell_steps_per_second"] = (
+                round(x_nz * x_nlat * x_nlon * xs_steps / xs_s)
+            )
+        except Exception as exc:  # noqa: BLE001
+            result["irf3d_gx1_seasonal_bench_error"] = (
+                f"{type(exc).__name__}: {exc}"
+            )
+    _mark("gx1_seasonal")
 
     # ---- gx3-scale 3D offline IRF-transport year (irf_offline family):
     # the cime_pop-class workload -- ~700k wet cells as one on-device IMEX

@@ -184,8 +184,12 @@ def plan_stream(
     fits (callers then fall back to per-module kernels or the XLA scan,
     mirroring ops.transport3d_pallas.megakernel_fits_vmem)."""
     seasonal = n_seasonal > 0 or kv_seasonal
+    # k > 2 is legal (explicit steps_per_sweep) but excluded here: k is a
+    # kernel-body UNROLL factor, and the measured Mosaic compile time of
+    # the k=4 gx1 kernel blew past 10 minutes -- a planner that picks it
+    # silently turns a 5 s year into a compile stall on first build
     k_opts = [1] if seasonal else [
-        k for k in (1, 2, 3, 4, 6, 8) if n_steps % k == 0
+        k for k in (1, 2) if n_steps % k == 0
     ]
     n_w = n_coef + (t_dim if stream_src else 0)
     n_b = (0 if kv_seasonal else 1) + (t_dim if stream_diag else 0)
@@ -269,8 +273,12 @@ def build_transport3d_year_stream(
     y0: (T, nz, nlat, nlon), any float dtype (cast to float32).
 
     The kernel is HBM-traffic-bound, so every streamed field it can shed
-    pays ~proportionally.  Three sheds beyond the derived upwind3
+    pays ~proportionally.  Four sheds beyond the derived upwind3
     selectors:
+
+    * the steady CN bands (dl, du) both derive from the kv field and the
+      1-D dz_r profile, so only kv streams (one window instead of two);
+      the bands are rebuilt in-kernel against the resident dz_r column.
 
     * recip_area ((nlat, nlon)) + recip_dz ((nz,)): coef["recip_vol"]
       is wet/(dz x tarea) by construction (transport3d.py:214), i.e.

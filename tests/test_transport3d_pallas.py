@@ -508,6 +508,30 @@ def test_stream_kernel_seasonal_matches_scan(seasonal_problem):
         assert np.abs(got * (1.0 - wet)).max() == 0.0
 
 
+def test_stream_kernel_seasonal_steady_kv(seasonal_problem):
+    """seasonal faces with STEADY vertical mixing through the STREAM
+    kernel (the bench's gx1 seasonal workload): the month windows ride
+    the per-block 3-month DMA while the CN bands are rebuilt in-kernel
+    from the single streamed kv window and the resident dz_r column"""
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+    )
+
+    circ, coef, kv, dz_r, diag, src, y0, wet = seasonal_problem
+    kv0 = np.asarray(kv)[0]
+    expected = _scan_reference_seasonal(coef, kv0, dz_r, diag, src, y0)
+    scale = np.abs(expected).max()
+    fn = build_transport3d_year_stream(
+        coef, kv0, dz_r, diag.reshape(T_DIM, NZ, -1),
+        src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+        recip_area=1.0 / np.asarray(circ["TAREA"]),
+        recip_dz=1.0 / np.asarray(circ["dz"]),
+    )
+    got = np.asarray(fn(jnp.asarray(y0), interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=0.0, atol=1e-5 * scale)
+    assert np.abs(got * (1.0 - wet)).max() == 0.0
+
+
 def test_stream_kernel_seasonal_guards(seasonal_problem):
     from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
         build_transport3d_year_stream,

@@ -156,7 +156,48 @@ def stream_vmem_bytes(
     )
     chunk = tend_chunk if tend_chunk else (t_dim if t_dim <= 2 else 1)
     temp_rows = _STREAM_TEMP_WINDOWS * chunk * w_rows
-    return 4 * nz * lanes * (rows + temp_rows)
+    # VMEM-resident plane (area rows + rdz/dz_r depth profiles), charged
+    # at its sep-recip-vol worst case -- small, but the fit test should
+    # not drift optimistic near the cap
+    resident = 4 * lanes * (nlat_p + 2 * halo + 2 * nz)
+    return 4 * nz * lanes * (rows + temp_rows) + resident
+
+
+def stream_hbm_bytes_per_step(
+    nz, nlat, nlon, t_dim, *, block_rows=16, steps_per_sweep=1,
+    n_coef=6, stream_diag=False, stream_src=False, n_seasonal=0,
+    kv_seasonal=False, prefetch=False, **_unused,
+):
+    """exact HBM bytes the streaming-year kernel DMAs per model step in
+    steady state (interior sweeps; sweep 0's skipped compensation read is
+    ignored).  Counts what actually moves -- including the 128-lane DMA
+    pad and the block-alignment latitude pad -- so
+    bytes / measured_seconds is TRUE sustained HBM bandwidth, bounded by
+    the chip's physical peak.  This is deliberately a different number
+    from bench.py's `equiv_hbm_gbps`, which credits the kernel with the
+    bytes an unfused XLA scan WOULD have moved and so can exceed peak.
+    Extra plan_stream kwargs are accepted and ignored (the pipelined
+    schedule changes overlap, not traffic)."""
+    k = int(steps_per_sweep)
+    halo = _halo_rows(k)
+    b_rows = int(block_rows)
+    w_rows = b_rows + 2 * halo
+    rows_cn = w_rows if k >= 2 else b_rows
+    lanes = -(-nlon // 128) * 128
+    nlat_p = -(-nlat // b_rows) * b_rows
+    n_blocks = nlat_p // b_rows
+    n_w = n_coef + (t_dim if stream_src else 0)
+    n_b = (0 if kv_seasonal else 1) + (t_dim if stream_diag else 0)
+    rows_in = (
+        n_w * w_rows                  # coefficient/source windows
+        + n_b * rows_cn               # kv band + streamed diag windows
+        + 3 * n_seasonal * w_rows     # 3-month seasonal coef window
+        + (3 * 2 * rows_cn if kv_seasonal else 0)  # seasonal CN bands
+        + t_dim * w_rows              # state window
+        + t_dim * rows_cn             # Kahan compensation window
+    )
+    rows_out = 2 * t_dim * b_rows     # state + compensation interiors
+    return n_blocks * (rows_in + rows_out) * nz * lanes * 4 / k
 
 
 # relative VPU cost of one updated latitude row against one streamed one;
@@ -1135,4 +1176,11 @@ def build_transport3d_year_stream(
     year.stream_diag = stream_diag
     year.stream_src = stream_src
     year.tend_chunk = chunk
+    # exact steady-state HBM traffic of THIS build's shed decisions, so
+    # callers can report true sustained bandwidth next to wall-clock
+    year.hbm_bytes_per_step = stream_hbm_bytes_per_step(
+        nz, nlat, nlon, t_dim, block_rows=b_rows,
+        steps_per_sweep=k_steps, n_coef=n_coef, stream_diag=stream_diag,
+        stream_src=stream_src, n_seasonal=n_s, kv_seasonal=kv_seasonal,
+    )
     return year

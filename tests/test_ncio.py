@@ -92,3 +92,35 @@ def test_isclose_all_vars(tmp_workdir):
     assert isclose_all_vars(base, same, rtol=0.0, atol=0.0)
     assert not isclose_all_vars(base, diff, rtol=1.0e-8, atol=1.0e-8)
     assert isclose_all_vars(base, diff, rtol=1.0e-5, atol=1.0e-5)
+
+
+def test_isclose_committed_fixtures():
+    """the COMMITTED cross-implementation fixtures (input/tests/, written
+    by scipy.io.netcdf_file -- an independent netCDF-3 implementation)
+    read identically through this repo's codec and classify exactly as
+    the reference's fixture suite does
+    (/root/reference/tests/test_utils.py:53-76): base==base at zero
+    tolerance, same==base once units are honored (m vs cm, exactly
+    representable), diff!=base until tolerances reach 1e-5"""
+    fixture_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.realpath(__file__))),
+        "input",
+        "tests",
+    )
+    base = os.path.join(fixture_dir, "isclose_base.nc")
+    same = os.path.join(fixture_dir, "isclose_same.nc")
+    diff = os.path.join(fixture_dir, "isclose_diff.nc")
+
+    # codec cross-check: exact values and attributes from the foreign file
+    with NCFile(base) as fptr:
+        assert list(fptr.variables) == ["var1", "var2"]
+        assert fptr.var("var1").attrs["units"] == "m"
+        assert np.array_equal(fptr.var("var1")[:], [1.0, 2.0, 3.0, 4.0])
+
+    assert isclose_all_vars(base, base, rtol=0.0, atol=0.0)
+    assert isclose_all_vars(base, base, rtol=1.0e-5, atol=1.0e-5)
+    assert isclose_all_vars(base, same, rtol=0.0, atol=0.0)
+    assert isclose_all_vars(base, same, rtol=1.0e-5, atol=1.0e-5)
+    assert not isclose_all_vars(base, diff, rtol=0.0, atol=0.0)
+    assert not isclose_all_vars(base, diff, rtol=1.0e-8, atol=1.0e-8)
+    assert isclose_all_vars(base, diff, rtol=1.0e-5, atol=1.0e-5)

@@ -197,14 +197,31 @@ def _cpu_baseline_child():
     The baseline is pure numpy/scipy, so it runs CONCURRENTLY with the
     accelerator sections in its own process (no TPU client, no GIL
     contention with device dispatch) instead of spending ~2 minutes of
-    the deadline budget inline."""
+    the deadline budget inline.  The headline figure is PROCESS-CPU
+    seconds, not wall-clock: on this few-core host the niced child is
+    descheduled whenever the main process needs the core, so its wall
+    time overstates the reference cost ~3x (measured 371 s wall vs
+    ~126 s on an idle core); CPU seconds are the dedicated-core
+    equivalent and agree with wall time when the machine is idle (the
+    scipy Radau path is effectively single-threaded at this size).
+    Both figures are reported."""
     year = 365.0 * 86400.0
     depth, ypos = build_axes()
     column = np.interp(depth.mid, [55.0, 200.0], [0.0, 2.0])
     y0 = np.broadcast_to(column[:, None], (len(depth), len(ypos)))
     y0 = np.stack([y0, y0]).astype(np.float64)
-    cpu_time, _sol = scipy_baseline(depth, ypos, y0, year)
-    print(json.dumps({"baseline_cpu_seconds": round(cpu_time, 3)}), flush=True)
+    t_cpu0 = time.process_time()
+    wall_time, _sol = scipy_baseline(depth, ypos, y0, year)
+    cpu_time = (time.process_time() - t_cpu0) / CPU_SPAN_FRAC
+    print(
+        json.dumps(
+            {
+                "baseline_cpu_seconds": round(cpu_time, 3),
+                "baseline_cpu_wall_seconds": round(wall_time, 3),
+            }
+        ),
+        flush=True,
+    )
 
 
 def _start_cpu_baseline():
@@ -245,7 +262,7 @@ def _harvest_cpu_baseline(proc, timeout_s):
             except ValueError:
                 continue
             if isinstance(obj, dict) and "baseline_cpu_seconds" in obj:
-                return float(obj["baseline_cpu_seconds"])
+                return obj
     except subprocess.TimeoutExpired:
         proc.kill()
     except Exception:  # noqa: BLE001 -- baseline is best-effort here
@@ -810,13 +827,20 @@ def main():
         nonlocal cpu_proc, cpu_time
         if cpu_proc is None:
             return
-        measured_cpu = _harvest_cpu_baseline(cpu_proc, wait_s)
-        if measured_cpu is not None or wait_s > 0:
+        measured = _harvest_cpu_baseline(cpu_proc, wait_s)
+        if measured is not None or wait_s > 0:
             cpu_proc = None  # done, or killed on a blocking expiry
-        if measured_cpu is not None:
-            cpu_time = measured_cpu
+        if measured is not None:
+            cpu_time = float(measured["baseline_cpu_seconds"])
             result["baseline_cpu_seconds"] = round(cpu_time, 3)
-            result["baseline_cpu_source"] = "measured (this run)"
+            result["baseline_cpu_wall_seconds"] = measured.get(
+                "baseline_cpu_wall_seconds"
+            )
+            result["baseline_cpu_source"] = (
+                "measured (this run; CPU seconds -- the niced subprocess's"
+                " wall time includes descheduling, see"
+                " baseline_cpu_wall_seconds)"
+            )
             result["vs_baseline"] = round(cpu_time / tpu_time, 2)
 
     _try_cpu_baseline(0.0)

@@ -59,6 +59,7 @@
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <algorithm>
 #include <map>
 #include <sstream>
 #include <string>
@@ -477,16 +478,35 @@ int main(int argc, char **argv) {
         /* A = delta_t * J - I: subtract the identity */
         for (int64_t r = 0; r < nrows; ++r) trips.push_back({r, r, -1.0});
 
-        /* triplets -> CSR (accumulate duplicates) */
-        std::vector<std::map<int64_t, double>> rows(nrows);
-        for (auto &t : trips) rows[t.row][t.col] += t.val;
+        /* triplets -> CSR (accumulate duplicates): stable-sort by
+         * (row, col) then merge runs.  The per-row std::map variant
+         * allocated ~10 tree nodes per row and went superlinear from
+         * allocator/cache thrash at gx1 scale (3M rows: 172 s vs 8.5 s
+         * for half the rows); the sort works in contiguous memory and
+         * the stable order keeps duplicate summation in insertion
+         * order, bit-identical to the map accumulation. */
+        std::stable_sort(trips.begin(), trips.end(),
+                         [](const Triplet &a, const Triplet &b) {
+                             return a.row != b.row ? a.row < b.row
+                                                  : a.col < b.col;
+                         });
         std::vector<double> row_ptr(nrows + 1, 0.0), col_ind, data;
+        col_ind.reserve(trips.size());
+        data.reserve(trips.size());
+        size_t ti = 0;
         for (int64_t r = 0; r < nrows; ++r) {
-            row_ptr[r + 1] = row_ptr[r] + static_cast<double>(rows[r].size());
-            for (auto &kv : rows[r]) {
-                col_ind.push_back(static_cast<double>(kv.first));
-                data.push_back(kv.second);
+            while (ti < trips.size() && trips[ti].row == r) {
+                int64_t c = trips[ti].col;
+                double v = 0.0;
+                while (ti < trips.size() && trips[ti].row == r &&
+                       trips[ti].col == c) {
+                    v += trips[ti].val;
+                    ++ti;
+                }
+                col_ind.push_back(static_cast<double>(c));
+                data.push_back(v);
             }
+            row_ptr[r + 1] = static_cast<double>(data.size());
         }
 
         nc3::File out;

@@ -135,7 +135,11 @@ def build_block3d_steps(
             a_v, b_v = a_vals[t], b_vals[t]
             f = np.float32(a_v) * wet3 if a_v else jnp.zeros_like(wet3)
             if b_v:
-                f = f.at[0].add(np.float32(b_v) * wet3[0])
+                # surface-row add via concat: Mosaic has no scatter-add
+                f = jnp.concatenate(
+                    [(f[0] + np.float32(b_v) * wet3[0])[None], f[1:]],
+                    axis=0,
+                )
             parts.append(f)
         return jnp.stack(parts)
 
@@ -198,13 +202,20 @@ def build_block3d_steps(
             # Heun (explicit trapezoid), tracer-chunked
             f1 = _cat([base_tend(y[sl], sl) for sl in tr_slices])
             if couple_np is not None:
-                f1 = f1.at[:, 0].add(couple_rows(y[:, 0]))
+                # surface-level adds via concat (no Mosaic scatter-add)
+                f1 = jnp.concatenate(
+                    [(f1[:, 0] + couple_rows(y[:, 0]))[:, None], f1[:, 1:]],
+                    axis=1,
+                )
                 c2 = couple_rows(y[:, 0] + dt_f * f1[:, 0])
             f2_parts = []
             for sl in tr_slices:
                 f2_sl = base_tend(y[sl] + dt_f * f1[sl], sl)
                 if couple_np is not None:
-                    f2_sl = f2_sl.at[:, 0].add(c2[sl])
+                    f2_sl = jnp.concatenate(
+                        [(f2_sl[:, 0] + c2[sl])[:, None], f2_sl[:, 1:]],
+                        axis=1,
+                    )
                 f2_parts.append(f2_sl)
             f2 = _cat(f2_parts)
             y, c = kahan(y, c, np.float32(0.5) * dt_f * (f1 + f2))

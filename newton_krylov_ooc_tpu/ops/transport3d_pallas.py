@@ -480,7 +480,10 @@ def build_transport3d_year_pallas(
                         jnp.zeros_like(surf[0]) if acc is None else acc
                     )
                 sflux = cw["wet"][0] * jnp.stack(rows)
-                out = out.at[:, 0].add(sflux)
+                # surface-level add via concat (no Mosaic scatter-add)
+                out = jnp.concatenate(
+                    [(out[:, 0] + sflux)[:, None], out[:, 1:]], axis=1
+                )
             return out[:, :, _HALO : _HALO + (j1 - j0), :]
 
         def kahan_block(j0, j1, delta):

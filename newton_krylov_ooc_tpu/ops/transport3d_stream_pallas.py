@@ -67,13 +67,38 @@ SEC_PER_YEAR = 365.0 * 86400.0
 
 # VMEM budget for one core: scratch windows + the charged per-chunk stencil
 # temporaries must fit this (the compiler limit stays at 127 MiB; the gap
-# is headroom for Mosaic's own allocations)
+# is headroom for Mosaic's own allocations).  The builder refuses configs
+# past this hard physical bound.
 _STREAM_VMEM_CAP = 110 << 20
+# what the remote-compile service will currently accept for a FRESH
+# compile: it hard-crashes (HTTP 500, helper exit 1, no diagnostic) on
+# kernels whose estimate lands >= ~80 MiB while everything <= ~62 MiB
+# compiles -- measured 2026-08-20 by bisecting configs, including a
+# byte-identical re-build of the round-3 pipelined kernel that measured
+# 1.67 ms/step then.  Kernels already in the persistent compile cache
+# bypass the service and still RUN above this (the round-3 seasonal
+# kernel, ~107 MiB estimated, runs from cache), so the builder only
+# enforces the physical cap; the planner defaults to this envelope so it
+# never picks a config that cannot compile fresh.
+_STREAM_COMPILE_CAP = 64 << 20
 # live stencil temporaries per tend/CN evaluation, in units of one
 # (chunk, nz, w_rows, lanes) window: upwind3 holds ~a dozen shifted/blended
 # field values at once (calibrated so the measured-good gx1 single-module
 # configs pass and the megakernel's observed spill regimes fail)
 _STREAM_TEMP_WINDOWS = 12
+
+
+def _shift_z(arr, off):
+    """result[..., k, :, :] = arr[..., k + off, :, :], zero off-grid"""
+    pad = [(0, 0)] * arr.ndim
+    index = [slice(None)] * arr.ndim
+    if off > 0:
+        pad[-3] = (0, off)
+        index[-3] = slice(off, None)
+    else:
+        pad[-3] = (-off, 0)
+        index[-3] = slice(None, off)
+    return jnp.pad(arr, pad)[tuple(index)]
 
 
 def _halo_rows(steps_per_sweep):
@@ -211,7 +236,7 @@ _COMPUTE_ROW_COST = 0.1
 def plan_stream(
     nz, nlat, nlon, t_dim, n_steps, *, n_coef=6, stream_diag=False,
     stream_src=False, n_seasonal=0, kv_seasonal=False,
-    vmem_cap=_STREAM_VMEM_CAP,
+    vmem_cap=_STREAM_COMPILE_CAP,
 ):
     """pick (block_rows, steps_per_sweep, prefetch) for the streaming year.
 
@@ -288,6 +313,275 @@ def plan_stream(
             f"t_dim={t_dim} at nz={nz}, nlon={nlon}"
         )
     return best[1]
+
+
+def build_stream_sweep(
+    coef_names, nz, nlat_p_loc, nlon, t_dim, dt, k_steps, *,
+    block_rows=16, stream_diag=False, stream_src=False, diag_fac=None,
+    src_fac=None, sep_rv=False, upwind3=True, tend_chunk=None,
+):
+    """single-SWEEP streaming kernel: the per-shard compute of the
+    sharded HBM-streaming year
+    (parallel.sharded_transport3d.build_sharded_transport3d_year_stream).
+
+    One invocation advances a halo-extended latitude slab by k_steps
+    IMEX steps -- k x [Heun(dt); CN(dt)] -- sweeping `block_rows`
+    latitude blocks through VMEM windows exactly like
+    build_transport3d_year_stream, but over ONE sweep, so the caller can
+    refresh the slab halo between sweeps (two jax.lax.ppermute
+    collectives riding ICI; the reference's analog is the nprow x npcol
+    MPI decomposition, nk_ooc/cime_pop/model_state.py:439-450).  Steps
+    use full-window updates with garbage creep (the block-kernel scheme,
+    transport3d_block_pallas.py): stencil reads past window validity
+    corrupt at most 4 rows per step inward, and the halo is
+    >= 4*k_steps rows, so interior rows always see the arithmetic of an
+    unsharded integration.  The Kahan compensation window rides the
+    exchange with the state.
+
+    Returns fn(params, y_ext, c_ext, stack_w, stack_b, ra_plane,
+    interpret=False) -> (y_out, c_out).
+
+      params: float32 (2,) = (is_first, is_last) sweep flags.  Sweep 0
+        runs ONLY the opening CN(dt/2) (and ignores c_ext: the
+        compensation has no history); the last sweep's final CN is
+        CN(dt/2) -- imex_year's merged-half-step schedule.
+      y_ext/c_ext: (t_dim, nz, rows_ext, lanes) float32 with the
+        physical rows at [halo, halo + nlat_p_loc); outputs have ONLY
+        interior rows defined (callers slice them out).
+      stack_w: (n_w, nz, rows_ext, lanes) streamed coefficient fields in
+        coef_names order, plus t_dim dense source fields when
+        stream_src; stack_b: (n_b, nz, rows_ext, lanes) -- the kv field
+        (zero bottom level appended), plus t_dim dense implicit-rate
+        fields when stream_diag.  ra_plane: the VMEM-resident plane of
+        build_transport3d_year_stream (area rows + rdz + dz_r profiles
+        when sep_rv, else the dz_r profile alone).
+    """
+    halo = _halo_rows(k_steps)
+    b_rows = int(block_rows)
+    if b_rows % 8 or b_rows <= 0:
+        raise ValueError("block_rows must be a positive multiple of 8")
+    if nlat_p_loc % b_rows:
+        raise ValueError("nlat_p_loc must be a multiple of block_rows")
+    w_rows = b_rows + 2 * halo
+    rows_ext = nlat_p_loc + 2 * halo
+    n_blocks = nlat_p_loc // b_rows
+    lanes = -(-nlon // 128) * 128
+    dtype = jnp.float32
+    n_coef = len(coef_names)
+    n_w = n_coef + (t_dim if stream_src else 0)
+    n_b = 1 + (t_dim if stream_diag else 0)
+    chunk = int(tend_chunk) if tend_chunk else (t_dim if t_dim <= 2 else 1)
+    tr_slices = [
+        slice(i, min(i + chunk, t_dim)) for i in range(0, t_dim, chunk)
+    ]
+    name_ind = {name: ind for ind, name in enumerate(coef_names)}
+    dzr_off = (rows_ext + nz) if sep_rv else 0
+    dt_f = np.float32(dt)
+    int_lo, int_hi = halo, halo + b_rows
+
+    def kernel(params_ref, *refs):
+        (stack_w_hbm, stack_b_hbm, y_hbm, c_hbm, ra_res,
+         y_out, c_out, w_buf, b_buf, y_buf, c_buf, sems) = refs
+        g = pl.program_id(0)
+        win0 = g * b_rows
+        first = params_ref[0] != np.float32(0.0)
+        half_last = jnp.where(
+            params_ref[1] != np.float32(0.0),
+            np.float32(0.25 * dt), np.float32(0.5 * dt),
+        )
+
+        def copy(src_ref, dst_ref, sem_ind):
+            dma = pltpu.make_async_copy(src_ref, dst_ref, sems.at[sem_ind])
+            dma.start()
+            dma.wait()
+
+        copy(stack_w_hbm.at[:, :, pl.ds(win0, w_rows), :], w_buf, 0)
+        copy(stack_b_hbm.at[:, :, pl.ds(win0, w_rows), :], b_buf, 1)
+        copy(y_hbm.at[:, :, pl.ds(win0, w_rows), :], y_buf, 2)
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            copy(c_hbm.at[:, :, pl.ds(win0, w_rows), :], c_buf, 3)
+
+        @pl.when(first)
+        def _():
+            c_buf[...] = jnp.zeros_like(c_buf[...])
+
+        coef_w = {
+            name: w_buf[ind][..., :nlon] for name, ind in name_ind.items()
+        }
+        if upwind3:
+            coef_w.update(upwind3_selectors(coef_w["wet"]))
+        if sep_rv:
+            ra_w = ra_res[pl.ds(win0, w_rows), :][:, :nlon]
+            rdz_col = ra_res[pl.ds(rows_ext, nz), :][:, :1][:, :, None]
+            coef_w["recip_vol"] = (
+                coef_w["wet"] * (rdz_col * ra_w[None, :, :])
+            )
+        src_w = (
+            jnp.stack([w_buf[n_coef + t] for t in range(t_dim)])[..., :nlon]
+            if stream_src
+            else None
+        )
+        kv_w = b_buf[0][..., :nlon]
+        dzr_c = ra_res[pl.ds(dzr_off, nz), :][:, :1][:, :, None]
+        dub = kv_w * dzr_c
+        dlb = _shift_z(kv_w, -1) * dzr_c
+        diag_w = (
+            b_buf[1 : 1 + t_dim][..., :nlon] if stream_diag else None
+        )
+
+        def sep_field(fac, wet3, sl):
+            a_vals, b_vals = fac
+            parts = []
+            for t in range(sl.start, sl.stop):
+                a_v, b_v = a_vals[t], b_vals[t]
+                f = (
+                    np.float32(a_v) * wet3
+                    if a_v
+                    else jnp.zeros_like(wet3)
+                )
+                if b_v:
+                    f = jnp.concatenate(
+                        [(f[0] + np.float32(b_v) * wet3[0])[None], f[1:]],
+                        axis=0,
+                    )
+                parts.append(f)
+            return jnp.stack(parts)
+
+        if diag_w is not None:
+            dgb = diag_w
+        elif diag_fac is not None:
+            dgb = sep_field(diag_fac, coef_w["wet"], slice(0, t_dim))
+        else:
+            dgb = None
+
+        def base_tend(y_sl, sl):
+            out = transport_tend(coef_w, y_sl)
+            if src_w is not None:
+                out = out + src_w[sl]
+            elif src_fac is not None:
+                out = out + sep_field(src_fac, coef_w["wet"], sl)
+            return out
+
+        def kahan(y_v, c_v, delta):
+            adj = delta + c_v
+            y_new = y_v + adj
+            return y_new, adj - (y_new - y_v)
+
+        def cn(y_v, c_v, half):
+            """full-window Crank-Nicolson, flux-form rhs (imex_year's
+            solve); half is a traced scalar"""
+            b_base = 1.0 + half * (dub + dlb)
+            y_parts, c_parts = [], []
+            for sl in tr_slices:
+                y_r = y_v[sl]
+                d_up = _shift_z(y_r, 1) - y_r
+                d_dn = _shift_z(y_r, -1) - y_r
+                m_v = dub * d_up + dlb * d_dn
+                b_main = b_base
+                if dgb is not None:
+                    m_v = m_v + dgb[sl] * y_r
+                    b_main = b_main - half * dgb[sl]
+                dv = _pcr_axis3(
+                    -half * dlb, b_main, -half * dub,
+                    2.0 * half * m_v, nz,
+                )
+                y_new, c_new = kahan(y_r, c_v[sl], dv)
+                y_parts.append(y_new)
+                c_parts.append(c_new)
+            cat = (
+                (lambda ps: ps[0] if len(ps) == 1 else jnp.concatenate(ps))
+            )
+            return cat(y_parts), cat(c_parts)
+
+        def heun(y_v, c_v):
+            f1_parts = [base_tend(y_v[sl], sl) for sl in tr_slices]
+            f1 = (
+                f1_parts[0]
+                if len(f1_parts) == 1
+                else jnp.concatenate(f1_parts)
+            )
+            f2_parts = []
+            for sl in tr_slices:
+                f2_parts.append(base_tend(y_v[sl] + dt_f * f1[sl], sl))
+            f2 = (
+                f2_parts[0]
+                if len(f2_parts) == 1
+                else jnp.concatenate(f2_parts)
+            )
+            return kahan(y_v, c_v, np.float32(0.5) * dt_f * (f1 + f2))
+
+        @pl.when(first)
+        def _():
+            y_v = y_buf[...][..., :nlon]
+            c_v = jnp.zeros_like(y_v)
+            y_new, c_new = cn(y_v, c_v, np.float32(0.25 * dt))
+            y_buf[:, :, :, :nlon] = y_new
+            c_buf[:, :, :, :nlon] = c_new
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            y_v = y_buf[...][..., :nlon]
+            c_v = c_buf[...][..., :nlon]
+            for j in range(k_steps):
+                y_v, c_v = heun(y_v, c_v)
+                half = (
+                    half_last
+                    if j == k_steps - 1
+                    else np.float32(0.5 * dt)
+                )
+                y_v, c_v = cn(y_v, c_v, half)
+            y_buf[:, :, :, :nlon] = y_v
+            c_buf[:, :, :, :nlon] = c_v
+
+        i0 = win0 + halo
+        copy(
+            y_buf.at[:, :, pl.ds(int_lo, b_rows), :],
+            y_out.at[:, :, pl.ds(i0, b_rows), :], 4,
+        )
+        copy(
+            c_buf.at[:, :, pl.ds(int_lo, b_rows), :],
+            c_out.at[:, :, pl.ds(i0, b_rows), :], 5,
+        )
+
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)  # noqa: E731
+    buf_shape = (t_dim, nz, rows_ext, lanes)
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def sweep(params, y_ext, c_ext, stack_w, stack_b, ra_plane,
+              interpret=False):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            out_shape=[
+                jax.ShapeDtypeStruct(buf_shape, dtype),
+                jax.ShapeDtypeStruct(buf_shape, dtype),
+            ],
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                hbm(), hbm(), hbm(), hbm(),
+                pl.BlockSpec(ra_plane.shape, lambda g: (0, 0)),
+            ],
+            out_specs=[hbm(), hbm()],
+            scratch_shapes=[
+                pltpu.VMEM((n_w, nz, w_rows, lanes), dtype),
+                pltpu.VMEM((n_b, nz, w_rows, lanes), dtype),
+                pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),
+                pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),
+                pltpu.SemaphoreType.DMA((6,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=127 << 20,
+            ),
+            interpret=interpret,
+        )(params, stack_w, stack_b, y_ext, c_ext, ra_plane)
+
+    sweep.halo = halo
+    sweep.rows_ext = rows_ext
+    sweep.lanes = lanes
+    return sweep
 
 
 def _pad_rows(arr, rows, lanes, halo):
@@ -883,7 +1177,15 @@ def build_transport3d_year_stream(
                     else jnp.zeros_like(wet3)
                 )
                 if b_v:
-                    f = f.at[0].add(np.float32(b_v) * wet3[0])
+                    # surface-row add via concat: Mosaic has no
+                    # scatter-add lowering for .at[0].add
+                    f = jnp.concatenate(
+                        [
+                            (f[0] + np.float32(b_v) * wet3[0])[None],
+                            f[1:],
+                        ],
+                        axis=0,
+                    )
                 parts.append(f)
             return jnp.stack(parts)
 
@@ -1009,7 +1311,14 @@ def build_transport3d_year_stream(
                     y_w[sl] + dtype(dt) * f1_sl, sl, cw2
                 )[:, :, lo:hi, :]
                 if couple_np is not None:
-                    f2_sl = f2_sl.at[:, 0].add(c2_rows[sl])
+                    # surface-level add via concat (no Mosaic scatter-add)
+                    f2_sl = jnp.concatenate(
+                        [
+                            (f2_sl[:, 0] + c2_rows[sl])[:, None],
+                            f2_sl[:, 1:],
+                        ],
+                        axis=1,
+                    )
                 delta = 0.5 * dtype(dt) * (f1_sl[:, :, lo:hi, :] + f2_sl)
                 y_new, c_new = kahan(
                     y_buf[p, sl, :, lo:hi, :nlon],
@@ -1062,18 +1371,6 @@ def build_transport3d_year_stream(
         else:
             yo.wait()
             co.wait()
-
-    def _shift_z(arr, off):
-        """result[..., k, :, :] = arr[..., k + off, :, :], zero off-grid"""
-        pad = [(0, 0)] * arr.ndim
-        index = [slice(None)] * arr.ndim
-        if off > 0:
-            pad[-3] = (0, off)
-            index[-3] = slice(off, None)
-        else:
-            pad[-3] = (-off, 0)
-            index[-3] = slice(None, off)
-        return jnp.pad(arr, pad)[tuple(index)]
 
     hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)  # noqa: E731
 

@@ -42,6 +42,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.imex import imex_year
 from ..ops.transport3d import (
+    UPWIND3_SELECTOR_KEYS,
     assemble_rate_fields,
     build_transport3d,
     interp_month,
@@ -52,6 +53,7 @@ from ..ops.transport3d import (
     transport_tridiag_bands,
     vmix_vertical_coeff,
 )
+from ..ops.transport3d_stream_pallas import _factor_rate_field
 from ..ops.tridiag import pcr_solve
 from .mesh import put_global
 from .sharded_year import _ShardedKernelInterface
@@ -645,6 +647,257 @@ def build_sharded_transport3d_year_pallas(
     year.vmem_bytes = max(
         blk.vmem_bytes for blk in (blk_k, blk_r) if blk is not None
     ) if (blk_k or blk_r) else 0
+    return year
+
+
+def build_sharded_transport3d_year_stream(
+    mesh, coef, kv, dz_r, diag, src, t_span, n_steps, *,
+    block_rows=16, steps_per_sweep=1, recip_area=None, recip_dz=None,
+    interpret=False, tend_chunk=None,
+):
+    """HBM-STREAMING sharded 3D transport year: per-sweep streaming
+    kernels between latitude halo exchanges.
+
+    The whole-slab VMEM residency of
+    build_sharded_transport3d_year_pallas stops applying when the
+    PER-SHARD latitude slab itself exceeds one core's VMEM (gx1 on two
+    shards, or anything past gx1 scale).  Here state and coefficients
+    stay in shard-local HBM; every sweep advances `steps_per_sweep`
+    model steps by streaming `block_rows`-row latitude windows through
+    VMEM (ops.transport3d_stream_pallas.build_stream_sweep -- the same
+    window machinery as the single-device streaming year, including the
+    derived upwind3 selectors, kv-rebuilt CN bands, factored recip_vol
+    and rate fields), then the halo rows of state + Kahan compensation
+    are exchanged over the 'space' mesh axis with two jax.lax.ppermute
+    collectives riding ICI.  The reference's counterpart is the
+    nprow x npcol MPI decomposition of its preconditioner solve
+    (nk_ooc/cime_pop/model_state.py:439-450); its forward year has no
+    distributed form at all.
+
+    STEADY circulations only, latitude ('space') decomposition only,
+    float32; gas-exchange coupling is not wired on this path yet (the
+    VMEM-block year covers coupled families at gx1 scale).  The local
+    latitude extent must split evenly over shards and block_rows must
+    divide it.  Returns fn(y) for y (tracer, nz, nlat, nlon) sharded
+    P(None, None, 'space', None), with .pure/.operands like the sibling
+    builders.
+    """
+    from ..ops.transport3d import transport_coef_n_time
+    from ..ops.transport3d_stream_pallas import (
+        _halo_rows,
+        build_stream_sweep,
+    )
+
+    n_space = mesh.shape["space"]
+    if mesh.shape.get("space_x", 1) != 1:
+        raise ValueError(
+            "the streaming year shards latitude only; drop the 'space_x' "
+            "mesh axis or use build_sharded_transport3d_year"
+        )
+    if transport_coef_n_time(coef) is not None or np.asarray(kv).ndim == 3:
+        raise ValueError(
+            "seasonal circulation: the sharded streaming year is "
+            "steady-only; use build_sharded_transport3d_year"
+        )
+    wet_np = np.asarray(coef["wet"], np.float32)
+    nz, nlat, nlon = wet_np.shape
+    if nlat % n_space:
+        raise ValueError(f"nlat {nlat} does not split over {n_space} shards")
+    nl_loc = nlat // n_space
+    if nl_loc % block_rows:
+        raise ValueError(
+            f"per-shard latitude {nl_loc} is not a multiple of "
+            f"block_rows {block_rows}"
+        )
+    k = int(steps_per_sweep)
+    if k < 1 or int(n_steps) % k:
+        raise ValueError("steps_per_sweep must divide n_steps")
+    halo = _halo_rows(k)
+    if halo > nl_loc:
+        raise ValueError(
+            f"halo depth {halo} exceeds the shard width {nl_loc}; use "
+            "fewer latitude shards or smaller steps_per_sweep"
+        )
+    rows_ext = nl_loc + 2 * halo
+    lanes = -(-nlon // 128) * 128
+    dtype = jnp.float32
+    t_dim = int(np.asarray(diag).shape[0]) if diag is not None else None
+    if t_dim is None and src is not None:
+        t_dim = int(np.asarray(src).shape[0])
+    if t_dim is None:
+        raise ValueError("t_dim is implied by diag/src; pass at least one")
+    dt = float((t_span[1] - t_span[0]) / n_steps)
+    n_sweeps = int(n_steps) // k + 1
+
+    has_diag = diag is not None and bool(np.any(np.asarray(diag)))
+    has_src = src is not None and bool(np.any(np.asarray(src)))
+    diag_fac = src_fac = None
+    if has_diag:
+        diag_fac = _factor_rate_field(
+            np.asarray(diag).reshape(t_dim, nz, nlat, nlon), wet_np
+        )
+    if has_src:
+        src_fac = _factor_rate_field(
+            np.asarray(src).reshape(t_dim, nz, nlat, nlon), wet_np
+        )
+    stream_diag = has_diag and diag_fac is None
+    stream_src = has_src and src_fac is None
+
+    sep_rv = recip_area is not None
+    if sep_rv and recip_dz is None:
+        raise ValueError("recip_area requires recip_dz")
+    upwind3 = "sel3p_e" in coef and coef["sel3p_e"] is not None
+    skip = set(UPWIND3_SELECTOR_KEYS)
+    if sep_rv:
+        skip.add("recip_vol")
+    coef_names = [
+        n for n, a in sorted(coef.items())
+        if a is not None and n not in skip
+    ]
+
+    def ext_stack(arr):
+        """(..., nlat, nlon) -> (n_space, ..., rows_ext, lanes) f32 with
+        `halo` neighbor rows each side (zero past physical edges)"""
+        arr = np.asarray(arr, np.float64)
+        pad = [(0, 0)] * arr.ndim
+        pad[-2] = (halo, halo)
+        padded = np.pad(arr, pad)
+        blocks = np.stack(
+            [
+                padded[..., s * nl_loc : s * nl_loc + rows_ext, :]
+                for s in range(n_space)
+            ]
+        )
+        out = np.zeros(blocks.shape[:-1] + (lanes,), np.float32)
+        out[..., :nlon] = blocks
+        return out
+
+    parts_w = [np.stack([ext_stack(coef[n])[:, ...] for n in coef_names],
+                        axis=1)]
+    if stream_src:
+        parts_w.append(
+            np.stack(
+                [
+                    ext_stack(np.asarray(src).reshape(
+                        t_dim, nz, nlat, nlon)[t])
+                    for t in range(t_dim)
+                ],
+                axis=1,
+            )
+        )
+    stack_w = np.concatenate(parts_w, axis=1)
+
+    kv_full = np.concatenate(
+        [
+            np.asarray(kv, np.float32).reshape(nz - 1, nlat, nlon),
+            np.zeros((1, nlat, nlon), np.float32),
+        ]
+    )
+    parts_b = [ext_stack(kv_full)[:, None]]
+    if stream_diag:
+        parts_b.append(
+            np.stack(
+                [
+                    ext_stack(np.asarray(diag).reshape(
+                        t_dim, nz, nlat, nlon)[t])
+                    for t in range(t_dim)
+                ],
+                axis=1,
+            )
+        )
+    stack_b = np.concatenate(parts_b, axis=1)
+
+    dz_r_np = np.asarray(dz_r, np.float64)
+    res_parts = []
+    if sep_rv:
+        res_parts.append(ext_stack(np.asarray(recip_area, np.float32)[None])[:, 0])
+        res_parts.append(
+            np.broadcast_to(
+                np.repeat(
+                    np.asarray(recip_dz, np.float32)[:, None], lanes, axis=1
+                )[None],
+                (n_space, nz, lanes),
+            )
+        )
+    res_parts.append(
+        np.broadcast_to(
+            np.repeat(
+                dz_r_np.astype(np.float32)[:, None],
+                lanes if sep_rv else 128, axis=1,
+            )[None],
+            (n_space, nz, lanes if sep_rv else 128),
+        )
+    )
+    ra_plane = np.concatenate(res_parts, axis=1)
+
+    sweep_fn = build_stream_sweep(
+        coef_names, nz, nl_loc, nlon, t_dim, dt, k,
+        block_rows=block_rows, stream_diag=stream_diag,
+        stream_src=stream_src, diag_fac=diag_fac, src_fac=src_fac,
+        sep_rv=sep_rv, upwind3=upwind3, tend_chunk=tend_chunk,
+    )
+
+    # (is_first, is_last) per sweep
+    params_seq = np.zeros((n_sweeps, 2), np.float32)
+    params_seq[0, 0] = 1.0
+    params_seq[-1, 1] = 1.0
+
+    fwd_perm = [(i, i + 1) for i in range(n_space - 1)]
+    bwd_perm = [(i, i - 1) for i in range(1, n_space)]
+
+    def local_year(y, stw, stb, rap, pseq):
+        stw, stb, rap = stw[0], stb[0], rap[0]
+        y_l = jnp.zeros((t_dim, nz, nl_loc, lanes), dtype)
+        y_l = y_l.at[..., :nlon].set(jnp.asarray(y, dtype))
+        c_l = jnp.zeros_like(y_l)
+
+        def exchange(a):
+            south = jax.lax.ppermute(a[:, :, -halo:, :], "space", fwd_perm)
+            north = jax.lax.ppermute(a[:, :, :halo, :], "space", bwd_perm)
+            return jnp.concatenate([south, a, north], axis=2)
+
+        def body(carry, params):
+            y_c, c_c = carry
+            y_o, c_o = sweep_fn(
+                params, exchange(y_c), exchange(c_c), stw, stb, rap,
+                interpret=interpret,
+            )
+            rows_i = slice(halo, halo + nl_loc)
+            return (y_o[:, :, rows_i, :], c_o[:, :, rows_i, :]), None
+
+        (y_l, _c_l), _ = jax.lax.scan(body, (y_l, c_l), pseq)
+        return y_l[..., :nlon]
+
+    state_spec = P(None, None, "space", None)
+    stacked = [stack_w, stack_b, ra_plane]
+    op_specs = [
+        P("space", *([None] * (arr.ndim - 1))) for arr in stacked
+    ]
+
+    sharded = shard_map(
+        local_year,
+        mesh=mesh,
+        in_specs=(state_spec,) + tuple(op_specs) + (P(),),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+
+    operands = tuple(
+        put_global(mesh, arr, spec) for arr, spec in zip(stacked, op_specs)
+    ) + (jnp.asarray(params_seq),)
+
+    def year_pure(y, ops):
+        """consts-threaded form: ops is the coefficient-operand tuple"""
+        return sharded(y, *ops)
+
+    jitted = jax.jit(year_pure)
+
+    def year(y):
+        return jitted(y, operands)
+
+    year.pure = year_pure
+    year.operands = operands
+    year.halo = halo
     return year
 
 

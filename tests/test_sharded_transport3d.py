@@ -653,3 +653,86 @@ def test_sharded_year_pallas_guards():
         build_sharded_transport3d_year_pallas(
             mesh, coef, mask_vmix_coeff(kv_s, circ_s["mask"]), dz_r, *args
         )
+
+
+def test_sharded_year_stream_matches_single_device():
+    """the sharded HBM-STREAMING year (per-sweep block-window streaming
+    kernels between ppermute halo exchanges,
+    build_sharded_transport3d_year_stream) reproduces the unsharded scan
+    year, across shard counts and steps_per_sweep -- the decomposition
+    for grids whose PER-SHARD slab exceeds one core's VMEM"""
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        build_sharded_transport3d_year_stream,
+    )
+
+    nz, nlat, nlon = 4, 16, 6
+    n_steps = 480
+    mask = np.ones((nz, nlat, nlon), np.int32)
+    mask[:, 3, 2] = 0
+    mask[2:, 11, 4] = 0
+    circ = synthetic.gen_circulation(nz, nlat, nlon, mask=mask)
+    assert synthetic.stable_steps_per_year(circ) <= n_steps
+    coef = build_transport3d(
+        circ["mask"], circ["dz"], circ["TAREA"], uet=circ["UET"],
+        vnt=circ["VNT"], wtt=circ["WTT"], hdiff_e=circ["HDIFF_E"],
+        hdiff_n=circ["HDIFF_N"],
+    )
+    kv, dz_r = vmix_vertical_coeff(circ["VDC"], circ["dz"])
+    kv = mask_vmix_coeff(kv, circ["mask"])
+    rng = np.random.default_rng(11)
+    wet = (mask > 0).astype(np.float64)
+    t_dim = 2
+    # one rate-factorable tracer (uniform sink + surface term), one dense
+    diag = np.zeros((t_dim, nz, nlat, nlon))
+    diag[0] = -1.0e-8 * wet
+    diag[0, 0] -= 2.0e-8 * wet[0]
+    diag[1] = -rng.uniform(0.0, 1.0e-7, (nz, nlat, nlon)) * wet
+    src = np.zeros((t_dim, nz, nlat, nlon))
+    src[0] = 1.0e-8 * wet
+    src[1] = rng.uniform(0.0, 1.0e-8, (nz, nlat, nlon)) * wet
+    y0 = rng.uniform(0.0, 1.0, (t_dim, nz, nlat, nlon)) * wet
+
+    src2 = jnp.asarray(src.reshape(t_dim, nz, nlat * nlon))
+
+    def tend(t, y):
+        y3 = y.reshape(y.shape[:-1] + (nlat, nlon))
+        return transport_tend(coef, y3).reshape(y.shape) + src2
+
+    expected = np.asarray(
+        imex_year(
+            tend, lambda t: kv,
+            jnp.asarray(diag.reshape(t_dim, nz, nlat * nlon)), dz_r,
+            jnp.asarray(y0.reshape(t_dim, nz, nlat * nlon)),
+            (0.0, YEAR), n_steps,
+        )
+    ).reshape(t_dim, nz, nlat, nlon)
+    scale = np.abs(expected).max()
+
+    for n_space, b_rows, k in ((2, 8, 1), (1, 8, 2), (2, 8, 2)):
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+        fn = build_sharded_transport3d_year_stream(
+            mesh, coef, kv, dz_r,
+            diag.reshape(t_dim, nz, -1), src.reshape(t_dim, nz, -1),
+            (0.0, YEAR), n_steps, block_rows=b_rows, steps_per_sweep=k,
+            recip_area=1.0 / np.asarray(circ["TAREA"]),
+            recip_dz=1.0 / np.asarray(circ["dz"]),
+            interpret=True,
+        )
+        y_dev = jax.device_put(
+            jnp.asarray(y0),
+            NamedSharding(mesh, P(None, None, "space", None)),
+        )
+        got = np.asarray(fn(y_dev))
+        np.testing.assert_allclose(
+            got, expected, rtol=0.0, atol=2e-5 * scale,
+            err_msg=f"n_space={n_space} block_rows={b_rows} k={k}",
+        )
+        assert np.abs(got * (1.0 - wet)).max() == 0.0
+
+    mesh4 = Mesh(np.asarray(jax.devices("cpu")[:4]), ("space",))
+    with pytest.raises(ValueError, match="not a multiple of block_rows"):
+        build_sharded_transport3d_year_stream(
+            mesh4, coef, kv, dz_r,
+            diag.reshape(t_dim, nz, -1), src.reshape(t_dim, nz, -1),
+            (0.0, YEAR), n_steps, block_rows=8, interpret=True,
+        )

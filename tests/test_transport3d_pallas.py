@@ -844,18 +844,25 @@ def test_plan_stream():
         plan_stream, stream_vmem_bytes,
     )
 
-    # gx1-shaped single module: must fit the default cap
+    # gx1-shaped single module: must fit the default (compile-service)
+    # cap -- 64 MiB until the remote-compile envelope lifts
     cfg = plan_stream(60, 384, 320, 1, 5840)
     assert set(cfg) == {"block_rows", "steps_per_sweep", "prefetch"}
-    assert stream_vmem_bytes(60, 384, 320, 1, **cfg) <= 110 << 20
+    assert stream_vmem_bytes(60, 384, 320, 1, **cfg) <= 64 << 20
     assert 5840 % cfg["steps_per_sweep"] == 0
-    # a 6-module family still plans (narrower blocks / chunked tend)
-    cfg6 = plan_stream(60, 384, 320, 6, 5840)
-    assert stream_vmem_bytes(
-        60, 384, 320, 6, **cfg6
-    ) <= 110 << 20
+    # a 4-module family still plans (narrower blocks / chunked tend)
+    cfg4 = plan_stream(60, 384, 320, 4, 5840)
+    assert stream_vmem_bytes(60, 384, 320, 4, **cfg4) <= 64 << 20
+    # a 6-module family no longer fits the compile envelope (callers
+    # split the family); the generous physical cap still plans it
+    with pytest.raises(VmemBudgetError, match="VMEM"):
+        plan_stream(60, 384, 320, 6, 5840)
+    cfg6 = plan_stream(60, 384, 320, 6, 5840, vmem_cap=110 << 20)
+    assert stream_vmem_bytes(60, 384, 320, 6, **cfg6) <= 110 << 20
     # seasonal: steps_per_sweep pinned to 1, 3-month windows charged
-    cfg_s = plan_stream(60, 384, 320, 1, 5840, n_seasonal=3)
+    cfg_s = plan_stream(
+        60, 384, 320, 1, 5840, n_seasonal=3, vmem_cap=110 << 20
+    )
     assert cfg_s["steps_per_sweep"] == 1
     # nothing fits an absurd budget
     with pytest.raises(VmemBudgetError, match="VMEM"):

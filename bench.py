@@ -1532,7 +1532,9 @@ def main():
         # nk_ooc/cime_pop/model_state.py:317-337), as one single-chip
         # ELL/DIA BiCGSTAB with the vertical-line preconditioner.
         # Accelerator only: the matrix alone is ~GB-scale.
-        if on_accel and _gate("precond_gx1", 180):
+        # need tuned on data: gen_A assembly ~20-40 s after the sort-based
+        # rebuild, device solve ~30 s warm-cached, host residual ~15 s
+        if on_accel and _gate("precond_gx1", 110):
             try:
                 q_nz, q_nlat, q_nlon = 25, 384, 320  # gx1 precond extents
                 (

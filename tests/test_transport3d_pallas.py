@@ -867,3 +867,29 @@ def test_plan_stream():
     # nothing fits an absurd budget
     with pytest.raises(VmemBudgetError, match="VMEM"):
         plan_stream(60, 384, 320, 1, 5840, vmem_cap=1 << 20)
+
+
+def test_stream_hbm_bytes_per_step():
+    """the exact-traffic helper matches a hand count and the builder
+    attaches the same figure for its own shed decisions"""
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        stream_hbm_bytes_per_step,
+    )
+
+    # gx1 single module, k=2, b=16: halo 8, w_rows 32, rows_cn 32,
+    # lanes 384, 24 blocks; per block per sweep: 6 coef windows (32) +
+    # kv band window (32) + state (32) + compensation (32) in, state +
+    # compensation interiors (16 each) out = 320 rows of nz*lanes*4
+    # bytes, over 2 steps
+    want = 24 * 320 * 60 * 384 * 4 / 2
+    got = stream_hbm_bytes_per_step(
+        60, 384, 320, 1, block_rows=16, steps_per_sweep=2
+    )
+    assert got == want
+
+    # k=1: bands and compensation cover only the block interior
+    want1 = 24 * (6 * 32 + 16 + 32 + 16 + 2 * 16) * 60 * 384 * 4
+    got1 = stream_hbm_bytes_per_step(
+        60, 384, 320, 1, block_rows=16, steps_per_sweep=1
+    )
+    assert got1 == want1

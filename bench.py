@@ -14,11 +14,14 @@ atol=rtol=1e-6 with a sparse analytic Jacobian
 and prints one JSON line with the speedup.  Accuracy is cross-checked: the
 fast path's year-end state is compared against the scipy result.
 
-Resilience contract (the driver records the LAST stdout line):
+Resilience contract (the driver records the last ~2000 stdout chars and
+parses the LAST JSON line):
 
   * the child prints the flagship JSON line IMMEDIATELY after the primary
-    measurement, then an enriched line after every secondary section, so a
-    kill at ANY point past the primary still leaves a parseable record;
+    measurement, then after every secondary section an enriched line
+    FOLLOWED by a compact (<1800 char) summary line, so a kill at ANY
+    point past the primary leaves a parseable record that FITS the
+    driver's tail window (the round-4 enriched record outgrew it);
   * the watchdog parent streams each JSON line through to stdout the
     moment it arrives (noise goes to stderr), so even a kill of the PARENT
     leaves the newest record as the last stdout line;
@@ -230,16 +233,18 @@ def _start_cpu_baseline():
     This host has few cores (possibly one), so the child must never
     steal cycles from the main process's tracing/dispatch work: at the
     lowest priority it runs in the long block_until_ready windows where
-    the main process is device-bound and otherwise idle."""
+    the main process is device-bound and otherwise idle.  The priority
+    drop rides the `nice` wrapper binary rather than preexec_fn, which
+    is fork-unsafe once any thread exists (jax/grpc threads would
+    qualify if this launch ever moved after backend init)."""
     import subprocess
 
     env = dict(os.environ, NK_BENCH_CPU_BASELINE="1")
     env.pop("NK_BENCH_CHILD", None)
     return subprocess.Popen(
-        [sys.executable, os.path.realpath(__file__)],
+        ["nice", "-n", "19", sys.executable, os.path.realpath(__file__)],
         env=env,
         stdout=subprocess.PIPE,
-        preexec_fn=lambda: os.nice(19),
     )
 
 
@@ -247,7 +252,8 @@ def _harvest_cpu_baseline(proc, timeout_s):
     """collect the baseline subprocess result.  timeout_s <= 0 is a
     non-blocking poll that leaves an unfinished child RUNNING (the
     caller retries later); a positive timeout waits, then kills on
-    expiry.  Returns seconds or None."""
+    expiry.  Returns the parsed result dict (baseline_cpu_seconds +
+    baseline_cpu_wall_seconds) or None."""
     import subprocess
 
     if proc is None:
@@ -447,9 +453,50 @@ def main():
 
     # FLAGSHIP RECORD, printed the moment the primary measurement exists:
     # if anything below dies or is killed, this line is what the driver
-    # parses.  Each section below re-prints the enriched record.
+    # parses.  Each section below re-prints the enriched record FOLLOWED
+    # by a compact tail-sized summary: the driver keeps only the last
+    # ~2000 stdout characters and parses the last JSON line, and the
+    # round-4 enriched record outgrew that window (BENCH_r04 parsed:
+    # null, the record survived only as a text fragment).  The compact
+    # line carries the flagship metric plus one headline number per
+    # section and is hard-capped well under the window, so the last
+    # stdout line is ALWAYS a parseable record no matter when the run
+    # is killed; the full enriched record still precedes it for humans
+    # (and mostly fits the same tail).
+    _COMPACT_KEYS = (
+        "metric", "value", "unit", "vs_baseline", "baseline_cpu_seconds",
+        "device", "device_ms_per_step",
+        "irf3d_gx1_stream_ms_per_step", "irf3d_gx1_stream_config",
+        "irf3d_gx1_stream_actual_hbm_gbps",
+        "irf3d_gx1_family_ms_per_step_per_module",
+        "irf3d_gx1_seasonal_ms_per_step",
+        "irf3d_gx3_year_seconds", "irf3d_gx3_year_pallas_seconds",
+        "irf3d_full_solve_seconds", "irf3d_full_solve_path",
+        "py2d_full_solve_seconds",
+        "phosphorus_year_seconds", "module_year_seconds_batch32",
+        "gmres_jitted_seconds", "newton_fused_solve_seconds",
+        "precond_gx3_line_solve_seconds", "precond_gx3_mixed_solve_seconds",
+        "precond_gx3_jacobi_solve_seconds",
+        "precond_gx3_native_serial_solve_seconds",
+        "precond_gx3_native_threads_solve_seconds",
+        "precond_gx1_line_solve_seconds", "gen_a_gx1_assembly_seconds",
+        "bench_sections_skipped",
+    )
+
     def emit():
-        print(json.dumps(result), flush=True)
+        full = json.dumps(result)
+        print(full, flush=True)
+        compact = {k: result[k] for k in _COMPACT_KEYS if k in result}
+        compact["full_record_chars"] = len(full)
+        line = json.dumps(compact)
+        if len(line) > 1800:  # hard cap: the tail window is ~2000 chars
+            for k in reversed(_COMPACT_KEYS):
+                if k in compact and k != "metric":
+                    del compact[k]
+                    line = json.dumps(compact)
+                    if len(line) <= 1800:
+                        break
+        print(line, flush=True)
 
     emit()
 
@@ -463,14 +510,33 @@ def main():
         _sect_prev[0] = now
         emit()
 
-    def _gate(name, need):
+    # the x64-flipping precond sections must run LAST (their jax_enable_x64
+    # flip would invalidate every f32 cache entry after them), so every
+    # earlier gate holds back a budget reserve for them: round 4 starved
+    # them to "left 20s" and they had NEVER been driver-captured
+    gen_a_bin = os.path.join(
+        os.path.dirname(os.path.realpath(__file__)),
+        "native", "precond_tools", "bin", "gen_A",
+    )
+    _precond_reserve = (
+        250.0
+        if os.environ.get("NK_BENCH_EXTRA", "1") != "0"
+        and os.path.exists(gen_a_bin)
+        else 0.0
+    )
+
+    def _gate(name, need, reserve=None):
         """deadline gate; a skip records the budget shortfall so future
-        thresholds are tuned on data, not guesses"""
-        left = _left()
+        thresholds are tuned on data, not guesses.  reserve (default: the
+        precond reserve) is budget this section may not eat into."""
+        if reserve is None:
+            reserve = _precond_reserve
+        left = _left() - reserve
         if left > need:
             return True
         result.setdefault("bench_sections_skipped", {})[name] = (
             f"left {left:.0f}s < {need}s"
+            + (f" (reserve {reserve:.0f}s)" if reserve else "")
         )
         return False
 
@@ -587,6 +653,383 @@ def main():
             year_fn(y0_, coef3, kv3, dzr3, steps3).block_until_ready()
             times.append(time.time() - start)
         return circ3, coef3, kv3, dzr3, steps3, y0_, out, min(times)
+
+    # ---- cheap small-problem sections: 2D pallas year kernels, jitted
+    # GMRES vs the host Krylov loop, fused one-dispatch Newton solve.
+    if extras_on and _gate("pallas_2d", 150):
+        from newton_krylov_ooc_tpu.models.py_driver_2d import physics
+        from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
+            surf_restore_rate,
+        )
+
+        try:
+            from newton_krylov_ooc_tpu.models.py_driver_2d.phosphorus import (
+                DEFAULT_PARAMS,
+                light_lim_2d,
+            )
+            from newton_krylov_ooc_tpu.ops.imex_pallas import (
+                build_iage_year_pallas_v2,
+                build_phosphorus_year_pallas,
+            )
+
+            grid = physics.make_grid(depth, ypos, modelinfo, jnp.float32)
+
+            phos = build_phosphorus_year_pallas(
+                grid, DEFAULT_PARAMS, light_lim_2d(depth, ypos),
+                (0.0, year), N_STEPS,
+            )
+            p0 = jnp.asarray(np.full((3, GRID_NZ, GRID_NY), 0.5, np.float32))
+            phos(p0).block_until_ready()
+            times = []
+            for _ in range(3):
+                start = time.time()
+                phos(p0).block_until_ready()
+                times.append(time.time() - start)
+            result["phosphorus_year_seconds"] = round(min(times), 6)
+
+            batch = 32
+            rate = surf_restore_rate(depth)
+            bdiag = np.zeros((batch, GRID_NZ, GRID_NY), np.float32)
+            bdiag[:, 0, :] = -rate
+            bsrc = np.full((batch, 1, 1), 1.0 / year, np.float32)
+            bfn = build_iage_year_pallas_v2(
+                grid, bdiag, bsrc, (0.0, year), N_STEPS
+            )
+            b0 = jnp.asarray(
+                np.full((batch, GRID_NZ, GRID_NY), 0.5, np.float32)
+            )
+            bfn(b0).block_until_ready()
+            times = []
+            for _ in range(3):
+                # time through a host scalar read-back: one r4 run saw
+                # block_until_ready return in ~32 us for a call that
+                # measures ~60 ms (a transient tunnel anomaly); a forced
+                # device->host reduction cannot report early
+                start = time.time()
+                float(jnp.sum(bfn(b0)))
+                times.append(time.time() - start)
+            result["module_year_seconds_batch32"] = round(min(times) / batch, 6)
+        except Exception as exc:  # noqa: BLE001
+            result["extra_bench_error"] = f"{type(exc).__name__}: {exc}"
+    _mark("pallas_2d")
+
+    # jitted while-loop GMRES vs the host-driven Krylov loop: with fast
+    # matvecs the host path pays one ~25 ms dispatch round-trip per Arnoldi
+    # step while the jitted path is ONE device call -- the wall-clock gap
+    # is the recorded delta (ops/gmres.py)
+    if extras_on and _gate("gmres_newton", 120):
+        try:
+            from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+
+            gdepth, gypos = build_axes(16, 12)
+            gkern = IageKernel(
+                gdepth, gypos, modelinfo, dtype=jnp.float32, n_steps=32,
+                use_pallas=False,
+            )
+            gx = gkern.init_iterate()
+            gf = gkern.comp_fcn(gx)
+            host_solver = NewtonKrylovInCore(gkern, krylov_rel_tol=1e-2)
+            jit_solver = NewtonKrylovInCore(
+                gkern, krylov_rel_tol=1e-2, jit_gmres=True
+            )
+            jit_solver._gmres(gx, gf)  # compile
+            host_solver._gmres(gx, gf)  # warm
+            start = time.time()
+            _, host_its = host_solver._gmres(gx, gf)
+            host_s = time.time() - start
+            start = time.time()
+            inc, jit_its = jit_solver._gmres(gx, gf)
+            jax.block_until_ready(inc)
+            jit_s = time.time() - start
+            result["gmres_host_loop_seconds"] = round(host_s, 4)
+            result["gmres_jitted_seconds"] = round(jit_s, 4)
+            result["gmres_iterations"] = int(jit_its)
+
+            # the fused one-dispatch Newton solve (ops/newton_jit.py) vs
+            # the host-driven outer loop: every fn eval, Armijo trial, and
+            # convergence readback in the host path pays the dispatch
+            # floor; the fused path pays it once
+            host_nk = NewtonKrylovInCore(
+                gkern, newton_rel_tol=1e-4, krylov_rel_tol=1e-2,
+                newton_max_iter=10, jit_gmres=True,
+            )
+            fused_nk = NewtonKrylovInCore(
+                gkern, newton_rel_tol=1e-4, krylov_rel_tol=1e-2,
+                newton_max_iter=10, jit_newton=True,
+            )
+            xf, _, _ = fused_nk.solve(gx)  # compile
+            jax.block_until_ready(xf)
+            host_nk.solve(gx)  # warm
+            start = time.time()
+            _, _, info_h = host_nk.solve(gx)
+            host_solve_s = time.time() - start
+            start = time.time()
+            xf, _, info_f = fused_nk.solve(gx)
+            jax.block_until_ready(xf)
+            fused_solve_s = time.time() - start
+            result["newton_host_solve_seconds"] = round(host_solve_s, 4)
+            result["newton_fused_solve_seconds"] = round(fused_solve_s, 4)
+            # both iteration counts recorded so the timing comparison is
+            # verifiably like-for-like
+            result["newton_host_iterations"] = int(info_h["iterations"])
+            result["newton_fused_iterations"] = int(info_f["iterations"])
+        except Exception as exc:  # noqa: BLE001
+            result["gmres_bench_error"] = f"{type(exc).__name__}: {exc}"
+    _mark("gmres_newton")
+
+
+    # non-blocking check on the niced scipy-baseline subprocess; the
+    # final blocking harvest happens at the end of the run
+    def _try_cpu_baseline(wait_s):
+        nonlocal cpu_proc, cpu_time
+        if cpu_proc is None:
+            return
+        measured = _harvest_cpu_baseline(cpu_proc, wait_s)
+        if measured is not None or wait_s > 0:
+            cpu_proc = None  # done, or killed on a blocking expiry
+        if measured is not None:
+            cpu_time = float(measured["baseline_cpu_seconds"])
+            result["baseline_cpu_seconds"] = round(cpu_time, 3)
+            result["baseline_cpu_wall_seconds"] = measured.get(
+                "baseline_cpu_wall_seconds"
+            )
+            result["baseline_cpu_source"] = (
+                "measured (this run; CPU seconds -- the niced subprocess's"
+                " wall time includes descheduling, see"
+                " baseline_cpu_wall_seconds)"
+            )
+            result["vs_baseline"] = round(cpu_time / tpu_time, 2)
+
+    _try_cpu_baseline(0.0)
+    _mark("cpu_baseline")
+
+    # accuracy: step-halving self-convergence of the O(dt^2) scheme --
+    # its own gated section (a second 2x-step kernel compile) so a cold
+    # cache can never starve the sections above
+    if extras_on and _gate("halving", 100):
+        try:
+            kernel_fine = IageKernel(
+                depth, ypos, modelinfo, dtype=jnp.float32,
+                n_steps=2 * N_STEPS,
+            )
+            y_fine = np.asarray(kernel_fine._year_fn(y0_dev), np.float64)
+            result["step_halving_rel_err"] = float(
+                np.abs(y_fast - y_fine).max()
+                / max(np.abs(y_fine).max(), 1e-30)
+            )
+        except Exception as exc:  # noqa: BLE001
+            result["halving_bench_error"] = f"{type(exc).__name__}: {exc}"
+    _mark("halving")
+
+    # ---- the BASELINE.md north star, end-to-end: the full py_driver_2d
+    # iage Newton-Krylov spin-up on one chip at the flagship grid --
+    # whole years as fused IMEX kernels, exact JVPs, jitted GMRES,
+    # implicit-Euler-product preconditioner.  The reference runs this
+    # workload as tens of scipy-Radau forward integrations (~2 min EACH
+    # on this host, the baseline_cpu_seconds above) driven by the
+    # file-based solver; iteration count and residual trajectory are
+    # recorded so the solve is comparable to the committed
+    # Newton_state.json convergence baselines (converged-at-iteration-3
+    # class, /root/reference/baselines/ci_long_iage).
+    if extras_on and _gate("full_solve_2d", 120):
+        try:
+            from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+
+            solver_2d = NewtonKrylovInCore(
+                kernel,
+                newton_rel_tol=1.0e-5,
+                krylov_rel_tol=1.0e-2,
+                newton_max_iter=8,
+                jit_gmres=True,
+            )
+            start = time.time()
+            x2d, _f2d, info2d = solver_2d.solve(kernel.init_iterate())
+            jax.block_until_ready(x2d)
+            solve2d_s = time.time() - start
+            rel2d = np.asarray(info2d["fcn_norm"]) / np.asarray(
+                info2d["x_norm"]
+            )
+            assert np.isfinite(np.asarray(x2d)).all()
+            assert (rel2d < 1.0e-5).all()
+            result["py2d_full_solve_seconds"] = round(solve2d_s, 2)
+            result["py2d_full_solve_newton_iterations"] = int(
+                info2d["iterations"]
+            )
+            result["py2d_full_solve_rel_resid"] = float(rel2d.max())
+        except Exception as exc:  # noqa: BLE001
+            result["py2d_solve_bench_error"] = f"{type(exc).__name__}: {exc}"
+    _mark("full_solve_2d")
+
+    # ---- gx3-scale 3D offline IRF-transport year (irf_offline family):
+    # the cime_pop-class workload -- ~700k wet cells as one on-device IMEX
+    # scan, then the same year as ONE whole-year pallas megakernel (all
+    # coefficients, CN bands, state, and Kahan compensation VMEM-resident
+    # for every step; the scan re-streams ~50 MB of stencil coefficients
+    # from HBM each step).
+    g_nz = g_nlat = g_nlon = g_steps = None
+    circ = coef = g_kv = g_dzr = y0_3d = out3d = None
+    if extras_on and _gate("gx3_scan", 300):
+        try:
+            g_nz, g_nlat, g_nlon = 60, 116, 100  # POP gx3v7 extents
+            (
+                circ, coef, g_kv, g_dzr, g_steps, y0_3d, out3d, g_best
+            ) = _time_irf3d_year(g_nz, g_nlat, g_nlon, reps=2)
+            result["irf3d_gx3_year_seconds"] = round(g_best, 4)
+            result["irf3d_n_steps"] = g_steps
+            result["irf3d_cells"] = g_nz * g_nlat * g_nlon
+            result["irf3d_cell_steps_per_second"] = round(
+                g_nz * g_nlat * g_nlon * g_steps / g_best
+            )
+        except Exception as exc:  # noqa: BLE001
+            result["irf3d_bench_error"] = f"{type(exc).__name__}: {exc}"
+    _mark("gx3_scan")
+
+    # ---- FULL 3D spin-up: a two-module tracer family solved to its
+    # cyclostationary state at gx3 scale with the whole Newton-Krylov
+    # stack on device (exact linear JVPs, jitted GMRES, column-local PCR
+    # preconditioner).  The reference's equivalent is tens of
+    # batch-scheduler round trips of POP plus MPI SuperLU solves -- "hours
+    # of wall-clock on a supercomputer" (SURVEY.md section 6).  Skipped on
+    # a CPU backend (forced fallback or no accelerator): the full solve
+    # would dominate the budget without measuring the device.
+    if extras_on and _gate("full_solve", 180) and (
+        on_accel or os.environ.get("NK_BENCH_IRF3D_GRID")
+    ):
+        try:
+            from jax.sharding import Mesh
+
+            from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+            from newton_krylov_ooc_tpu.models.irf_offline import synthetic
+            from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+                ShardedTransport3dKernel,
+            )
+
+            grid_env = os.environ.get("NK_BENCH_IRF3D_GRID")
+            s_nz, s_nlat, s_nlon = (
+                tuple(int(v) for v in grid_env.split(","))
+                if grid_env
+                else (60, 116, 100)
+            )
+            # the gx3 section above already generated this circulation at
+            # the default extents -- reuse it
+            if g_steps is not None and (s_nz, s_nlat, s_nlon) == (
+                g_nz, g_nlat, g_nlon
+            ):
+                solve_circ, s_steps = circ, g_steps
+            else:
+                solve_circ = synthetic.gen_circulation(s_nz, s_nlat, s_nlon)
+                s_steps = max(
+                    2000, synthetic.stable_steps_per_year(solve_circ)
+                )
+            # volumetric first-order sinks keep (I - B) well conditioned
+            specs = [
+                [{"name": "DYE_A", "source_per_year": 0.1,
+                  "sink_rate_per_year": 0.5}],
+                [{"name": "DYE_B", "source_per_year": 0.1,
+                  "sink_rate_per_year": 1.0,
+                  "surf_restore_pv_cm_s": 5.0e-3}],
+            ]
+            mesh = Mesh(np.asarray(jax.devices()[:1]), ("space",))
+
+            def run_spinup(use_pallas):
+                kernel = ShardedTransport3dKernel(
+                    mesh, solve_circ, specs, n_steps=s_steps,
+                    dtype=jnp.float32, use_pallas=use_pallas,
+                )
+                solver = NewtonKrylovInCore(
+                    kernel,
+                    newton_rel_tol=1.0e-5,
+                    krylov_rel_tol=1.0e-2,
+                    newton_max_iter=6,
+                    krylov_max_dim=20,
+                    jit_gmres=True,
+                )
+                # one warm fcn eval first, so the per-module year-kernel
+                # compiles (cache hits when .jax_cache is warm) are
+                # recorded SEPARATELY from the measured solve
+                x0 = kernel.init_iterate()
+                start = time.time()
+                jax.block_until_ready(kernel.comp_fcn(x0))
+                compile_s = time.time() - start
+                start = time.time()
+                x_sol, _fcn, info = solver.solve(x0)
+                jax.block_until_ready(x_sol)
+                return x_sol, info, time.time() - start, compile_s
+
+            # prefer the whole-year pallas megakernel for the spin-up when
+            # it fits (cheap advisory estimate BEFORE building anything);
+            # fall back to the XLA scan on ANY pallas-path failure.
+            # Default ON since round 5: with the persistent .jax_cache
+            # warm the two per-module kernel compiles that once cost
+            # ~5 min are cache hits, and the compile/warmup seconds are
+            # now recorded separately from the measured solve either way.
+            from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
+                megakernel_fits_vmem,
+            )
+
+            solve_out = None
+            if (
+                os.environ.get("NK_BENCH_PALLAS_SOLVE", "1") == "1"
+                and on_accel
+                and megakernel_fits_vmem(
+                    s_nz, s_nlat, s_nlon, max(len(m) for m in specs)
+                )
+            ):
+                try:
+                    solve_out = run_spinup(True)
+                    result["irf3d_full_solve_path"] = "pallas"
+                except Exception as exc:  # noqa: BLE001
+                    result["irf3d_pallas_solve_fallback"] = (
+                        f"{type(exc).__name__}: {exc}"
+                    )
+            if solve_out is None:
+                solve_out = run_spinup(False)
+                result["irf3d_full_solve_path"] = "xla_scan"
+            x_sol, info, solve_s, compile_s = solve_out
+            rel = np.asarray(info["fcn_norm"]) / np.asarray(info["x_norm"])
+            assert np.isfinite(np.asarray(x_sol)).all()
+            assert (rel < 1.0e-5).all()
+            result["irf3d_full_solve_seconds"] = round(solve_s, 2)
+            result["irf3d_full_solve_compile_seconds"] = round(compile_s, 2)
+            result["irf3d_full_solve_modules"] = len(specs)
+            result["irf3d_full_solve_rel_resid"] = float(rel.max())
+        except Exception as exc:  # noqa: BLE001
+            result["irf3d_solve_bench_error"] = f"{type(exc).__name__}: {exc}"
+    _mark("full_solve")
+
+    if extras_on and on_accel and g_steps is not None and _gate("gx3_pallas", 240):
+        try:
+            from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
+                build_transport3d_year_pallas,
+            )
+
+            diag1 = np.zeros((1, g_nz, g_nlat * g_nlon), np.float32)
+            pallas_year = build_transport3d_year_pallas(
+                coef, g_kv, g_dzr, diag1, diag1, (0.0, year), g_steps,
+            )
+            y0_p = jnp.asarray(
+                np.asarray(y0_3d).reshape(1, g_nz, g_nlat, g_nlon)
+            )
+            out_p = pallas_year(y0_p)
+            out_p.block_until_ready()
+            out_p_np = np.asarray(out_p).reshape(g_nz, -1)
+            assert np.isfinite(out_p_np).all()
+            scan_np = np.asarray(out3d)
+            result["irf3d_pallas_vs_scan_rel"] = float(
+                np.abs(out_p_np - scan_np).max() / np.abs(scan_np).max()
+            )
+            times_p = []
+            for _ in range(2):
+                start = time.time()
+                pallas_year(y0_p).block_until_ready()
+                times_p.append(time.time() - start)
+            result["irf3d_gx3_year_pallas_seconds"] = round(min(times_p), 4)
+            result["irf3d_pallas_cell_steps_per_second"] = round(
+                g_nz * g_nlat * g_nlon * g_steps / min(times_p)
+            )
+        except Exception as exc:  # noqa: BLE001
+            result["irf3d_pallas_bench_error"] = f"{type(exc).__name__}: {exc}"
+    _mark("gx3_pallas")
 
     # ---- gx1-scale year throughput (POP gx1v7 extents 60x384x320, the
     # reference's PRODUCTION grid -- its preconditioner solve alone takes
@@ -821,373 +1264,6 @@ def main():
             )
     _mark("gx1_seasonal")
 
-    # non-blocking check on the niced scipy-baseline subprocess; the
-    # final blocking harvest happens at the end of the run
-    def _try_cpu_baseline(wait_s):
-        nonlocal cpu_proc, cpu_time
-        if cpu_proc is None:
-            return
-        measured = _harvest_cpu_baseline(cpu_proc, wait_s)
-        if measured is not None or wait_s > 0:
-            cpu_proc = None  # done, or killed on a blocking expiry
-        if measured is not None:
-            cpu_time = float(measured["baseline_cpu_seconds"])
-            result["baseline_cpu_seconds"] = round(cpu_time, 3)
-            result["baseline_cpu_wall_seconds"] = measured.get(
-                "baseline_cpu_wall_seconds"
-            )
-            result["baseline_cpu_source"] = (
-                "measured (this run; CPU seconds -- the niced subprocess's"
-                " wall time includes descheduling, see"
-                " baseline_cpu_wall_seconds)"
-            )
-            result["vs_baseline"] = round(cpu_time / tpu_time, 2)
-
-    _try_cpu_baseline(0.0)
-    _mark("cpu_baseline")
-
-    # accuracy: step-halving self-convergence of the O(dt^2) scheme --
-    # its own gated section (a second 2x-step kernel compile) so a cold
-    # cache can never starve the sections above
-    if extras_on and _gate("halving", 100):
-        try:
-            kernel_fine = IageKernel(
-                depth, ypos, modelinfo, dtype=jnp.float32,
-                n_steps=2 * N_STEPS,
-            )
-            y_fine = np.asarray(kernel_fine._year_fn(y0_dev), np.float64)
-            result["step_halving_rel_err"] = float(
-                np.abs(y_fast - y_fine).max()
-                / max(np.abs(y_fine).max(), 1e-30)
-            )
-        except Exception as exc:  # noqa: BLE001
-            result["halving_bench_error"] = f"{type(exc).__name__}: {exc}"
-    _mark("halving")
-
-    # ---- the BASELINE.md north star, end-to-end: the full py_driver_2d
-    # iage Newton-Krylov spin-up on one chip at the flagship grid --
-    # whole years as fused IMEX kernels, exact JVPs, jitted GMRES,
-    # implicit-Euler-product preconditioner.  The reference runs this
-    # workload as tens of scipy-Radau forward integrations (~2 min EACH
-    # on this host, the baseline_cpu_seconds above) driven by the
-    # file-based solver; iteration count and residual trajectory are
-    # recorded so the solve is comparable to the committed
-    # Newton_state.json convergence baselines (converged-at-iteration-3
-    # class, /root/reference/baselines/ci_long_iage).
-    if extras_on and _gate("full_solve_2d", 120):
-        try:
-            from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
-
-            solver_2d = NewtonKrylovInCore(
-                kernel,
-                newton_rel_tol=1.0e-5,
-                krylov_rel_tol=1.0e-2,
-                newton_max_iter=8,
-                jit_gmres=True,
-            )
-            start = time.time()
-            x2d, _f2d, info2d = solver_2d.solve(kernel.init_iterate())
-            jax.block_until_ready(x2d)
-            solve2d_s = time.time() - start
-            rel2d = np.asarray(info2d["fcn_norm"]) / np.asarray(
-                info2d["x_norm"]
-            )
-            assert np.isfinite(np.asarray(x2d)).all()
-            assert (rel2d < 1.0e-5).all()
-            result["py2d_full_solve_seconds"] = round(solve2d_s, 2)
-            result["py2d_full_solve_newton_iterations"] = int(
-                info2d["iterations"]
-            )
-            result["py2d_full_solve_rel_resid"] = float(rel2d.max())
-        except Exception as exc:  # noqa: BLE001
-            result["py2d_solve_bench_error"] = f"{type(exc).__name__}: {exc}"
-    _mark("full_solve_2d")
-
-    # ---- gx3-scale 3D offline IRF-transport year (irf_offline family):
-    # the cime_pop-class workload -- ~700k wet cells as one on-device IMEX
-    # scan, then the same year as ONE whole-year pallas megakernel (all
-    # coefficients, CN bands, state, and Kahan compensation VMEM-resident
-    # for every step; the scan re-streams ~50 MB of stencil coefficients
-    # from HBM each step).
-    g_nz = g_nlat = g_nlon = g_steps = None
-    circ = coef = g_kv = g_dzr = y0_3d = out3d = None
-    if extras_on and _gate("gx3_scan", 300):
-        try:
-            g_nz, g_nlat, g_nlon = 60, 116, 100  # POP gx3v7 extents
-            (
-                circ, coef, g_kv, g_dzr, g_steps, y0_3d, out3d, g_best
-            ) = _time_irf3d_year(g_nz, g_nlat, g_nlon, reps=2)
-            result["irf3d_gx3_year_seconds"] = round(g_best, 4)
-            result["irf3d_n_steps"] = g_steps
-            result["irf3d_cells"] = g_nz * g_nlat * g_nlon
-            result["irf3d_cell_steps_per_second"] = round(
-                g_nz * g_nlat * g_nlon * g_steps / g_best
-            )
-        except Exception as exc:  # noqa: BLE001
-            result["irf3d_bench_error"] = f"{type(exc).__name__}: {exc}"
-    _mark("gx3_scan")
-
-    # ---- FULL 3D spin-up: a two-module tracer family solved to its
-    # cyclostationary state at gx3 scale with the whole Newton-Krylov
-    # stack on device (exact linear JVPs, jitted GMRES, column-local PCR
-    # preconditioner).  The reference's equivalent is tens of
-    # batch-scheduler round trips of POP plus MPI SuperLU solves -- "hours
-    # of wall-clock on a supercomputer" (SURVEY.md section 6).  Skipped on
-    # a CPU backend (forced fallback or no accelerator): the full solve
-    # would dominate the budget without measuring the device.
-    if extras_on and _gate("full_solve", 180) and (
-        on_accel or os.environ.get("NK_BENCH_IRF3D_GRID")
-    ):
-        try:
-            from jax.sharding import Mesh
-
-            from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
-            from newton_krylov_ooc_tpu.models.irf_offline import synthetic
-            from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
-                ShardedTransport3dKernel,
-            )
-
-            grid_env = os.environ.get("NK_BENCH_IRF3D_GRID")
-            s_nz, s_nlat, s_nlon = (
-                tuple(int(v) for v in grid_env.split(","))
-                if grid_env
-                else (60, 116, 100)
-            )
-            # the gx3 section above already generated this circulation at
-            # the default extents -- reuse it
-            if g_steps is not None and (s_nz, s_nlat, s_nlon) == (
-                g_nz, g_nlat, g_nlon
-            ):
-                solve_circ, s_steps = circ, g_steps
-            else:
-                solve_circ = synthetic.gen_circulation(s_nz, s_nlat, s_nlon)
-                s_steps = max(
-                    2000, synthetic.stable_steps_per_year(solve_circ)
-                )
-            # volumetric first-order sinks keep (I - B) well conditioned
-            specs = [
-                [{"name": "DYE_A", "source_per_year": 0.1,
-                  "sink_rate_per_year": 0.5}],
-                [{"name": "DYE_B", "source_per_year": 0.1,
-                  "sink_rate_per_year": 1.0,
-                  "surf_restore_pv_cm_s": 5.0e-3}],
-            ]
-            mesh = Mesh(np.asarray(jax.devices()[:1]), ("space",))
-
-            def run_spinup(use_pallas):
-                kernel = ShardedTransport3dKernel(
-                    mesh, solve_circ, specs, n_steps=s_steps,
-                    dtype=jnp.float32, use_pallas=use_pallas,
-                )
-                solver = NewtonKrylovInCore(
-                    kernel,
-                    newton_rel_tol=1.0e-5,
-                    krylov_rel_tol=1.0e-2,
-                    newton_max_iter=6,
-                    krylov_max_dim=20,
-                    jit_gmres=True,
-                )
-                start = time.time()
-                x_sol, _fcn, info = solver.solve(kernel.init_iterate())
-                jax.block_until_ready(x_sol)
-                return x_sol, info, time.time() - start
-
-            # prefer the whole-year pallas megakernel for the spin-up when
-            # it fits (cheap advisory estimate BEFORE building anything);
-            # fall back to the XLA scan on ANY pallas-path failure.
-            # Default OFF for the benched solve: two per-module kernel
-            # compiles (~5 min) dominate a single spin-up's wall-clock
-            # (measured 367 s pallas vs 72 s scan for the same solve); the
-            # pallas year's own speed is benched separately.
-            from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
-                megakernel_fits_vmem,
-            )
-
-            solve_out = None
-            if (
-                os.environ.get("NK_BENCH_PALLAS_SOLVE") == "1"
-                and on_accel
-                and megakernel_fits_vmem(
-                    s_nz, s_nlat, s_nlon, max(len(m) for m in specs)
-                )
-            ):
-                try:
-                    solve_out = run_spinup(True)
-                    result["irf3d_full_solve_path"] = "pallas"
-                except Exception as exc:  # noqa: BLE001
-                    result["irf3d_pallas_solve_fallback"] = (
-                        f"{type(exc).__name__}: {exc}"
-                    )
-            if solve_out is None:
-                solve_out = run_spinup(False)
-                result["irf3d_full_solve_path"] = "xla_scan"
-            x_sol, info, solve_s = solve_out
-            rel = np.asarray(info["fcn_norm"]) / np.asarray(info["x_norm"])
-            assert np.isfinite(np.asarray(x_sol)).all()
-            assert (rel < 1.0e-5).all()
-            result["irf3d_full_solve_seconds"] = round(solve_s, 2)
-            result["irf3d_full_solve_modules"] = len(specs)
-            result["irf3d_full_solve_rel_resid"] = float(rel.max())
-        except Exception as exc:  # noqa: BLE001
-            result["irf3d_solve_bench_error"] = f"{type(exc).__name__}: {exc}"
-    _mark("full_solve")
-
-    if extras_on and on_accel and g_steps is not None and _gate("gx3_pallas", 240):
-        try:
-            from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
-                build_transport3d_year_pallas,
-            )
-
-            diag1 = np.zeros((1, g_nz, g_nlat * g_nlon), np.float32)
-            pallas_year = build_transport3d_year_pallas(
-                coef, g_kv, g_dzr, diag1, diag1, (0.0, year), g_steps,
-            )
-            y0_p = jnp.asarray(
-                np.asarray(y0_3d).reshape(1, g_nz, g_nlat, g_nlon)
-            )
-            out_p = pallas_year(y0_p)
-            out_p.block_until_ready()
-            out_p_np = np.asarray(out_p).reshape(g_nz, -1)
-            assert np.isfinite(out_p_np).all()
-            scan_np = np.asarray(out3d)
-            result["irf3d_pallas_vs_scan_rel"] = float(
-                np.abs(out_p_np - scan_np).max() / np.abs(scan_np).max()
-            )
-            times_p = []
-            for _ in range(2):
-                start = time.time()
-                pallas_year(y0_p).block_until_ready()
-                times_p.append(time.time() - start)
-            result["irf3d_gx3_year_pallas_seconds"] = round(min(times_p), 4)
-            result["irf3d_pallas_cell_steps_per_second"] = round(
-                g_nz * g_nlat * g_nlon * g_steps / min(times_p)
-            )
-        except Exception as exc:  # noqa: BLE001
-            result["irf3d_pallas_bench_error"] = f"{type(exc).__name__}: {exc}"
-    _mark("gx3_pallas")
-
-    # ---- cheap small-problem sections: 2D pallas year kernels, jitted
-    # GMRES vs the host Krylov loop, fused one-dispatch Newton solve.
-    if extras_on and _gate("pallas_2d", 150):
-        from newton_krylov_ooc_tpu.models.py_driver_2d import physics
-        from newton_krylov_ooc_tpu.models.py_driver_2d.iage import (
-            surf_restore_rate,
-        )
-
-        try:
-            from newton_krylov_ooc_tpu.models.py_driver_2d.phosphorus import (
-                DEFAULT_PARAMS,
-                light_lim_2d,
-            )
-            from newton_krylov_ooc_tpu.ops.imex_pallas import (
-                build_iage_year_pallas_v2,
-                build_phosphorus_year_pallas,
-            )
-
-            grid = physics.make_grid(depth, ypos, modelinfo, jnp.float32)
-
-            phos = build_phosphorus_year_pallas(
-                grid, DEFAULT_PARAMS, light_lim_2d(depth, ypos),
-                (0.0, year), N_STEPS,
-            )
-            p0 = jnp.asarray(np.full((3, GRID_NZ, GRID_NY), 0.5, np.float32))
-            phos(p0).block_until_ready()
-            times = []
-            for _ in range(3):
-                start = time.time()
-                phos(p0).block_until_ready()
-                times.append(time.time() - start)
-            result["phosphorus_year_seconds"] = round(min(times), 6)
-
-            batch = 32
-            rate = surf_restore_rate(depth)
-            bdiag = np.zeros((batch, GRID_NZ, GRID_NY), np.float32)
-            bdiag[:, 0, :] = -rate
-            bsrc = np.full((batch, 1, 1), 1.0 / year, np.float32)
-            bfn = build_iage_year_pallas_v2(
-                grid, bdiag, bsrc, (0.0, year), N_STEPS
-            )
-            b0 = jnp.asarray(
-                np.full((batch, GRID_NZ, GRID_NY), 0.5, np.float32)
-            )
-            bfn(b0).block_until_ready()
-            times = []
-            for _ in range(3):
-                # time through a host scalar read-back: one r4 run saw
-                # block_until_ready return in ~32 us for a call that
-                # measures ~60 ms (a transient tunnel anomaly); a forced
-                # device->host reduction cannot report early
-                start = time.time()
-                float(jnp.sum(bfn(b0)))
-                times.append(time.time() - start)
-            result["module_year_seconds_batch32"] = round(min(times) / batch, 6)
-        except Exception as exc:  # noqa: BLE001
-            result["extra_bench_error"] = f"{type(exc).__name__}: {exc}"
-    _mark("pallas_2d")
-
-    # jitted while-loop GMRES vs the host-driven Krylov loop: with fast
-    # matvecs the host path pays one ~25 ms dispatch round-trip per Arnoldi
-    # step while the jitted path is ONE device call -- the wall-clock gap
-    # is the recorded delta (ops/gmres.py)
-    if extras_on and _gate("gmres_newton", 120):
-        try:
-            from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
-
-            gdepth, gypos = build_axes(16, 12)
-            gkern = IageKernel(
-                gdepth, gypos, modelinfo, dtype=jnp.float32, n_steps=32,
-                use_pallas=False,
-            )
-            gx = gkern.init_iterate()
-            gf = gkern.comp_fcn(gx)
-            host_solver = NewtonKrylovInCore(gkern, krylov_rel_tol=1e-2)
-            jit_solver = NewtonKrylovInCore(
-                gkern, krylov_rel_tol=1e-2, jit_gmres=True
-            )
-            jit_solver._gmres(gx, gf)  # compile
-            host_solver._gmres(gx, gf)  # warm
-            start = time.time()
-            _, host_its = host_solver._gmres(gx, gf)
-            host_s = time.time() - start
-            start = time.time()
-            inc, jit_its = jit_solver._gmres(gx, gf)
-            jax.block_until_ready(inc)
-            jit_s = time.time() - start
-            result["gmres_host_loop_seconds"] = round(host_s, 4)
-            result["gmres_jitted_seconds"] = round(jit_s, 4)
-            result["gmres_iterations"] = int(jit_its)
-
-            # the fused one-dispatch Newton solve (ops/newton_jit.py) vs
-            # the host-driven outer loop: every fn eval, Armijo trial, and
-            # convergence readback in the host path pays the dispatch
-            # floor; the fused path pays it once
-            host_nk = NewtonKrylovInCore(
-                gkern, newton_rel_tol=1e-4, krylov_rel_tol=1e-2,
-                newton_max_iter=10, jit_gmres=True,
-            )
-            fused_nk = NewtonKrylovInCore(
-                gkern, newton_rel_tol=1e-4, krylov_rel_tol=1e-2,
-                newton_max_iter=10, jit_newton=True,
-            )
-            xf, _, _ = fused_nk.solve(gx)  # compile
-            jax.block_until_ready(xf)
-            host_nk.solve(gx)  # warm
-            start = time.time()
-            _, _, info_h = host_nk.solve(gx)
-            host_solve_s = time.time() - start
-            start = time.time()
-            xf, _, info_f = fused_nk.solve(gx)
-            jax.block_until_ready(xf)
-            fused_solve_s = time.time() - start
-            result["newton_host_solve_seconds"] = round(host_solve_s, 4)
-            result["newton_fused_solve_seconds"] = round(fused_solve_s, 4)
-            # both iteration counts recorded so the timing comparison is
-            # verifiably like-for-like
-            result["newton_host_iterations"] = int(info_h["iterations"])
-            result["newton_fused_iterations"] = int(info_f["iterations"])
-        except Exception as exc:  # noqa: BLE001
-            result["gmres_bench_error"] = f"{type(exc).__name__}: {exc}"
-    _mark("gmres_newton")
 
 
     # ---- NK_BENCH_FULL=1 extras: structurally interesting but stable
@@ -1350,11 +1426,9 @@ def main():
     # mode.  MUST STAY LAST: these solves claim float64 semantics, so x64
     # is enabled here -- after every f32 kernel entry has been measured --
     # and never turned back off.
-    gen_a_bin = os.path.join(
-        os.path.dirname(os.path.realpath(__file__)),
-        "native", "precond_tools", "bin", "gen_A",
-    )
-    if extras_on and _gate("precond_gx3", 120) and os.path.exists(gen_a_bin):
+    if extras_on and _gate(
+        "precond_gx3", 120, reserve=0.0
+    ) and os.path.exists(gen_a_bin):
         try:
             import subprocess
             import tempfile
@@ -1534,7 +1608,7 @@ def main():
         # Accelerator only: the matrix alone is ~GB-scale.
         # need tuned on data: gen_A assembly ~20-40 s after the sort-based
         # rebuild, device solve ~30 s warm-cached, host residual ~15 s
-        if on_accel and _gate("precond_gx1", 110):
+        if on_accel and _gate("precond_gx1", 110, reserve=0.0):
             try:
                 q_nz, q_nlat, q_nlon = 25, 384, 320  # gx1 precond extents
                 (

@@ -443,6 +443,146 @@ def transport_tridiag_bands(coef):
     return lo * rv, diag * rv, up * rv
 
 
+# the explicit transport stencil reaches two cells per direction (upwind3
+# far cells); streaming kernels derive their per-step garbage creep and
+# halo sizing from this -- a wider future scheme then fails loudly in the
+# builders instead of silently corrupting interior rows
+STENCIL_RADIUS = 2
+
+# offsets (dz, dlat, dlon) of the 13-point transport stencil, center
+# first; result[i] = sum_o c_o[i] * y[i + o] with lon periodic and
+# lat/depth zero-filled off-grid.  The order is the contract between
+# transport_stencil_coef and stencil_tend (and the streaming kernels'
+# window stacks).
+STENCIL_OFFSETS = (
+    (0, 0, 0),
+    (0, 0, 1), (0, 0, -1), (0, 0, 2), (0, 0, -2),
+    (0, 1, 0), (0, -1, 0), (0, 2, 0), (0, -2, 0),
+    (1, 0, 0), (-1, 0, 0), (2, 0, 0), (-2, 0, 0),
+)
+
+
+def transport_stencil_coef(coef):
+    """collapse a STEADY transport_tend operator to 13 stencil fields.
+
+    transport_tend is linear in y with static coefficients (the upwind
+    selection depends only on the sign of the steady face transports), so
+    the whole operator is c[o][i] = d tend[i] / d y[i+o] over the 13
+    offsets of STENCIL_OFFSETS: per face the _face_derivs partials times
+    the face transport (plus the diffusive conductance on the near pair),
+    gathered onto the two cells each face feeds, scaled by recip_vol, and
+    carrying the source cell's wet factor (transport_tend masks y by wet
+    before differencing).  This is the same operator the reference's
+    external gen_A tool assembles as a sparse MATRIX for its
+    preconditioner (/root/reference/nk_ooc/cime_pop/model_state.py:
+    317-337); here it feeds the streaming year kernel's stencil mode,
+    where 13 fused multiply-adds per cell replace the full
+    selector/blend/flux chain (the VPU-bound part of the stream kernel)
+    at the price of streaming 13 coefficient windows instead of 6.
+
+    Returns (13, nz, nlat, nlon) in STENCIL_OFFSETS order.  Applying it
+    with stencil_tend reproduces transport_tend to reassociation
+    roundoff (the flux form sums face differences, this form sums
+    per-offset products), NOT bitwise: constant fields see O(1 ulp)
+    residual tendencies where the flux form cancels exactly.
+    """
+    up3 = "sel3p_e" in coef and coef.get("sel3p_e") is not None
+    wet = coef["wet"]
+    zeros = jnp.zeros_like(wet)
+    c = {off: zeros for off in STENCIL_OFFSETS}
+
+    def face_terms(t_key, cond_key, selp_key, seln_key):
+        """(f_up, f_dn, f_uu, f_dd): d flux / d (near-up, near-dn,
+        far-up, far-dn) for one face direction"""
+        t = coef.get(t_key)
+        cond = coef.get(cond_key)
+        f_up = f_dn = f_uu = f_dd = zeros
+        if t is not None:
+            d_up, d_dn, d_uu, d_dd = _face_derivs(
+                t, coef.get(selp_key), coef.get(seln_key), up3
+            )
+            f_up, f_dn, f_uu, f_dd = t * d_up, t * d_dn, t * d_uu, t * d_dd
+        if cond is not None:
+            f_up = f_up + cond
+            f_dn = f_dn - cond
+        return f_up, f_dn, f_uu, f_dd
+
+    # east faces: flux[i] feeds cells i (out) and i+1 (in, periodic);
+    # tend[i] = flux[i-1] - flux[i], so coefficients gather the i-1 face
+    # terms through a +1 roll (value at i-1)
+    if coef.get("t_e") is not None or coef.get("cond_e") is not None:
+        f_up, f_dn, f_uu, f_dd = face_terms(
+            "t_e", "cond_e", "sel3p_e", "sel3n_e"
+        )
+        r1 = lambda a: jnp.roll(a, 1, axis=-1)  # noqa: E731
+        c[(0, 0, 0)] = c[(0, 0, 0)] + r1(f_dn) - f_up
+        c[(0, 0, 1)] = c[(0, 0, 1)] + r1(f_dd) - f_dn
+        c[(0, 0, -1)] = c[(0, 0, -1)] + r1(f_up) - f_uu
+        c[(0, 0, -2)] = c[(0, 0, -2)] + r1(f_uu)
+        c[(0, 0, 2)] = c[(0, 0, 2)] - f_dd
+
+    # north faces: same structure along lat with zero-filled shifts
+    if coef.get("t_n") is not None or coef.get("cond_n") is not None:
+        f_up, f_dn, f_uu, f_dd = face_terms(
+            "t_n", "cond_n", "sel3p_n", "sel3n_n"
+        )
+        s1 = lambda a: _shift(a, -1, -2)  # noqa: E731 -- value at j-1
+        c[(0, 0, 0)] = c[(0, 0, 0)] + s1(f_dn) - f_up
+        c[(0, 1, 0)] = c[(0, 1, 0)] + s1(f_dd) - f_dn
+        c[(0, -1, 0)] = c[(0, -1, 0)] + s1(f_up) - f_uu
+        c[(0, -2, 0)] = c[(0, -2, 0)] + s1(f_uu)
+        c[(0, 2, 0)] = c[(0, 2, 0)] - f_dd
+
+    # top faces: face k couples y_up=y[k], y_dn=y[k-1], y_uu=y[k+1],
+    # y_dd=y[k-2]; tend[k] = flux[k+1] - flux[k]
+    if coef.get("t_t") is not None:
+        f_up, f_dn, f_uu, f_dd = face_terms(
+            "t_t", None, "sel3p_t", "sel3n_t"
+        )
+        s1 = lambda a: _shift(a, 1, -3)  # noqa: E731 -- value at k+1
+        c[(0, 0, 0)] = c[(0, 0, 0)] + s1(f_dn) - f_up
+        c[(1, 0, 0)] = c[(1, 0, 0)] + s1(f_up) - f_uu
+        c[(-1, 0, 0)] = c[(-1, 0, 0)] + s1(f_dd) - f_dn
+        c[(2, 0, 0)] = c[(2, 0, 0)] + s1(f_uu)
+        c[(-2, 0, 0)] = c[(-2, 0, 0)] - f_dd
+
+    rv = coef["recip_vol"]
+
+    def src_wet(off):
+        dz_, dy_, dx_ = off
+        w = wet
+        if dx_:
+            w = jnp.roll(w, -dx_, axis=-1)
+        if dy_:
+            w = _shift(w, dy_, -2)
+        if dz_:
+            w = _shift(w, dz_, -3)
+        return w
+
+    return jnp.stack(
+        [rv * c[off] * src_wet(off) for off in STENCIL_OFFSETS]
+    )
+
+
+def stencil_tend(st, y):
+    """apply a transport_stencil_coef operator: 13 fused multiply-adds.
+
+    st: (13,) + grid (or any sequence of 13 per-offset fields that
+    broadcast against y); y: (..., nz, nlat, nlon).  Exactly zero on land
+    (every c_o carries recip_vol's wet factor)."""
+    acc = st[0] * y
+    for ind, (dz_, dy_, dx_) in enumerate(STENCIL_OFFSETS[1:], 1):
+        y_s = y
+        if dx_:
+            y_s = jnp.roll(y_s, -dx_, axis=-1)
+        if dy_:
+            y_s = _shift(y_s, dy_, -2)
+        if dz_:
+            y_s = _shift(y_s, dz_, -3)
+        acc = acc + st[ind] * y_s
+    return acc
+
+
 def vmix_vertical_coeff(vdc, dz):
     """vertical-mixing coupling for the implicit (Crank-Nicolson) solve
 

@@ -56,8 +56,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .transport3d import (
+    STENCIL_OFFSETS,
+    STENCIL_RADIUS,
     UPWIND3_SELECTOR_KEYS,
+    stencil_tend,
     transport_coef_n_time,
+    transport_stencil_coef,
     transport_tend,
     upwind3_selectors,
 )
@@ -86,6 +90,19 @@ _STREAM_COMPILE_CAP = 64 << 20
 # field values at once (calibrated so the measured-good gx1 single-module
 # configs pass and the megakernel's observed spill regimes fail)
 _STREAM_TEMP_WINDOWS = 12
+# the stencil-form tendency (13 fused multiply-adds) keeps far fewer
+# values live: the accumulator, one shifted state window, and their
+# product (plus upcast copies on the bf16 coefficient path)
+_STREAM_TEMP_WINDOWS_STENCIL = 4
+
+
+def _halo_creep_rows(k_steps):
+    """per-sweep garbage creep of the full-window update schedule: each
+    of the k steps invalidates 2*STENCIL_RADIUS rows per side (two
+    stencil radii per Heun step -- stage 1 feeds stage 2).  Streaming
+    builders must size their halo >= this; asserted there so a wider
+    future stencil fails loudly instead of corrupting interior rows."""
+    return 2 * STENCIL_RADIUS * int(k_steps)
 
 
 def _shift_z(arr, off):
@@ -102,10 +119,13 @@ def _shift_z(arr, off):
 
 
 def _halo_rows(steps_per_sweep):
-    """buffer halo for k steps per sweep: each step consumes 4 rows of
-    stencil validity per side (two upwind3 radii per Heun stage), padded
-    up to the 8-row f32 sublane tile"""
-    return max(8, -(-4 * steps_per_sweep // 8) * 8)
+    """buffer halo for k steps per sweep: each step consumes
+    2*STENCIL_RADIUS rows of stencil validity per side (two radii per
+    Heun stage), padded up to the 8-row f32 sublane tile"""
+    creep = _halo_creep_rows(steps_per_sweep)
+    halo = max(8, -(-creep // 8) * 8)
+    assert halo >= creep, "halo must cover the per-sweep garbage creep"
+    return halo
 
 
 def _factor_rate_field(arr, wet):
@@ -142,18 +162,22 @@ def _factor_rate_field(arr, wet):
 def stream_vmem_bytes(
     nz, nlat, nlon, t_dim, *, block_rows=16, steps_per_sweep=1,
     prefetch=False, n_coef=6, stream_diag=False, stream_src=False,
-    n_seasonal=0, kv_seasonal=False, tend_chunk=None,
+    n_seasonal=0, kv_seasonal=False, tend_chunk=None, stencil=False,
+    coef_bf16=False,
 ):
     """advisory VMEM bytes of one streaming-year kernel instance: the
     scratch windows of build_transport3d_year_stream plus the charged
     per-chunk stencil temporaries.  n_coef counts the STEADY streamed
-    coefficient fields (6 for the full stencil with factored recip_vol:
-    wet, two conductances, three transports); stream_diag/stream_src add
-    t_dim windows each (False when the rate fields factor through the wet
-    mask).  The steady CN bands cost ONE window (the kv field; dl/du are
-    rebuilt in-kernel from it and the resident dz_r profile).  Callers
-    can test configs BEFORE building; Mosaic's compile-time check remains
-    the authority on hardware."""
+    coefficient fields (6 for the full upwind3 stencil with factored
+    recip_vol: wet, two conductances, three transports; 14 for the
+    stencil-form operator: wet + 13 collapsed stencil coefficients);
+    stream_diag/stream_src add t_dim windows each (False when the rate
+    fields factor through the wet mask).  The steady CN bands cost ONE
+    window (the kv field; dl/du are rebuilt in-kernel from it and the
+    resident dz_r profile).  stencil=True charges the much smaller
+    fused-multiply-add temporary footprint; coef_bf16=True halves the
+    coefficient-window bytes.  Callers can test configs BEFORE building;
+    Mosaic's compile-time check remains the authority on hardware."""
     k = int(steps_per_sweep)
     halo = _halo_rows(k)
     b_rows = int(block_rows)
@@ -170,9 +194,10 @@ def stream_vmem_bytes(
     n_slots = 2 if engaged else 1
     n_w = n_coef + (t_dim if stream_src else 0)
     n_b = (0 if kv_seasonal else 1) + (t_dim if stream_diag else 0)
+    w_bytes = 2 if coef_bf16 else 4
+    rows_w = n_slots * n_w * w_rows
     rows = (
-        n_slots * n_w * w_rows
-        + (n_slots * n_b * rows_cn if n_b else 0)
+        (n_slots * n_b * rows_cn if n_b else 0)
         + 3 * n_seasonal * w_rows
         + (3 * 2 * rows_cn if kv_seasonal else 0)
         + n_slots * t_dim * w_rows     # state windows
@@ -180,18 +205,25 @@ def stream_vmem_bytes(
         + n_slots * t_dim * rows_cn    # Kahan compensation
     )
     chunk = tend_chunk if tend_chunk else (t_dim if t_dim <= 2 else 1)
-    temp_rows = _STREAM_TEMP_WINDOWS * chunk * w_rows
+    temp = (
+        _STREAM_TEMP_WINDOWS_STENCIL if stencil else _STREAM_TEMP_WINDOWS
+    )
+    temp_rows = temp * chunk * w_rows
     # VMEM-resident plane (area rows + rdz/dz_r depth profiles), charged
     # at its sep-recip-vol worst case -- small, but the fit test should
     # not drift optimistic near the cap
     resident = 4 * lanes * (nlat_p + 2 * halo + 2 * nz)
-    return 4 * nz * lanes * (rows + temp_rows) + resident
+    return (
+        w_bytes * nz * lanes * rows_w
+        + 4 * nz * lanes * (rows + temp_rows)
+        + resident
+    )
 
 
 def stream_hbm_bytes_per_step(
     nz, nlat, nlon, t_dim, *, block_rows=16, steps_per_sweep=1,
     n_coef=6, stream_diag=False, stream_src=False, n_seasonal=0,
-    kv_seasonal=False, prefetch=False, **_unused,
+    kv_seasonal=False, prefetch=False, coef_bf16=False, **_unused,
 ):
     """exact HBM bytes the streaming-year kernel DMAs per model step in
     steady state (interior sweeps; sweep 0's skipped compensation read is
@@ -213,16 +245,23 @@ def stream_hbm_bytes_per_step(
     n_blocks = nlat_p // b_rows
     n_w = n_coef + (t_dim if stream_src else 0)
     n_b = (0 if kv_seasonal else 1) + (t_dim if stream_diag else 0)
+    w_bytes = 2 if coef_bf16 else 4
     rows_in = (
-        n_w * w_rows                  # coefficient/source windows
-        + n_b * rows_cn               # kv band + streamed diag windows
+        n_b * rows_cn                 # kv band + streamed diag windows
         + 3 * n_seasonal * w_rows     # 3-month seasonal coef window
         + (3 * 2 * rows_cn if kv_seasonal else 0)  # seasonal CN bands
         + t_dim * w_rows              # state window
         + t_dim * rows_cn             # Kahan compensation window
     )
     rows_out = 2 * t_dim * b_rows     # state + compensation interiors
-    return n_blocks * (rows_in + rows_out) * nz * lanes * 4 / k
+    return (
+        n_blocks
+        * (
+            n_w * w_rows * w_bytes    # coefficient/source windows
+            + (rows_in + rows_out) * 4
+        )
+        * nz * lanes / k
+    )
 
 
 # relative VPU cost of one updated latitude row against one streamed one;
@@ -234,22 +273,26 @@ _COMPUTE_ROW_COST = 0.1
 
 
 def plan_stream(
-    nz, nlat, nlon, t_dim, n_steps, *, n_coef=6, stream_diag=False,
+    nz, nlat, nlon, t_dim, n_steps, *, n_coef=None, stream_diag=False,
     stream_src=False, n_seasonal=0, kv_seasonal=False,
-    vmem_cap=_STREAM_COMPILE_CAP,
+    vmem_cap=_STREAM_COMPILE_CAP, stencil=False, coef_bf16=False,
 ):
     """pick (block_rows, steps_per_sweep, prefetch) for the streaming year.
 
     Enumerates the small config space, keeps what fits the VMEM budget
     (stream_vmem_bytes), and ranks by a two-term cost model: streamed
-    window rows per model step (the HBM traffic the kernel exists to
-    minimize) and updated rows per step weighted by _COMPUTE_ROW_COST;
-    the pipelined schedule overlaps the two (max), the serial schedule
-    pays their sum.  Returns a kwargs dict for
+    window row-bytes per model step (the HBM traffic the kernel exists
+    to minimize) and updated rows per step weighted by the mode's
+    compute-row cost; the pipelined schedule overlaps the two (max), the
+    serial schedule pays their sum.  stencil=True plans the stencil-form
+    operator (14 coefficient windows, ~4x cheaper VPU rows); coef_bf16
+    halves the coefficient window bytes.  Returns a kwargs dict for
     build_transport3d_year_stream.  Raises VmemBudgetError when no config
     fits (callers then fall back to per-module kernels or the XLA scan,
     mirroring ops.transport3d_pallas.megakernel_fits_vmem)."""
     seasonal = n_seasonal > 0 or kv_seasonal
+    if n_coef is None:
+        n_coef = 14 if stencil else 6
     # k > 2 is legal (explicit steps_per_sweep) but excluded here: k is a
     # kernel-body UNROLL factor, and the measured Mosaic compile time of
     # the k=4 gx1 kernel blew past 10 minutes -- a planner that picks it
@@ -259,6 +302,11 @@ def plan_stream(
     ]
     n_w = n_coef + (t_dim if stream_src else 0)
     n_b = (0 if kv_seasonal else 1) + (t_dim if stream_diag else 0)
+    w_frac = 0.5 if coef_bf16 else 1.0
+    # relative VPU cost of one updated row against one streamed row: the
+    # stencil-form tendency is 13 fused multiply-adds against the upwind3
+    # chain's selector/blend/flux pipeline (measured ~4x fewer VPU ops)
+    row_cost = _COMPUTE_ROW_COST * (0.25 if stencil else 1.0)
     best = None
     for k in k_opts:
         halo = _halo_rows(k)
@@ -275,6 +323,7 @@ def plan_stream(
                     nz, nlat, nlon, t_dim, n_coef=n_coef,
                     stream_diag=stream_diag, stream_src=stream_src,
                     n_seasonal=n_seasonal, kv_seasonal=kv_seasonal,
+                    stencil=stencil, coef_bf16=coef_bf16,
                     **kwargs,
                 ) > vmem_cap:
                     continue
@@ -289,7 +338,7 @@ def plan_stream(
                 if prefetch and not engaged:
                     continue  # identical to the serial config
                 traffic = (
-                    (n_w + 3 * n_seasonal + t_dim) * w_rows
+                    (n_w * w_frac + 3 * n_seasonal + t_dim) * w_rows
                     + (n_b + (6 if kv_seasonal else 0) + t_dim) * rows_cn
                     + 2 * t_dim * b_rows
                 ) / (b_rows * k)
@@ -297,7 +346,7 @@ def plan_stream(
                 # recomputes the full window, stage 2 and the CN update
                 # b + 4(k-1) rows on average over the k steps
                 compute = (
-                    _COMPUTE_ROW_COST * t_dim
+                    row_cost * t_dim
                     * (w_rows + 2 * b_rows + 8 * (k - 1)) / b_rows
                 )
                 cost = (
@@ -319,6 +368,7 @@ def build_stream_sweep(
     coef_names, nz, nlat_p_loc, nlon, t_dim, dt, k_steps, *,
     block_rows=16, stream_diag=False, stream_src=False, diag_fac=None,
     src_fac=None, sep_rv=False, upwind3=True, tend_chunk=None,
+    couple=None, seasonal_names=(), kv_seasonal=False, stencil=False,
 ):
     """single-SWEEP streaming kernel: the per-shard compute of the
     sharded HBM-streaming year
@@ -333,28 +383,48 @@ def build_stream_sweep(
     MPI decomposition, nk_ooc/cime_pop/model_state.py:439-450).  Steps
     use full-window updates with garbage creep (the block-kernel scheme,
     transport3d_block_pallas.py): stencil reads past window validity
-    corrupt at most 4 rows per step inward, and the halo is
-    >= 4*k_steps rows, so interior rows always see the arithmetic of an
-    unsharded integration.  The Kahan compensation window rides the
-    exchange with the state.
+    corrupt at most 2*STENCIL_RADIUS rows per step inward, and the halo
+    is >= that creep times k_steps (asserted in _halo_rows), so interior
+    rows always see the arithmetic of an unsharded integration.  The
+    Kahan compensation window rides the exchange with the state.
+
+    SEASONAL circulation streams exactly like the single-device kernel:
+    the wrap-extended monthly stacks live in shard-local HBM and every
+    block DMAs one contiguous 3-month window, blended in-VMEM with
+    per-sweep interpolation weights the CALLER precomputes into the
+    params vector (the sweep kernel has no notion of absolute time).
+    seasonal_names lists the month-stacked coefficient fields;
+    kv_seasonal swaps the steady kv window for monthly CN band stacks.
+    Seasonal sweeps require k_steps=1 (callers enforce dt <=
+    period/n_time).  couple wires the gas-exchange surface coupling
+    matrix through both Heun stages, exactly as the single-device
+    kernel.  stencil=True consumes the collapsed 13-offset operator
+    (coef_names = ["wet", "stc0", ...]; steady only).
 
     Returns fn(params, y_ext, c_ext, stack_w, stack_b, ra_plane,
-    interpret=False) -> (y_out, c_out).
+    stack_s=None, stack_bs=None, interpret=False) -> (y_out, c_out).
 
-      params: float32 (2,) = (is_first, is_last) sweep flags.  Sweep 0
-        runs ONLY the opening CN(dt/2) (and ignores c_ext: the
-        compensation has no history); the last sweep's final CN is
-        CN(dt/2) -- imex_year's merged-half-step schedule.
+      params: float32 (12,):
+        [0] is_first, [1] is_last, [2] month window base (integer value;
+        ignored when steady), [3:6] Heun stage-1 blend weights, [6:9]
+        stage-2 weights, [9:12] CN band weights (stage-1 weights on
+        sweep 0).  Sweep 0 runs ONLY the opening CN(dt/2) (and ignores
+        c_ext: the compensation has no history); the last sweep's final
+        CN is CN(dt/2) -- imex_year's merged-half-step schedule.
       y_ext/c_ext: (t_dim, nz, rows_ext, lanes) float32 with the
         physical rows at [halo, halo + nlat_p_loc); outputs have ONLY
         interior rows defined (callers slice them out).
-      stack_w: (n_w, nz, rows_ext, lanes) streamed coefficient fields in
-        coef_names order, plus t_dim dense source fields when
+      stack_w: (n_w, nz, rows_ext, lanes) streamed STEADY coefficient
+        fields in coef_names order, plus t_dim dense source fields when
         stream_src; stack_b: (n_b, nz, rows_ext, lanes) -- the kv field
-        (zero bottom level appended), plus t_dim dense implicit-rate
-        fields when stream_diag.  ra_plane: the VMEM-resident plane of
-        build_transport3d_year_stream (area rows + rdz + dz_r profiles
-        when sep_rv, else the dz_r profile alone).
+        (zero bottom level appended; absent when kv_seasonal and no
+        streamed diag -- pass None), plus t_dim dense implicit-rate
+        fields when stream_diag.  stack_s: (n_time+2, n_s, nz,
+        rows_ext, lanes) wrap-extended monthly stacks of
+        seasonal_names; stack_bs: (n_time+2, 2, nz, rows_ext, lanes)
+        monthly CN bands (dl, du).  ra_plane: the VMEM-resident plane
+        of build_transport3d_year_stream (area rows + rdz + dz_r
+        profiles when sep_rv, else the dz_r profile alone).
     """
     halo = _halo_rows(k_steps)
     b_rows = int(block_rows)
@@ -362,6 +432,12 @@ def build_stream_sweep(
         raise ValueError("block_rows must be a positive multiple of 8")
     if nlat_p_loc % b_rows:
         raise ValueError("nlat_p_loc must be a multiple of block_rows")
+    n_s = len(seasonal_names)
+    seasonal = n_s > 0 or kv_seasonal
+    if seasonal and k_steps != 1:
+        raise ValueError("seasonal sweeps need steps_per_sweep=1")
+    if stencil and seasonal:
+        raise ValueError("stencil sweeps are steady-only")
     w_rows = b_rows + 2 * halo
     rows_ext = nlat_p_loc + 2 * halo
     n_blocks = nlat_p_loc // b_rows
@@ -369,7 +445,7 @@ def build_stream_sweep(
     dtype = jnp.float32
     n_coef = len(coef_names)
     n_w = n_coef + (t_dim if stream_src else 0)
-    n_b = 1 + (t_dim if stream_diag else 0)
+    n_b = (0 if kv_seasonal else 1) + (t_dim if stream_diag else 0)
     chunk = int(tend_chunk) if tend_chunk else (t_dim if t_dim <= 2 else 1)
     tr_slices = [
         slice(i, min(i + chunk, t_dim)) for i in range(0, t_dim, chunk)
@@ -378,10 +454,27 @@ def build_stream_sweep(
     dzr_off = (rows_ext + nz) if sep_rv else 0
     dt_f = np.float32(dt)
     int_lo, int_hi = halo, halo + b_rows
+    diag_ind = 0 if kv_seasonal else 1
+    couple_np = None
+    if couple is not None:
+        couple_np = np.asarray(couple, np.float64)
+        if couple_np.shape != (t_dim, t_dim):
+            raise ValueError("couple must be (tracer, tracer)")
 
     def kernel(params_ref, *refs):
-        (stack_w_hbm, stack_b_hbm, y_hbm, c_hbm, ra_res,
-         y_out, c_out, w_buf, b_buf, y_buf, c_buf, sems) = refs
+        refs = list(refs)
+        stack_w_hbm = refs.pop(0)
+        stack_b_hbm = refs.pop(0) if n_b else None
+        stack_s_hbm = refs.pop(0) if n_s else None
+        stack_bs_hbm = refs.pop(0) if kv_seasonal else None
+        y_hbm, c_hbm, ra_res, y_out, c_out = (
+            refs.pop(0), refs.pop(0), refs.pop(0), refs.pop(0), refs.pop(0)
+        )
+        w_buf = refs.pop(0)
+        b_buf = refs.pop(0) if n_b else None
+        s_buf = refs.pop(0) if n_s else None
+        bs_buf = refs.pop(0) if kv_seasonal else None
+        y_buf, c_buf, sems = refs
         g = pl.program_id(0)
         win0 = g * b_rows
         first = params_ref[0] != np.float32(0.0)
@@ -396,7 +489,8 @@ def build_stream_sweep(
             dma.wait()
 
         copy(stack_w_hbm.at[:, :, pl.ds(win0, w_rows), :], w_buf, 0)
-        copy(stack_b_hbm.at[:, :, pl.ds(win0, w_rows), :], b_buf, 1)
+        if b_buf is not None:
+            copy(stack_b_hbm.at[:, :, pl.ds(win0, w_rows), :], b_buf, 1)
         copy(y_hbm.at[:, :, pl.ds(win0, w_rows), :], y_buf, 2)
 
         @pl.when(jnp.logical_not(first))
@@ -407,9 +501,33 @@ def build_stream_sweep(
         def _():
             c_buf[...] = jnp.zeros_like(c_buf[...])
 
+        if seasonal:
+            m_base = params_ref[2].astype(jnp.int32)
+            w1_abc = (params_ref[3], params_ref[4], params_ref[5])
+            w2_abc = (params_ref[6], params_ref[7], params_ref[8])
+            cn_abc = (params_ref[9], params_ref[10], params_ref[11])
+            if s_buf is not None:
+                copy(
+                    stack_s_hbm.at[
+                        pl.ds(m_base, 3), :, :, pl.ds(win0, w_rows), :
+                    ],
+                    s_buf, 6,
+                )
+            if bs_buf is not None:
+                copy(
+                    stack_bs_hbm.at[
+                        pl.ds(m_base, 3), :, :, pl.ds(win0, w_rows), :
+                    ],
+                    bs_buf, 7,
+                )
+
         coef_w = {
             name: w_buf[ind][..., :nlon] for name, ind in name_ind.items()
         }
+        if stencil:
+            st_vals = [
+                coef_w[f"stc{i}"] for i in range(len(STENCIL_OFFSETS))
+            ]
         if upwind3:
             coef_w.update(upwind3_selectors(coef_w["wet"]))
         if sep_rv:
@@ -423,13 +541,34 @@ def build_stream_sweep(
             if stream_src
             else None
         )
-        kv_w = b_buf[0][..., :nlon]
-        dzr_c = ra_res[pl.ds(dzr_off, nz), :][:, :1][:, :, None]
-        dub = kv_w * dzr_c
-        dlb = _shift_z(kv_w, -1) * dzr_c
+        if kv_seasonal:
+            bl = bs_buf[:, 0][..., :nlon]
+            bu = bs_buf[:, 1][..., :nlon]
+            w_a, w_b, w_c = cn_abc
+            dlb = w_a * bl[0] + w_b * bl[1] + w_c * bl[2]
+            dub = w_a * bu[0] + w_b * bu[1] + w_c * bu[2]
+        else:
+            kv_w = b_buf[0][..., :nlon]
+            dzr_c = ra_res[pl.ds(dzr_off, nz), :][:, :1][:, :, None]
+            dub = kv_w * dzr_c
+            dlb = _shift_z(kv_w, -1) * dzr_c
         diag_w = (
-            b_buf[1 : 1 + t_dim][..., :nlon] if stream_diag else None
+            b_buf[diag_ind : diag_ind + t_dim][..., :nlon]
+            if stream_diag
+            else None
         )
+
+        def coef_at(weights):
+            """stage coefficient dict: steady entries plus the 3-month
+            blend of the seasonal window stack"""
+            if not n_s:
+                return coef_w
+            cw = dict(coef_w)
+            w_a, w_b, w_c = weights
+            for pos, nm in enumerate(seasonal_names):
+                sl = s_buf[:, pos][..., :nlon]
+                cw[nm] = w_a * sl[0] + w_b * sl[1] + w_c * sl[2]
+            return cw
 
         def sep_field(fac, wet3, sl):
             a_vals, b_vals = fac
@@ -456,13 +595,32 @@ def build_stream_sweep(
         else:
             dgb = None
 
-        def base_tend(y_sl, sl):
-            out = transport_tend(coef_w, y_sl)
+        def base_tend(y_sl, sl, cw):
+            if stencil:
+                out = stencil_tend(st_vals, y_sl)
+            else:
+                out = transport_tend(cw, y_sl)
             if src_w is not None:
                 out = out + src_w[sl]
             elif src_fac is not None:
                 out = out + sep_field(src_fac, coef_w["wet"], sl)
             return out
+
+        def couple_rows(surf):
+            """(T, W, lanes) surface coupling tendencies from the full
+            family's surface values (callers guard couple_np)"""
+            rws = []
+            for x_ind in range(t_dim):
+                acc = None
+                for y_ind in range(t_dim):
+                    c_val = float(couple_np[x_ind, y_ind])
+                    if c_val != 0.0:
+                        term = c_val * surf[y_ind]
+                        acc = term if acc is None else acc + term
+                rws.append(
+                    jnp.zeros_like(surf[0]) if acc is None else acc
+                )
+            return coef_w["wet"][0] * jnp.stack(rws)
 
         def kahan(y_v, c_v, delta):
             adj = delta + c_v
@@ -496,15 +654,30 @@ def build_stream_sweep(
             return cat(y_parts), cat(c_parts)
 
         def heun(y_v, c_v):
-            f1_parts = [base_tend(y_v[sl], sl) for sl in tr_slices]
+            cw1 = coef_at(w1_abc) if n_s else coef_w
+            cw2 = coef_at(w2_abc) if n_s else coef_w
+            f1_parts = [base_tend(y_v[sl], sl, cw1) for sl in tr_slices]
             f1 = (
                 f1_parts[0]
                 if len(f1_parts) == 1
                 else jnp.concatenate(f1_parts)
             )
+            if couple_np is not None:
+                f1 = jnp.concatenate(
+                    [(f1[:, 0] + couple_rows(y_v[:, 0]))[:, None], f1[:, 1:]],
+                    axis=1,
+                )
+                y2_surf = y_v[:, 0] + dt_f * f1[:, 0]
+                c2_rows = couple_rows(y2_surf)
             f2_parts = []
             for sl in tr_slices:
-                f2_parts.append(base_tend(y_v[sl] + dt_f * f1[sl], sl))
+                f2_sl = base_tend(y_v[sl] + dt_f * f1[sl], sl, cw2)
+                if couple_np is not None:
+                    f2_sl = jnp.concatenate(
+                        [(f2_sl[:, 0] + c2_rows[sl])[:, None], f2_sl[:, 1:]],
+                        axis=1,
+                    )
+                f2_parts.append(f2_sl)
             f2 = (
                 f2_parts[0]
                 if len(f2_parts) == 1
@@ -550,7 +723,23 @@ def build_stream_sweep(
 
     @partial(jax.jit, static_argnames=("interpret",))
     def sweep(params, y_ext, c_ext, stack_w, stack_b, ra_plane,
-              interpret=False):
+              stack_s=None, stack_bs=None, interpret=False):
+        stacks = [stack_w]
+        scratch = [pltpu.VMEM((n_w, nz, w_rows, lanes), dtype)]
+        if n_b:
+            stacks.append(stack_b)
+            scratch.append(pltpu.VMEM((n_b, nz, w_rows, lanes), dtype))
+        if n_s:
+            stacks.append(stack_s)
+            scratch.append(pltpu.VMEM((3, n_s, nz, w_rows, lanes), dtype))
+        if kv_seasonal:
+            stacks.append(stack_bs)
+            scratch.append(pltpu.VMEM((3, 2, nz, w_rows, lanes), dtype))
+        scratch += [
+            pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),
+            pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),
+            pltpu.SemaphoreType.DMA((8,)),
+        ]
         return pl.pallas_call(
             kernel,
             grid=(n_blocks,),
@@ -558,25 +747,18 @@ def build_stream_sweep(
                 jax.ShapeDtypeStruct(buf_shape, dtype),
                 jax.ShapeDtypeStruct(buf_shape, dtype),
             ],
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                hbm(), hbm(), hbm(), hbm(),
-                pl.BlockSpec(ra_plane.shape, lambda g: (0, 0)),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [hbm() for _ in stacks]
+            + [hbm(), hbm()]
+            + [pl.BlockSpec(ra_plane.shape, lambda g: (0, 0))],
             out_specs=[hbm(), hbm()],
-            scratch_shapes=[
-                pltpu.VMEM((n_w, nz, w_rows, lanes), dtype),
-                pltpu.VMEM((n_b, nz, w_rows, lanes), dtype),
-                pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),
-                pltpu.VMEM((t_dim, nz, w_rows, lanes), dtype),
-                pltpu.SemaphoreType.DMA((6,)),
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=127 << 20,
             ),
             interpret=interpret,
-        )(params, stack_w, stack_b, y_ext, c_ext, ra_plane)
+        )(params, *stacks, y_ext, c_ext, ra_plane)
 
     sweep.halo = halo
     sweep.rows_ext = rows_ext
@@ -598,6 +780,7 @@ def build_transport3d_year_stream(
     coef, kv, dz_r, diag, src, t_span, n_steps, couple=None, block_rows=16,
     prefetch=False, steps_per_sweep=1, recip_area=None, recip_dz=None,
     t_dim=None, period=SEC_PER_YEAR, factor_rates=True, tend_chunk=None,
+    stencil=False, coef_bf16=False,
 ):
     """build fn(y0, interpret=False) -> y_end, the streaming-year kernel.
 
@@ -687,6 +870,25 @@ def build_transport3d_year_stream(
     reference cannot express at all: its setup ncra-collapses monthly
     IRF output to an annual mean (nk_ooc/cime_pop/setup_solver.py:100-166).
     Seasonal runs require steps_per_sweep=1.
+
+    stencil=True (STEADY circulations only) streams the COLLAPSED
+    operator instead of its ingredients: transport_stencil_coef folds
+    the whole upwind3/diffusion chain into 13 static per-offset
+    coefficient fields, and the in-kernel tendency becomes 13 fused
+    multiply-adds per cell (stencil_tend) -- the measured gx1 kernel is
+    VPU-bound on the selector/blend/flux chain, so trading ~4x fewer
+    VPU ops for 14 streamed windows (wet + 13; recip_vol and the
+    selectors are absorbed) moves work to the underused DMA side.
+    Results match the upwind3 path to reassociation roundoff, not
+    bitwise.  coef_bf16=True (stencil only) additionally streams the
+    coefficient windows in bfloat16 -- HALF the dominant window traffic
+    and VMEM -- at the cost of rounding the OPERATOR's coefficients to
+    8-bit mantissas: state and Kahan accumulation stay float32, but the
+    integrated solution differs from the f32-operator one at the
+    ~1e-3 relative level (pinned by tests; callers own the fidelity
+    call -- the reference's own annual-mean IRF collapse is a far larger
+    perturbation).  Dense (unfactored) src fields ride the same window
+    stack, so coef_bf16 refuses them.
     """
     n_time = transport_coef_n_time(coef)
     kv_np = np.asarray(kv, np.float32)
@@ -716,6 +918,14 @@ def build_transport3d_year_stream(
                 "seasonal streaming needs dt <= period/n_time "
                 f"({period / n_time:.0f} s) -- raise n_steps"
             )
+    if stencil and seasonal:
+        raise ValueError(
+            "stencil streaming collapses a STEADY operator; a seasonal "
+            "one would need 13 monthly stacks (3x the window traffic) -- "
+            "use the upwind3 streaming path"
+        )
+    if coef_bf16 and not stencil:
+        raise ValueError("coef_bf16 applies to the stencil mode only")
 
     dtype = jnp.float32
     wet = np.asarray(coef["wet"], np.float32)
@@ -759,8 +969,10 @@ def build_transport3d_year_stream(
     w_rows = b_rows + 2 * halo
 
     # recip_vol is separable by construction; with the factors supplied it
-    # is rebuilt in-kernel instead of streamed (one fewer field-window)
-    sep_rv = recip_area is not None
+    # is rebuilt in-kernel instead of streamed (one fewer field-window).
+    # The stencil mode absorbs recip_vol (and the selectors) into the
+    # collapsed coefficients; recip_area/recip_dz are accepted and unused.
+    sep_rv = recip_area is not None and not stencil
     if sep_rv:
         if recip_dz is None:
             raise ValueError("recip_area requires recip_dz")
@@ -780,32 +992,60 @@ def build_transport3d_year_stream(
                 "recip_area/recip_dz do not factor coef['recip_vol']"
             )
 
-    # the six upwind3 selectors are pure shifts of `wet`: derive them from
-    # the wet window in-kernel instead of streaming six more field-windows
-    # per block (43% of the coefficient traffic at the full stencil)
-    upwind3 = "sel3p_e" in coef and coef["sel3p_e"] is not None
-    skip = set(UPWIND3_SELECTOR_KEYS)
-    if sep_rv:
-        skip.add("recip_vol")
-    all_names = [
-        name
-        for name, arr in sorted(coef.items())
-        if arr is not None and name not in skip
-    ]
-    seasonal_names = [
-        n for n in all_names if np.asarray(coef[n]).ndim == 4
-    ]
-    names = [n for n in all_names if n not in seasonal_names]
-    n_coef = len(names)
-    n_s = len(seasonal_names)
-    # steady window stack: coefficients, then per-tracer src (if nonzero
-    # and not factored through the wet mask)
-    n_w = n_coef + (t_dim if stream_src else 0)
-    parts_w = [
-        np.stack(
-            [_pad_rows(coef[name], rows, lanes, halo) for name in names]
-        )
-    ]
+    if stencil:
+        # collapsed-operator stack: the wet window (factored rate fields
+        # and gas-exchange coupling rebuild from it) + the 13 per-offset
+        # stencil coefficient fields; selectors/recip_vol are absorbed
+        if coef_bf16 and stream_src:
+            raise ValueError(
+                "coef_bf16 would round dense src windows; factor the "
+                "rate fields or stream them in float32"
+            )
+        upwind3 = False
+        seasonal_names = []
+        st_np = np.asarray(transport_stencil_coef(coef), np.float32)
+        names = ["wet"] + [
+            f"stc{i}" for i in range(len(STENCIL_OFFSETS))
+        ]
+        n_coef = len(names)
+        n_s = 0
+        n_w = n_coef + (t_dim if stream_src else 0)
+        parts_w = [
+            np.concatenate(
+                [
+                    _pad_rows(wet, rows, lanes, halo)[None],
+                    _pad_rows(st_np, rows, lanes, halo),
+                ]
+            )
+        ]
+    else:
+        # the six upwind3 selectors are pure shifts of `wet`: derive them
+        # from the wet window in-kernel instead of streaming six more
+        # field-windows per block (43% of the coefficient traffic at the
+        # full stencil)
+        upwind3 = "sel3p_e" in coef and coef["sel3p_e"] is not None
+        skip = set(UPWIND3_SELECTOR_KEYS)
+        if sep_rv:
+            skip.add("recip_vol")
+        all_names = [
+            name
+            for name, arr in sorted(coef.items())
+            if arr is not None and name not in skip
+        ]
+        seasonal_names = [
+            n for n in all_names if np.asarray(coef[n]).ndim == 4
+        ]
+        names = [n for n in all_names if n not in seasonal_names]
+        n_coef = len(names)
+        n_s = len(seasonal_names)
+        # steady window stack: coefficients, then per-tracer src (if
+        # nonzero and not factored through the wet mask)
+        n_w = n_coef + (t_dim if stream_src else 0)
+        parts_w = [
+            np.stack(
+                [_pad_rows(coef[name], rows, lanes, halo) for name in names]
+            )
+        ]
     if stream_src:
         parts_w.append(
             _pad_rows(
@@ -912,7 +1152,8 @@ def build_transport3d_year_stream(
         nz, nlat, nlon, t_dim, block_rows=b_rows,
         steps_per_sweep=k_steps, prefetch=prefetch, n_coef=n_coef,
         stream_diag=stream_diag, stream_src=stream_src, n_seasonal=n_s,
-        kv_seasonal=kv_seasonal, tend_chunk=chunk,
+        kv_seasonal=kv_seasonal, tend_chunk=chunk, stencil=stencil,
+        coef_bf16=coef_bf16,
     )
     if est > _STREAM_VMEM_CAP:
         raise VmemBudgetError(
@@ -1144,6 +1385,18 @@ def build_transport3d_year_stream(
             name: w_buf[p, ind][..., :nlon]
             for name, ind in name_ind.items()
         }
+        if stencil:
+            # the collapsed per-offset coefficients; bf16 windows are
+            # consumed directly (each multiply promotes to float32 on
+            # the fly -- no upcast copy materializes in VMEM).  The wet
+            # window is upcast once: it feeds factored-rate rebuilds and
+            # coupling rows whose zeros_like/concat plumbing expects one
+            # dtype (wet is 0/1, so the cast is exact).
+            st_vals = [
+                coef_w[f"stc{i}"] for i in range(len(STENCIL_OFFSETS))
+            ]
+            if coef_bf16:
+                coef_w["wet"] = coef_w["wet"].astype(dtype)
         if upwind3:
             coef_w.update(upwind3_selectors(coef_w["wet"]))
         if sep_rv:
@@ -1224,7 +1477,10 @@ def build_transport3d_year_stream(
             """transport + source for tracer slice sl; the surface
             coupling is applied by the caller (it mixes tracers across
             chunks)"""
-            out = transport_tend(cw, y_sl)
+            if stencil:
+                out = stencil_tend(st_vals, y_sl)
+            else:
+                out = transport_tend(cw, y_sl)
             if src_w is not None:
                 out = out + src_w[sl]
             elif src_fac is not None:
@@ -1342,11 +1598,12 @@ def build_transport3d_year_stream(
         @pl.when(s > 0)
         def _():
             # intermediate step j updates rows [lo_j, W - lo_j) with
-            # lo_j = halo - 4*(k - 1 - j): each remaining step consumes 4
-            # rows of validity per side, so the last step lands exactly on
-            # the interior with every input row carrying a complete update
+            # lo_j = halo - creep*(k - 1 - j): each remaining step consumes
+            # 2*STENCIL_RADIUS rows of validity per side, so the last step
+            # lands exactly on the interior with every input row carrying a
+            # complete update
             for j in range(k_steps - 1):
-                lo_j = halo - 4 * (k_steps - 1 - j)
+                lo_j = halo - _halo_creep_rows(1) * (k_steps - 1 - j)
                 heun(lo_j, w_rows - lo_j)
                 cn(lo_j, w_rows - lo_j, dtype(0.5 * dt))
             last = s == n_sweeps - 1
@@ -1379,8 +1636,9 @@ def build_transport3d_year_stream(
         dimension_semantics=("arbitrary", "arbitrary"),
         vmem_limit_bytes=127 << 20,
     )
+    w_dtype = jnp.bfloat16 if coef_bf16 else dtype
     scratch_shapes = [
-        pltpu.VMEM((n_slots, n_w, nz, w_rows, lanes), dtype),  # windows
+        pltpu.VMEM((n_slots, n_w, nz, w_rows, lanes), w_dtype),  # windows
     ]
     if stack_b is not None:
         scratch_shapes.append(
@@ -1426,7 +1684,7 @@ def build_transport3d_year_stream(
     )
     ra_spec = pl.BlockSpec(ra_j.shape, lambda s, b: (0, 0))
     stack_ops = tuple(
-        jnp.asarray(st)
+        jnp.asarray(st, w_dtype if st is stack_w else None)
         for st in (stack_w, stack_b, stack_s, stack_bs)
         if st is not None
     )
@@ -1473,11 +1731,27 @@ def build_transport3d_year_stream(
     year.stream_diag = stream_diag
     year.stream_src = stream_src
     year.tend_chunk = chunk
+    year.stencil = stencil
+    year.coef_bf16 = coef_bf16
     # exact steady-state HBM traffic of THIS build's shed decisions, so
     # callers can report true sustained bandwidth next to wall-clock
     year.hbm_bytes_per_step = stream_hbm_bytes_per_step(
         nz, nlat, nlon, t_dim, block_rows=b_rows,
         steps_per_sweep=k_steps, n_coef=n_coef, stream_diag=stream_diag,
         stream_src=stream_src, n_seasonal=n_s, kv_seasonal=kv_seasonal,
+        coef_bf16=coef_bf16,
+    )
+    # rough in-kernel VPU flop count per model step, for roofline
+    # reporting next to the exact byte count: two tendency evaluations
+    # per Heun step over the full window (halo recompute included via
+    # w_rows/b_rows) plus the CN/PCR solve and Kahan tail on the
+    # interior.  The upwind3 chain is counted at its fused-multiply-add
+    # equivalent (~120 flops/cell/eval: 6 faces of blend+flux+divergence
+    # with selects); the stencil form is exactly 2 flops per offset.
+    tend_flops = 2 * len(STENCIL_OFFSETS) if stencil else 120
+    cn_flops = 12 * int(np.ceil(np.log2(max(nz, 2)))) + 16
+    year.est_flops_per_step = int(
+        nz * nlat * nlon * t_dim
+        * (2 * tend_flops * (w_rows / b_rows) + cn_flops)
     )
     return year

@@ -653,7 +653,8 @@ def build_sharded_transport3d_year_pallas(
 def build_sharded_transport3d_year_stream(
     mesh, coef, kv, dz_r, diag, src, t_span, n_steps, *,
     block_rows=16, steps_per_sweep=1, recip_area=None, recip_dz=None,
-    interpret=False, tend_chunk=None,
+    interpret=False, tend_chunk=None, couple=None, t_dim=None,
+    period=SEC_PER_YEAR, stencil=False,
 ):
     """HBM-STREAMING sharded 3D transport year: per-sweep streaming
     kernels between latitude halo exchanges.
@@ -674,15 +675,35 @@ def build_sharded_transport3d_year_stream(
     (nk_ooc/cime_pop/model_state.py:439-450); its forward year has no
     distributed form at all.
 
-    STEADY circulations only, latitude ('space') decomposition only,
-    float32; gas-exchange coupling is not wired on this path yet (the
-    VMEM-block year covers coupled families at gx1 scale).  The local
-    latitude extent must split evenly over shards and block_rows must
-    divide it.  Returns fn(y) for y (tracer, nz, nlat, nlon) sharded
-    P(None, None, 'space', None), with .pure/.operands like the sibling
-    builders.
+    SEASONAL circulation (monthly face fields, optionally monthly kv)
+    streams exactly like the single-device kernel: wrap-extended
+    monthly stacks in shard-local HBM, one contiguous 3-month window
+    DMA per block, in-VMEM periodic-midpoint blending -- the
+    interpolation weights are precomputed per sweep on the host and
+    ride the params sequence (seasonal needs steps_per_sweep=1 and
+    dt <= period/n_time, like the single-device kernel).  This is the
+    production-shaped POP workload: monthly IRF circulation
+    (nk_ooc/cime_pop/setup_solver.py:100-166 can only ncra-collapse it
+    to an annual mean) on a beyond-VMEM per-shard slab.
+
+    couple wires the gas-exchange surface coupling matrix through both
+    Heun stages (the coupled abio-style families).  stencil=True streams
+    the collapsed 13-offset operator instead of the upwind3 ingredients
+    (steady only; see build_transport3d_year_stream).
+
+    Latitude ('space') decomposition only, float32.  The local latitude
+    extent must split evenly over shards and block_rows must divide it.
+    t_dim is inferred from diag/src when either is given; pass it
+    explicitly for a rate-free family.  Returns fn(y) for y
+    (tracer, nz, nlat, nlon) sharded P(None, None, 'space', None), with
+    .pure/.operands like the sibling builders.
     """
-    from ..ops.transport3d import transport_coef_n_time
+    from ..ops.transport3d import (
+        STENCIL_OFFSETS,
+        transport_coef_n_time,
+        transport_stencil_coef,
+    )
+    from ..ops.transport3d_pallas import _cn_bands
     from ..ops.transport3d_stream_pallas import (
         _halo_rows,
         build_stream_sweep,
@@ -692,12 +713,24 @@ def build_sharded_transport3d_year_stream(
     if mesh.shape.get("space_x", 1) != 1:
         raise ValueError(
             "the streaming year shards latitude only; drop the 'space_x' "
-            "mesh axis or use build_sharded_transport3d_year"
+            "mesh axis or use build_sharded_transport3d_year "
+            "(docs/tpu-architecture.md records the sizing argument)"
         )
-    if transport_coef_n_time(coef) is not None or np.asarray(kv).ndim == 3:
+    n_time = transport_coef_n_time(coef)
+    kv_np32 = np.asarray(kv, np.float32)
+    kv_seasonal = kv_np32.ndim == 3
+    if kv_seasonal:
+        if n_time is not None and kv_np32.shape[0] != n_time:
+            raise ValueError(
+                "seasonal kv and coefficient time axes disagree: "
+                f"{kv_np32.shape[0]} vs {n_time}"
+            )
+        n_time = n_time or kv_np32.shape[0]
+    seasonal = n_time is not None
+    if stencil and seasonal:
         raise ValueError(
-            "seasonal circulation: the sharded streaming year is "
-            "steady-only; use build_sharded_transport3d_year"
+            "stencil streaming collapses a STEADY operator; use the "
+            "upwind3 streaming path for seasonal circulations"
         )
     wet_np = np.asarray(coef["wet"], np.float32)
     nz, nlat, nlon = wet_np.shape
@@ -712,6 +745,8 @@ def build_sharded_transport3d_year_stream(
     k = int(steps_per_sweep)
     if k < 1 or int(n_steps) % k:
         raise ValueError("steps_per_sweep must divide n_steps")
+    if seasonal and k != 1:
+        raise ValueError("seasonal streaming needs steps_per_sweep=1")
     halo = _halo_rows(k)
     if halo > nl_loc:
         raise ValueError(
@@ -721,13 +756,22 @@ def build_sharded_transport3d_year_stream(
     rows_ext = nl_loc + 2 * halo
     lanes = -(-nlon // 128) * 128
     dtype = jnp.float32
-    t_dim = int(np.asarray(diag).shape[0]) if diag is not None else None
+    if t_dim is None and diag is not None:
+        t_dim = int(np.asarray(diag).shape[0])
     if t_dim is None and src is not None:
         t_dim = int(np.asarray(src).shape[0])
     if t_dim is None:
-        raise ValueError("t_dim is implied by diag/src; pass at least one")
+        raise ValueError(
+            "t_dim: pass it explicitly for a family with neither diag "
+            "nor src"
+        )
     dt = float((t_span[1] - t_span[0]) / n_steps)
     n_sweeps = int(n_steps) // k + 1
+    if seasonal and dt > period / n_time:
+        raise ValueError(
+            "seasonal streaming needs dt <= period/n_time "
+            f"({period / n_time:.0f} s) -- raise n_steps"
+        )
 
     has_diag = diag is not None and bool(np.any(np.asarray(diag)))
     has_src = src is not None and bool(np.any(np.asarray(src)))
@@ -743,17 +787,29 @@ def build_sharded_transport3d_year_stream(
     stream_diag = has_diag and diag_fac is None
     stream_src = has_src and src_fac is None
 
-    sep_rv = recip_area is not None
+    sep_rv = recip_area is not None and not stencil
     if sep_rv and recip_dz is None:
         raise ValueError("recip_area requires recip_dz")
-    upwind3 = "sel3p_e" in coef and coef["sel3p_e"] is not None
     skip = set(UPWIND3_SELECTOR_KEYS)
     if sep_rv:
         skip.add("recip_vol")
-    coef_names = [
-        n for n, a in sorted(coef.items())
-        if a is not None and n not in skip
-    ]
+    if stencil:
+        upwind3 = False
+        coef_names = ["wet"] + [
+            f"stc{i}" for i in range(len(STENCIL_OFFSETS))
+        ]
+        seasonal_names = []
+    else:
+        upwind3 = "sel3p_e" in coef and coef["sel3p_e"] is not None
+        all_names = [
+            n for n, a in sorted(coef.items())
+            if a is not None and n not in skip
+        ]
+        seasonal_names = [
+            n for n in all_names if np.asarray(coef[n]).ndim == 4
+        ]
+        coef_names = [n for n in all_names if n not in seasonal_names]
+    n_s = len(seasonal_names)
 
     def ext_stack(arr):
         """(..., nlat, nlon) -> (n_space, ..., rows_ext, lanes) f32 with
@@ -772,8 +828,19 @@ def build_sharded_transport3d_year_stream(
         out[..., :nlon] = blocks
         return out
 
-    parts_w = [np.stack([ext_stack(coef[n])[:, ...] for n in coef_names],
-                        axis=1)]
+    if stencil:
+        st_np = np.asarray(transport_stencil_coef(coef), np.float32)
+        parts_w = [
+            np.concatenate(
+                [ext_stack(wet_np)[:, None], ext_stack(st_np)], axis=1
+            )
+        ]
+    else:
+        parts_w = [
+            np.stack(
+                [ext_stack(coef[n]) for n in coef_names], axis=1
+            )
+        ]
     if stream_src:
         parts_w.append(
             np.stack(
@@ -787,13 +854,46 @@ def build_sharded_transport3d_year_stream(
         )
     stack_w = np.concatenate(parts_w, axis=1)
 
-    kv_full = np.concatenate(
-        [
-            np.asarray(kv, np.float32).reshape(nz - 1, nlat, nlon),
-            np.zeros((1, nlat, nlon), np.float32),
+    # wrap-extended monthly stacks: months [0..n_time-1, 0, 1] so the
+    # 3-month bracket window is always one contiguous slice
+    stack_s = None
+    if n_s:
+        month_seq = list(range(n_time)) + [0, 1]
+        stack_s = np.stack(
+            [
+                np.stack(
+                    [ext_stack(np.asarray(coef[nm])[m])
+                     for nm in seasonal_names],
+                    axis=1,
+                )
+                for m in month_seq
+            ],
+            axis=1,
+        )  # (n_space, n_time+2, n_s, nz, rows_ext, lanes)
+
+    dz_r_np = np.asarray(dz_r, np.float64)
+    stack_bs = None
+    if kv_seasonal:
+        months_b = [
+            _cn_bands(kv_np32[m], dz_r_np, nz, nlat, nlon)
+            for m in range(n_time)
         ]
-    )
-    parts_b = [ext_stack(kv_full)[:, None]]
+        stack_bs = np.stack(
+            [
+                np.stack([ext_stack(dl), ext_stack(du)], axis=1)
+                for dl, du in months_b + months_b[:2]
+            ],
+            axis=1,
+        ).astype(np.float32)
+        parts_b = []
+    else:
+        kv_full = np.concatenate(
+            [
+                kv_np32.reshape(nz - 1, nlat, nlon),
+                np.zeros((1, nlat, nlon), np.float32),
+            ]
+        )
+        parts_b = [ext_stack(kv_full)[:, None]]
     if stream_diag:
         parts_b.append(
             np.stack(
@@ -805,12 +905,15 @@ def build_sharded_transport3d_year_stream(
                 axis=1,
             )
         )
-    stack_b = np.concatenate(parts_b, axis=1)
+    stack_b = (
+        np.concatenate(parts_b, axis=1) if parts_b else None
+    )
 
-    dz_r_np = np.asarray(dz_r, np.float64)
     res_parts = []
     if sep_rv:
-        res_parts.append(ext_stack(np.asarray(recip_area, np.float32)[None])[:, 0])
+        res_parts.append(
+            ext_stack(np.asarray(recip_area, np.float32)[None])[:, 0]
+        )
         res_parts.append(
             np.broadcast_to(
                 np.repeat(
@@ -835,18 +938,65 @@ def build_sharded_transport3d_year_stream(
         block_rows=block_rows, stream_diag=stream_diag,
         stream_src=stream_src, diag_fac=diag_fac, src_fac=src_fac,
         sep_rv=sep_rv, upwind3=upwind3, tend_chunk=tend_chunk,
+        couple=couple, seasonal_names=seasonal_names,
+        kv_seasonal=kv_seasonal, stencil=stencil,
     )
 
-    # (is_first, is_last) per sweep
-    params_seq = np.zeros((n_sweeps, 2), np.float32)
+    # per-sweep params: (is_first, is_last, month base, stage-1 weights,
+    # stage-2 weights, CN weights).  The seasonal interpolation mirrors
+    # the single-device kernel's float32 arithmetic (sweep s's stage 1
+    # samples t0 + max(s-1,0)*dt, stage 2 and the CN sample t+dt; with
+    # dt <= period/n_time both brackets sit inside three consecutive
+    # months of the wrap-extended stacks).
+    params_seq = np.zeros((n_sweeps, 12), np.float32)
     params_seq[0, 0] = 1.0
     params_seq[-1, 1] = 1.0
+    if seasonal:
+        f32 = np.float32
+        x_scale = f32(n_time / period)
+        dt_f = f32(dt)
+        t0_f = f32(t_span[0])
+        s_arr = np.arange(n_sweeps, dtype=np.float32)
+        t_1 = t0_f + np.maximum(s_arr - 1, 0).astype(np.float32) * dt_f
+        x_1 = t_1 * x_scale - f32(0.5)
+        m0f = np.floor(x_1)
+        w_1 = x_1 - m0f
+        x_2 = x_1 + dt_f * x_scale
+        m2f = np.floor(x_2)
+        w_2 = x_2 - m2f
+        up = m2f > m0f
+        zero = np.zeros_like(w_1)
+        one = np.ones_like(w_1)
+        w1_abc = np.stack([one - w_1, w_1, zero], axis=1)
+        w2_abc = np.stack(
+            [
+                np.where(up, zero, one - w_2),
+                np.where(up, one - w_2, w_2),
+                np.where(up, w_2, zero),
+            ],
+            axis=1,
+        )
+        cn_abc = np.where((s_arr == 0)[:, None], w1_abc, w2_abc)
+        params_seq[:, 2] = np.remainder(
+            m0f.astype(np.int64), n_time
+        ).astype(np.float32)
+        params_seq[:, 3:6] = w1_abc
+        params_seq[:, 6:9] = w2_abc
+        params_seq[:, 9:12] = cn_abc
 
     fwd_perm = [(i, i + 1) for i in range(n_space - 1)]
     bwd_perm = [(i, i - 1) for i in range(1, n_space)]
+    has_b = stack_b is not None
+    has_s = stack_s is not None
+    has_bs = stack_bs is not None
 
-    def local_year(y, stw, stb, rap, pseq):
-        stw, stb, rap = stw[0], stb[0], rap[0]
+    def local_year(y, *ops):
+        ops = list(ops)
+        stw = ops.pop(0)[0]
+        stb = ops.pop(0)[0] if has_b else None
+        sts = ops.pop(0)[0] if has_s else None
+        stbs = ops.pop(0)[0] if has_bs else None
+        rap, pseq = ops.pop(0)[0], ops.pop(0)
         y_l = jnp.zeros((t_dim, nz, nl_loc, lanes), dtype)
         y_l = y_l.at[..., :nlon].set(jnp.asarray(y, dtype))
         c_l = jnp.zeros_like(y_l)
@@ -860,7 +1010,7 @@ def build_sharded_transport3d_year_stream(
             y_c, c_c = carry
             y_o, c_o = sweep_fn(
                 params, exchange(y_c), exchange(c_c), stw, stb, rap,
-                interpret=interpret,
+                stack_s=sts, stack_bs=stbs, interpret=interpret,
             )
             rows_i = slice(halo, halo + nl_loc)
             return (y_o[:, :, rows_i, :], c_o[:, :, rows_i, :]), None
@@ -869,7 +1019,14 @@ def build_sharded_transport3d_year_stream(
         return y_l[..., :nlon]
 
     state_spec = P(None, None, "space", None)
-    stacked = [stack_w, stack_b, ra_plane]
+    stacked = [stack_w]
+    if has_b:
+        stacked.append(stack_b)
+    if has_s:
+        stacked.append(stack_s)
+    if has_bs:
+        stacked.append(stack_bs)
+    stacked.append(ra_plane)
     op_specs = [
         P("space", *([None] * (arr.ndim - 1))) for arr in stacked
     ]
@@ -898,6 +1055,10 @@ def build_sharded_transport3d_year_stream(
     year.pure = year_pure
     year.operands = operands
     year.halo = halo
+    year.seasonal = seasonal
+    year.stencil = stencil
+    year.stream_diag = stream_diag
+    year.stream_src = stream_src
     return year
 
 

@@ -736,3 +736,265 @@ def test_sharded_year_stream_matches_single_device():
             diag.reshape(t_dim, nz, -1), src.reshape(t_dim, nz, -1),
             (0.0, YEAR), n_steps, block_rows=8, interpret=True,
         )
+
+
+def test_sharded_year_stream_factored_rates_and_chunks():
+    """stream-year branches the base test misses: a family whose rate
+    fields ALL factor through the wet mask (stream_diag/stream_src shed,
+    rebuilt in-kernel from 2 scalars/tracer), tracer chunking of the
+    stencil evaluation, an explicit-t_dim rate-free family, and the
+    collapsed stencil-operator mode"""
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        build_sharded_transport3d_year_stream,
+    )
+
+    nz, nlat, nlon = 4, 16, 6
+    n_steps = 480
+    circ = synthetic.gen_circulation(nz, nlat, nlon)
+    assert synthetic.stable_steps_per_year(circ) <= n_steps
+    coef = build_transport3d(
+        circ["mask"], circ["dz"], circ["TAREA"], uet=circ["UET"],
+        vnt=circ["VNT"], wtt=circ["WTT"], hdiff_e=circ["HDIFF_E"],
+        hdiff_n=circ["HDIFF_N"],
+    )
+    kv, dz_r = vmix_vertical_coeff(circ["VDC"], circ["dz"])
+    kv = mask_vmix_coeff(kv, circ["mask"])
+    wet = (np.asarray(circ["mask"]) > 0).astype(np.float64)
+    rng = np.random.default_rng(13)
+    t_dim = 3
+    diag = np.stack([
+        -1.0e-8 * wet,
+        -2.0e-8 * wet - 1.0e-8 * np.concatenate(
+            [wet[:1], np.zeros_like(wet[1:])]),
+        np.zeros_like(wet),
+    ])
+    src = np.stack([
+        1.0e-8 * wet, np.zeros_like(wet), 2.0e-8 * wet,
+    ])
+    y0 = rng.uniform(0.0, 1.0, (t_dim, nz, nlat, nlon)) * wet
+
+    src2 = jnp.asarray(src.reshape(t_dim, nz, nlat * nlon))
+
+    def tend(t, y):
+        y3 = y.reshape(y.shape[:-1] + (nlat, nlon))
+        return transport_tend(coef, y3).reshape(y.shape) + src2
+
+    expected = np.asarray(
+        imex_year(
+            tend, lambda t: kv,
+            jnp.asarray(diag.reshape(t_dim, nz, nlat * nlon)), dz_r,
+            jnp.asarray(y0.reshape(t_dim, nz, nlat * nlon)),
+            (0.0, YEAR), n_steps,
+        )
+    ).reshape(t_dim, nz, nlat, nlon)
+    scale = np.abs(expected).max()
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:2]), ("space",))
+    y_dev = jax.device_put(
+        jnp.asarray(y0), NamedSharding(mesh, P(None, None, "space", None))
+    )
+    for chunk, use_stencil in ((None, False), (2, False), (None, True)):
+        fn = build_sharded_transport3d_year_stream(
+            mesh, coef, kv, dz_r,
+            diag.reshape(t_dim, nz, -1), src.reshape(t_dim, nz, -1),
+            (0.0, YEAR), n_steps, block_rows=8, steps_per_sweep=2,
+            interpret=True, tend_chunk=chunk, stencil=use_stencil,
+        )
+        # every rate field factors -> no dense windows stream
+        assert not fn.stream_diag and not fn.stream_src
+        assert fn.stencil == use_stencil
+        got = np.asarray(fn(y_dev))
+        np.testing.assert_allclose(
+            got, expected, rtol=0.0,
+            atol=(2e-4 if use_stencil else 2e-5) * scale,
+            err_msg=f"tend_chunk={chunk} stencil={use_stencil}",
+        )
+
+    # rate-free family: t_dim cannot be inferred -> explicit kwarg
+    with pytest.raises(ValueError, match="t_dim"):
+        build_sharded_transport3d_year_stream(
+            mesh, coef, kv, dz_r, None, None, (0.0, YEAR), n_steps,
+            block_rows=8, interpret=True,
+        )
+    fn0 = build_sharded_transport3d_year_stream(
+        mesh, coef, kv, dz_r, None, None, (0.0, YEAR), n_steps,
+        block_rows=8, steps_per_sweep=2, interpret=True, t_dim=1,
+    )
+    def tend0(t, y):
+        y3 = y.reshape(y.shape[:-1] + (nlat, nlon))
+        return transport_tend(coef, y3).reshape(y.shape)
+
+    exp0 = np.asarray(
+        imex_year(
+            tend0, lambda t: kv, jnp.zeros((), jnp.float64), dz_r,
+            jnp.asarray(y0[:1].reshape(1, nz, nlat * nlon)),
+            (0.0, YEAR), n_steps,
+        )
+    ).reshape(1, nz, nlat, nlon)
+    y1_dev = jax.device_put(
+        jnp.asarray(y0[:1]),
+        NamedSharding(mesh, P(None, None, "space", None)),
+    )
+    got0 = np.asarray(fn0(y1_dev))
+    np.testing.assert_allclose(
+        got0, exp0, rtol=0.0, atol=2e-5 * np.abs(exp0).max()
+    )
+
+
+def test_sharded_year_stream_seasonal_coupled():
+    """the sharded HBM-streaming year on the PRODUCTION-shaped workload:
+    seasonal (monthly) circulation + seasonal vertical mixing + the
+    gas-exchange surface coupling matrix, pinned against the unsharded
+    seasonal scan -- the regime the reference's setup can only
+    ncra-collapse to an annual mean
+    (/root/reference/nk_ooc/cime_pop/setup_solver.py:100-166)"""
+    from newton_krylov_ooc_tpu.ops.transport3d import (
+        interp_month,
+        interp_transport_coef,
+    )
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        build_sharded_transport3d_year_stream,
+    )
+
+    nz, nlat, nlon = 4, 16, 6
+    mask = np.ones((nz, nlat, nlon), np.int32)
+    mask[:, 3, 2] = 0
+    mask[2:, 11, 4] = 0
+    circ = synthetic.gen_circulation(nz, nlat, nlon, mask=mask, n_seasons=4)
+    assert circ["UET"].ndim == 4
+    n_steps = max(480, synthetic.stable_steps_per_year(circ))
+    coef = build_transport3d(
+        circ["mask"], circ["dz"], circ["TAREA"], uet=circ["UET"],
+        vnt=circ["VNT"], wtt=circ["WTT"], hdiff_e=circ["HDIFF_E"],
+        hdiff_n=circ["HDIFF_N"],
+    )
+    kv, dz_r = vmix_vertical_coeff(circ["VDC"], circ["dz"])
+    kv = mask_vmix_coeff(kv, circ["mask"])
+    assert np.asarray(kv).ndim == 3  # seasonal vertical mixing too
+
+    rng = np.random.default_rng(17)
+    wet = (mask > 0).astype(np.float64)
+    t_dim = 2
+    diag = np.zeros((t_dim, nz, nlat, nlon))
+    diag[0] = -1.0e-8 * wet
+    src = np.zeros((t_dim, nz, nlat, nlon))
+    src[0] = 1.0e-8 * wet
+    y0 = rng.uniform(0.0, 1.0, (t_dim, nz, nlat, nlon)) * wet
+    couple = np.zeros((t_dim, t_dim))
+    couple[1, 0] = 4.25e-3 / circ["dz"][0]
+    couple[1, 1] = -2.0e-3 / circ["dz"][0]
+
+    wet_surf = (wet[0] > 0).reshape(-1).astype(np.float64)
+    src2 = jnp.asarray(src.reshape(t_dim, nz, nlat * nlon))
+    couple_j = jnp.asarray(couple)
+
+    def tend(t, y):
+        c = interp_transport_coef(coef, jnp.mod(t / YEAR, 1.0))
+        y3 = y.reshape(y.shape[:-1] + (nlat, nlon))
+        out = transport_tend(c, y3).reshape(y.shape) + src2
+        sflux = wet_surf * jnp.einsum("xy,yh->xh", couple_j, y[:, 0, :])
+        return out.at[:, 0, :].add(sflux)
+
+    expected = np.asarray(
+        imex_year(
+            tend,
+            lambda t: interp_month(kv, jnp.mod(t / YEAR, 1.0)),
+            jnp.asarray(diag.reshape(t_dim, nz, nlat * nlon)), dz_r,
+            jnp.asarray(y0.reshape(t_dim, nz, nlat * nlon)),
+            (0.0, YEAR), n_steps,
+        )
+    ).reshape(t_dim, nz, nlat, nlon)
+    scale = np.abs(expected).max()
+
+    for n_space in (1, 2):
+        mesh = Mesh(np.asarray(jax.devices("cpu")[:n_space]), ("space",))
+        fn = build_sharded_transport3d_year_stream(
+            mesh, coef, kv, dz_r,
+            diag.reshape(t_dim, nz, -1), src.reshape(t_dim, nz, -1),
+            (0.0, YEAR), n_steps, block_rows=8, couple=couple,
+            interpret=True,
+        )
+        assert fn.seasonal
+        y_dev = jax.device_put(
+            jnp.asarray(y0),
+            NamedSharding(mesh, P(None, None, "space", None)),
+        )
+        got = np.asarray(fn(y_dev))
+        np.testing.assert_allclose(
+            got, expected, rtol=0.0, atol=5e-5 * scale,
+            err_msg=f"n_space={n_space}",
+        )
+        assert np.abs(got * (1.0 - wet)).max() == 0.0
+    # the coupling term must actually matter at this tolerance
+    fn_nc = build_sharded_transport3d_year_stream(
+        Mesh(np.asarray(jax.devices("cpu")[:2]), ("space",)),
+        coef, kv, dz_r,
+        diag.reshape(t_dim, nz, -1), src.reshape(t_dim, nz, -1),
+        (0.0, YEAR), n_steps, block_rows=8, interpret=True,
+    )
+    y_dev = jax.device_put(
+        jnp.asarray(y0),
+        NamedSharding(
+            Mesh(np.asarray(jax.devices("cpu")[:2]), ("space",)),
+            P(None, None, "space", None),
+        ),
+    )
+    got_nc = np.asarray(fn_nc(y_dev))
+    assert np.abs(got_nc[1] - expected[1]).max() > 1e-3 * scale
+
+
+def test_sharded_year_stream_guards():
+    """loud refusals of the streaming-year builder: halo deeper than the
+    shard slab, seasonal with multi-step sweeps, seasonal with too-coarse
+    steps, the space_x mesh axis, and stencil+seasonal"""
+    from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+        build_sharded_transport3d_year_stream,
+    )
+
+    nz, nlat, nlon = 4, 16, 6
+    circ = synthetic.gen_circulation(nz, nlat, nlon)
+    coef = build_transport3d(
+        circ["mask"], circ["dz"], circ["TAREA"], uet=circ["UET"],
+        vnt=circ["VNT"], wtt=circ["WTT"],
+    )
+    kv, dz_r = vmix_vertical_coeff(circ["VDC"], circ["dz"])
+    kv = mask_vmix_coeff(kv, circ["mask"])
+    mesh2 = Mesh(np.asarray(jax.devices("cpu")[:2]), ("space",))
+
+    # k=3 needs a 16-row halo; the 8-row per-shard slab cannot host it
+    with pytest.raises(ValueError, match="halo depth"):
+        build_sharded_transport3d_year_stream(
+            mesh2, coef, kv, dz_r, None, None, (0.0, YEAR), 480,
+            block_rows=8, steps_per_sweep=3, t_dim=1, interpret=True,
+        )
+
+    circ_s = synthetic.gen_circulation(nz, nlat, nlon, n_seasons=4)
+    coef_s = build_transport3d(
+        circ_s["mask"], circ_s["dz"], circ_s["TAREA"], uet=circ_s["UET"],
+        vnt=circ_s["VNT"], wtt=circ_s["WTT"],
+    )
+    kv_s, _dz = vmix_vertical_coeff(circ_s["VDC"], circ_s["dz"])
+    kv_s = mask_vmix_coeff(kv_s, circ_s["mask"])
+    with pytest.raises(ValueError, match="steps_per_sweep=1"):
+        build_sharded_transport3d_year_stream(
+            mesh2, coef_s, kv_s, dz_r, None, None, (0.0, YEAR), 480,
+            block_rows=8, steps_per_sweep=2, t_dim=1, interpret=True,
+        )
+    with pytest.raises(ValueError, match="period/n_time"):
+        build_sharded_transport3d_year_stream(
+            mesh2, coef_s, kv_s, dz_r, None, None, (0.0, YEAR), 3,
+            block_rows=8, t_dim=1, interpret=True,
+        )
+    with pytest.raises(ValueError, match="STEADY"):
+        build_sharded_transport3d_year_stream(
+            mesh2, coef_s, kv_s, dz_r, None, None, (0.0, YEAR), 480,
+            block_rows=8, t_dim=1, stencil=True, interpret=True,
+        )
+
+    devices = np.asarray(jax.devices("cpu")[:4]).reshape(1, 2, 2)
+    mesh_x = Mesh(devices, ("module", "space", "space_x"))
+    with pytest.raises(ValueError, match="space_x"):
+        build_sharded_transport3d_year_stream(
+            mesh_x, coef, kv, dz_r, None, None, (0.0, YEAR), 480,
+            block_rows=8, t_dim=1, interpret=True,
+        )

@@ -468,6 +468,9 @@ def main():
         "device", "device_ms_per_step",
         "irf3d_gx1_stream_ms_per_step", "irf3d_gx1_stream_config",
         "irf3d_gx1_stream_actual_hbm_gbps",
+        "irf3d_gx1_stream_hbm_roofline_pct",
+        "irf3d_gx1_stencil_ms_per_step",
+        "irf3d_gx1_stencil_bf16_ms_per_step",
         "irf3d_gx1_family_ms_per_step_per_module",
         "irf3d_gx1_seasonal_ms_per_step",
         "irf3d_gx3_year_seconds", "irf3d_gx3_year_pallas_seconds",
@@ -1116,6 +1119,71 @@ def main():
             result["irf3d_gx1_stream_actual_hbm_gbps"] = round(
                 stream_year.hbm_bytes_per_step * x_steps / st_s / 1.0e9, 1
             )
+            # compute-vs-HBM roofline: the rough in-kernel VPU flop count
+            # (year.est_flops_per_step) next to the exact byte count.
+            # hbm_roofline_pct = (bytes / 819 GB/s v5e peak) / measured:
+            # how close the kernel runs to a pure-bandwidth limit; the
+            # kernel is VPU-bound (measured round 4/5), so the gap IS
+            # the compute time.
+            result["irf3d_gx1_stream_est_flops_per_step"] = (
+                stream_year.est_flops_per_step
+            )
+            result["irf3d_gx1_stream_vpu_gflops"] = round(
+                stream_year.est_flops_per_step / (st_s / x_steps) / 1.0e9,
+                1,
+            )
+            result["irf3d_gx1_stream_hbm_roofline_pct"] = round(
+                100.0
+                * (stream_year.hbm_bytes_per_step / 819.0e9)
+                / (st_s / x_steps),
+                1,
+            )
+
+            # STENCIL-form streams: the collapsed 13-offset operator
+            # (ops.transport3d.transport_stencil_coef) -- f32 for
+            # fidelity (measured 5.8e-7 vs the upwind3 stream), bf16
+            # coefficient windows for speed (operator rounded to 8-bit
+            # mantissas, ~5e-3 solution shift; the reference's own
+            # annual-mean IRF collapse is a far larger perturbation).
+            # Configs are the measured-compilable serial ones -- every
+            # prefetch schedule at gx1 crashes the remote compile
+            # service's envelope (round-5 bisect).
+            for tag, st_kwargs in (
+                ("stencil", {"block_rows": 16, "steps_per_sweep": 2,
+                             "stencil": True}),
+                ("stencil_bf16", {"block_rows": 16, "steps_per_sweep": 2,
+                                  "stencil": True, "coef_bf16": True}),
+            ):
+                if not _gate(f"gx1_{tag}", 160):
+                    continue
+                try:
+                    stc_year = _build_stream(**st_kwargs)
+                    out_stc = stc_year(y0_4d)
+                    out_stc.block_until_ready()
+                    stc_np = np.asarray(out_stc).reshape(x_nz, -1)
+                    assert np.isfinite(stc_np).all()
+                    result[f"irf3d_gx1_{tag}_vs_scan_rel"] = float(
+                        np.abs(stc_np - scan_np).max()
+                        / np.abs(scan_np).max()
+                    )
+                    start = time.time()
+                    float(jnp.sum(stc_year(y0_4d)))
+                    stc_s = time.time() - start
+                    result[f"irf3d_gx1_{tag}_ms_per_step"] = round(
+                        stc_s / x_steps * 1.0e3, 4
+                    )
+                    result[f"irf3d_gx1_{tag}_actual_hbm_gbps"] = round(
+                        stc_year.hbm_bytes_per_step * x_steps / stc_s
+                        / 1.0e9, 1
+                    )
+                    result[f"irf3d_gx1_{tag}_vpu_gflops"] = round(
+                        stc_year.est_flops_per_step / (stc_s / x_steps)
+                        / 1.0e9, 1
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    result[f"irf3d_gx1_{tag}_error"] = (
+                        f"{type(exc).__name__}: {exc}"
+                    )
         except Exception as exc:  # noqa: BLE001
             result["irf3d_gx1_bench_error"] = f"{type(exc).__name__}: {exc}"
     _mark("gx1_stream")
@@ -1529,6 +1597,28 @@ def main():
                     x_native = np.asarray(
                         fptr.var("IAGE_CUR")[:]
                     ).reshape(-1)[row_to_cell]
+                # level-scheduled ILU(0) threads the WHOLE BiCGSTAB
+                # iteration (factorization + triangular solves + matvecs
+                # + axpys); -n maps the reference's nprow,npcol grid onto
+                # the thread pool.  host_cpus is recorded because the
+                # scaling this measures is bounded by it (the round-4/5
+                # bench host has ONE core, so parity here is expected,
+                # not a defect).
+                n_thr = min(4, os.cpu_count() or 1)
+                start = time.time()
+                subprocess.run(
+                    [
+                        solve_bin, "-n", f"{n_thr},1", "-v", "IAGE_CUR",
+                        os.path.join(keep_dir, "matrix.nc"), state_fname,
+                    ],
+                    check=True,
+                    timeout=max(30.0, min(180.0, _left() - 90.0)),
+                )
+                result["precond_gx3_native_threads_solve_seconds"] = round(
+                    time.time() - start, 3
+                )
+                result["precond_gx3_native_thread_count"] = n_thr
+                result["precond_native_host_cpus"] = os.cpu_count()
                 from scipy import sparse as _spn
 
                 mat_n = _spn.csr_matrix(

@@ -43,61 +43,133 @@ void matvec(const Csr &a, const std::vector<double> &x, std::vector<double> &y) 
     }
 }
 
-/* ILU(0): incomplete LU with the sparsity of A (in-place on a copy) */
+/* ILU(0): incomplete LU with the sparsity of A (in-place on a copy).
+ *
+ * LEVEL-SCHEDULED: rows are grouped into dependency levels of the L (and,
+ * separately, U) sparsity DAG -- level(r) = 1 + max level over the rows r
+ * reads -- so every row inside one level factors/solves independently and
+ * the whole BiCGSTAB iteration threads, not just the matvecs (the
+ * reference covers this grid class with a 64/256-rank SuperLU_DIST job,
+ * /root/reference/input/cime_pop/tracer_module_defs.yaml:31-37; this is
+ * the shared-memory analog for the TPU-less fallback host).  The same L
+ * levels schedule the IKJ factorization: row r's elimination reads only
+ * fully-factored rows at strictly lower levels. */
 struct Ilu0 {
     Csr lu;
     std::vector<int64_t> diag;  /* position of the diagonal in each row */
+    /* rows grouped by level: order[level_ptr[l] .. level_ptr[l+1]) */
+    std::vector<int64_t> l_order, l_ptr, u_order, u_ptr;
+    int64_t n_levels_l = 0, n_levels_u = 0;
 
-    explicit Ilu0(const Csr &a) : lu(a), diag(a.n, -1) {
-        for (int64_t r = 0; r < lu.n; ++r)
-            for (int64_t p = lu.row_ptr[r]; p < lu.row_ptr[r + 1]; ++p)
-                if (lu.col_ind[p] == r) diag[r] = p;
-        for (int64_t r = 0; r < lu.n; ++r) {
+    void build_levels() {
+        const int64_t n = lu.n;
+        std::vector<int64_t> lev(n, 0);
+        for (int64_t r = 0; r < n; ++r)
             for (int64_t p = lu.row_ptr[r]; p < lu.row_ptr[r + 1]; ++p) {
                 int64_t c = lu.col_ind[p];
                 if (c >= r) break;
-                if (diag[c] < 0 || lu.data[diag[c]] == 0.0) continue;
-                double factor = lu.data[p] / lu.data[diag[c]];
-                lu.data[p] = factor;
-                /* subtract factor * row c from row r (sparsity of r only) */
-                int64_t pc = diag[c] + 1;
-                int64_t pr = p + 1;
-                while (pc < lu.row_ptr[c + 1] && pr < lu.row_ptr[r + 1]) {
-                    if (lu.col_ind[pc] == lu.col_ind[pr]) {
-                        lu.data[pr] -= factor * lu.data[pc];
-                        ++pc;
-                        ++pr;
-                    } else if (lu.col_ind[pc] < lu.col_ind[pr]) {
-                        ++pc;
-                    } else {
-                        ++pr;
-                    }
+                if (lev[c] + 1 > lev[r]) lev[r] = lev[c] + 1;
+            }
+        n_levels_l = 0;
+        for (int64_t r = 0; r < n; ++r)
+            if (lev[r] + 1 > n_levels_l) n_levels_l = lev[r] + 1;
+        l_ptr.assign(n_levels_l + 1, 0);
+        for (int64_t r = 0; r < n; ++r) ++l_ptr[lev[r] + 1];
+        for (int64_t l = 0; l < n_levels_l; ++l) l_ptr[l + 1] += l_ptr[l];
+        l_order.resize(n);
+        {
+            std::vector<int64_t> fill(l_ptr.begin(), l_ptr.end() - 1);
+            for (int64_t r = 0; r < n; ++r) l_order[fill[lev[r]]++] = r;
+        }
+        std::fill(lev.begin(), lev.end(), 0);
+        for (int64_t r = n - 1; r >= 0; --r)
+            for (int64_t p = lu.row_ptr[r + 1] - 1; p >= lu.row_ptr[r]; --p) {
+                int64_t c = lu.col_ind[p];
+                if (c <= r) break;
+                if (lev[c] + 1 > lev[r]) lev[r] = lev[c] + 1;
+            }
+        n_levels_u = 0;
+        for (int64_t r = 0; r < n; ++r)
+            if (lev[r] + 1 > n_levels_u) n_levels_u = lev[r] + 1;
+        u_ptr.assign(n_levels_u + 1, 0);
+        for (int64_t r = 0; r < n; ++r) ++u_ptr[lev[r] + 1];
+        for (int64_t l = 0; l < n_levels_u; ++l) u_ptr[l + 1] += u_ptr[l];
+        u_order.resize(n);
+        {
+            std::vector<int64_t> fill(u_ptr.begin(), u_ptr.end() - 1);
+            for (int64_t r = 0; r < n; ++r) u_order[fill[lev[r]]++] = r;
+        }
+    }
+
+    void factor_row(int64_t r) {
+        for (int64_t p = lu.row_ptr[r]; p < lu.row_ptr[r + 1]; ++p) {
+            int64_t c = lu.col_ind[p];
+            if (c >= r) break;
+            if (diag[c] < 0 || lu.data[diag[c]] == 0.0) continue;
+            double factor = lu.data[p] / lu.data[diag[c]];
+            lu.data[p] = factor;
+            /* subtract factor * row c from row r (sparsity of r only) */
+            int64_t pc = diag[c] + 1;
+            int64_t pr = p + 1;
+            while (pc < lu.row_ptr[c + 1] && pr < lu.row_ptr[r + 1]) {
+                if (lu.col_ind[pc] == lu.col_ind[pr]) {
+                    lu.data[pr] -= factor * lu.data[pc];
+                    ++pc;
+                    ++pr;
+                } else if (lu.col_ind[pc] < lu.col_ind[pr]) {
+                    ++pc;
+                } else {
+                    ++pr;
                 }
             }
         }
     }
 
-    void solve(const std::vector<double> &b, std::vector<double> &x) const {
-        /* forward: L y = b (unit diagonal) */
-        for (int64_t r = 0; r < lu.n; ++r) {
-            double s = b[r];
-            for (int64_t p = lu.row_ptr[r]; p < lu.row_ptr[r + 1]; ++p) {
-                int64_t c = lu.col_ind[p];
-                if (c >= r) break;
-                s -= lu.data[p] * x[c];
-            }
-            x[r] = s;
+    explicit Ilu0(const Csr &a) : lu(a), diag(a.n, -1) {
+        for (int64_t r = 0; r < lu.n; ++r)
+            for (int64_t p = lu.row_ptr[r]; p < lu.row_ptr[r + 1]; ++p)
+                if (lu.col_ind[p] == r) diag[r] = p;
+        build_levels();
+        /* level-parallel IKJ factorization: within a level no row reads
+         * another (all read rows sit at strictly lower levels, already
+         * complete when the level starts) */
+        for (int64_t l = 0; l < n_levels_l; ++l) {
+#pragma omp parallel for schedule(static)
+            for (int64_t i = l_ptr[l]; i < l_ptr[l + 1]; ++i)
+                factor_row(l_order[i]);
         }
-        /* backward: U x = y */
-        for (int64_t r = lu.n - 1; r >= 0; --r) {
-            double s = x[r];
-            for (int64_t p = lu.row_ptr[r + 1] - 1; p >= lu.row_ptr[r]; --p) {
-                int64_t c = lu.col_ind[p];
-                if (c <= r) break;
-                s -= lu.data[p] * x[c];
+    }
+
+    void solve(const std::vector<double> &b, std::vector<double> &x) const {
+        /* forward: L y = b (unit diagonal), level-parallel */
+        for (int64_t l = 0; l < n_levels_l; ++l) {
+#pragma omp parallel for schedule(static)
+            for (int64_t i = l_ptr[l]; i < l_ptr[l + 1]; ++i) {
+                int64_t r = l_order[i];
+                double s = b[r];
+                for (int64_t p = lu.row_ptr[r]; p < lu.row_ptr[r + 1]; ++p) {
+                    int64_t c = lu.col_ind[p];
+                    if (c >= r) break;
+                    s -= lu.data[p] * x[c];
+                }
+                x[r] = s;
             }
-            double d = (diag[r] >= 0) ? lu.data[diag[r]] : 1.0;
-            x[r] = s / d;
+        }
+        /* backward: U x = y, level-parallel */
+        for (int64_t l = 0; l < n_levels_u; ++l) {
+#pragma omp parallel for schedule(static)
+            for (int64_t i = u_ptr[l]; i < u_ptr[l + 1]; ++i) {
+                int64_t r = u_order[i];
+                double s = x[r];
+                for (int64_t p = lu.row_ptr[r + 1] - 1;
+                     p >= lu.row_ptr[r]; --p) {
+                    int64_t c = lu.col_ind[p];
+                    if (c <= r) break;
+                    s -= lu.data[p] * x[c];
+                }
+                double d = (diag[r] >= 0) ? lu.data[diag[r]] : 1.0;
+                x[r] = s / d;
+            }
         }
     }
 };
@@ -128,10 +200,12 @@ bool bicgstab(const Csr &a, const Ilu0 &prec, const std::vector<double> &b,
         if (rho_new == 0.0) return false;
         double beta = (rho_new / rho) * (alpha / omega);
         rho = rho_new;
+#pragma omp parallel for schedule(static)
         for (int64_t i = 0; i < n; ++i) p[i] = r[i] + beta * (p[i] - omega * v[i]);
         prec.solve(p, y);
         matvec(a, y, v);
         alpha = rho / dot(r0, v);
+#pragma omp parallel for schedule(static)
         for (int64_t i = 0; i < n; ++i) s[i] = r[i] - alpha * v[i];
         if (std::sqrt(dot(s, s)) < rtol * bnorm) {
             for (int64_t i = 0; i < n; ++i) x[i] += alpha * y[i];
@@ -140,6 +214,7 @@ bool bicgstab(const Csr &a, const Ilu0 &prec, const std::vector<double> &b,
         prec.solve(s, z);
         matvec(a, z, t);
         omega = dot(t, s) / dot(t, t);
+#pragma omp parallel for schedule(static)
         for (int64_t i = 0; i < n; ++i) {
             x[i] += alpha * y[i] + omega * z[i];
             r[i] = s[i] - omega * t[i];
@@ -192,6 +267,11 @@ int main(int argc, char **argv) {
         a.data = da->data;
 
         Ilu0 prec(a);
+        std::fprintf(stderr,
+                     "solve_ABdist: n=%lld ILU(0) levels L=%lld U=%lld\n",
+                     static_cast<long long>(a.n),
+                     static_cast<long long>(prec.n_levels_l),
+                     static_cast<long long>(prec.n_levels_u));
 
         nc3::File state = nc3::read(state_fname);
 

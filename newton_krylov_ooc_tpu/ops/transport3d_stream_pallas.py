@@ -85,6 +85,11 @@ _STREAM_VMEM_CAP = 110 << 20
 # enforces the physical cap; the planner defaults to this envelope so it
 # never picks a config that cannot compile fresh.
 _STREAM_COMPILE_CAP = 64 << 20
+# what the service accepts for fresh PREFETCH-schedule compiles is
+# tighter still: round-5 bisect saw the 53 MiB b8 full-prefetch config
+# compile while 62-71 MiB b16 prefetch/windows configs crashed, so the
+# planner holds double-buffered candidates to this stricter envelope
+_STREAM_COMPILE_CAP_PREFETCH = 54 << 20
 # live stencil temporaries per tend/CN evaluation, in units of one
 # (chunk, nz, w_rows, lanes) window: upwind3 holds ~a dozen shifted/blended
 # field values at once (calibrated so the measured-good gx1 single-module
@@ -188,14 +193,17 @@ def stream_vmem_bytes(
     n_blocks = nlat_p // b_rows
     seasonal = n_seasonal > 0 or kv_seasonal
     engaged = (
-        bool(prefetch) and not seasonal
+        prefetch is True and not seasonal
         and n_blocks >= -(-halo // b_rows) + 2
     )
+    # prefetch="windows": only the read-only coefficient stack is
+    # double-buffered (always eager-safe), everything else stays serial
+    win_only = prefetch == "windows" and not engaged
     n_slots = 2 if engaged else 1
     n_w = n_coef + (t_dim if stream_src else 0)
     n_b = (0 if kv_seasonal else 1) + (t_dim if stream_diag else 0)
     w_bytes = 2 if coef_bf16 else 4
-    rows_w = n_slots * n_w * w_rows
+    rows_w = (2 if (engaged or win_only) else 1) * n_w * w_rows
     rows = (
         (n_slots * n_b * rows_cn if n_b else 0)
         + 3 * n_seasonal * w_rows
@@ -310,38 +318,51 @@ def plan_stream(
     best = None
     for k in k_opts:
         halo = _halo_rows(k)
-        for b_rows in (8, 16, 24, 32, 48, 64):
+        # power-of-two block heights only: the remote compile service
+        # hard-crashed (HTTP 500) on every fresh 24-row config tried --
+        # including one estimating just 53 MiB -- while 8/16-row twins of
+        # the same footprint compiled (measured 2026-08-20, round 5)
+        for b_rows in (8, 16, 32, 64):
             if b_rows > max(8, -(-nlat // 8) * 8):
                 continue
-            for prefetch in (True, False):
+            for prefetch in (True, "windows", False):
                 kwargs = {
                     "block_rows": b_rows,
                     "steps_per_sweep": k,
                     "prefetch": prefetch,
                 }
+                cap = vmem_cap
+                if prefetch and vmem_cap == _STREAM_COMPILE_CAP:
+                    cap = min(vmem_cap, _STREAM_COMPILE_CAP_PREFETCH)
                 if stream_vmem_bytes(
                     nz, nlat, nlon, t_dim, n_coef=n_coef,
                     stream_diag=stream_diag, stream_src=stream_src,
                     n_seasonal=n_seasonal, kv_seasonal=kv_seasonal,
                     stencil=stencil, coef_bf16=coef_bf16,
                     **kwargs,
-                ) > vmem_cap:
+                ) > cap:
                     continue
                 w_rows = b_rows + 2 * halo
                 rows_cn = w_rows if k >= 2 else b_rows
                 nlat_p = -(-nlat // b_rows) * b_rows
                 n_blocks = nlat_p // b_rows
                 engaged = (
-                    prefetch and not seasonal
+                    prefetch is True and not seasonal
                     and n_blocks >= -(-halo // b_rows) + 2
                 )
-                if prefetch and not engaged:
+                win_only = prefetch == "windows"
+                if prefetch is True and not engaged:
                     continue  # identical to the serial config
+                w_traffic = n_w * w_frac * w_rows / (b_rows * k)
                 traffic = (
-                    (n_w * w_frac + 3 * n_seasonal + t_dim) * w_rows
-                    + (n_b + (6 if kv_seasonal else 0) + t_dim) * rows_cn
-                    + 2 * t_dim * b_rows
-                ) / (b_rows * k)
+                    w_traffic
+                    + (
+                        (3 * n_seasonal + t_dim) * w_rows
+                        + (n_b + (6 if kv_seasonal else 0) + t_dim)
+                        * rows_cn
+                        + 2 * t_dim * b_rows
+                    ) / (b_rows * k)
+                )
                 # updated rows per model step per interior row: stage 1
                 # recomputes the full window, stage 2 and the CN update
                 # b + 4(k-1) rows on average over the k steps
@@ -349,9 +370,14 @@ def plan_stream(
                     row_cost * t_dim
                     * (w_rows + 2 * b_rows + 8 * (k - 1)) / b_rows
                 )
-                cost = (
-                    max(traffic, compute) if engaged else traffic + compute
-                )
+                if engaged:
+                    cost = max(traffic, compute)
+                elif win_only:
+                    # the coefficient stream hides under compute; the
+                    # rest stays serial
+                    cost = max(w_traffic, compute) + (traffic - w_traffic)
+                else:
+                    cost = traffic + compute
                 # pad ratio: physical rows wasted to block alignment
                 cost *= nlat_p / nlat
                 if best is None or cost < best[0]:
@@ -1137,11 +1163,18 @@ def build_transport3d_year_stream(
     # slab copies are blocking either way, so the overlap win is partial
     # and unmeasured there
     pipeline = (
-        bool(prefetch)
+        prefetch is True
         and not seasonal
         and n_blocks >= -(-halo // b_rows) + 2
     )
+    # prefetch="windows": double-buffer ONLY the read-only coefficient
+    # window stack (always eager-safe -- its source never changes, so
+    # block g+1's window DMA can fly under block g's compute across any
+    # sweep boundary) while state/compensation/bands stay serial.  Half
+    # the pipelined schedule's extra VMEM; overlaps the DOMINANT stream.
+    win_only = prefetch == "windows" and not pipeline
     n_slots = 2 if pipeline else 1
+    n_slots_w = 2 if (pipeline or win_only) else 1
     # the CN bands and Kahan compensation cover the window only when the
     # multi-step schedule updates halo rows; at k=1 the block interior is
     # enough -- `roff` maps window row coordinates into these buffers
@@ -1197,8 +1230,10 @@ def build_transport3d_year_stream(
         g = s * n_blocks + blk     # global iteration index
         total = n_sweeps * n_blocks
         # this iteration's buffer slot (static 0 keeps the serial path's
-        # indexing free of dynamic slices)
+        # indexing free of dynamic slices); the coefficient-window slot
+        # pw ping-pongs whenever EITHER prefetch schedule is engaged
         p = jnp.remainder(g, 2) if pipeline else 0
+        pw = jnp.remainder(g, 2) if (pipeline or win_only) else 0
         win0 = blk * b_rows        # buffer row of the window start
         int0 = win0 + halo         # buffer row of the block interior
         cn0 = win0 + roff  # buffer row where the band/comp windows start
@@ -1213,11 +1248,14 @@ def build_transport3d_year_stream(
         SEM_W, SEM_B, SEM_Y, SEM_C = 0, 2, 4, 6     # + slot
         SEM_YO, SEM_CO, SEM_S, SEM_BS = 8, 9, 10, 11
 
-        def in_dmas(g2, slot):
-            """iteration g2's input-DMA descriptors into buffer `slot`,
-            built identically at issue and wait time (same refs, same
+        def in_dmas(g2, slot, slot_w=None):
+            """iteration g2's input-DMA descriptors into buffer `slot`
+            (`slot_w` for the coefficient windows when it differs), built
+            identically at issue and wait time (same refs, same
             semaphores) so a DMA started one grid iteration earlier can
             be waited here"""
+            if slot_w is None:
+                slot_w = slot
             s2 = g2 // n_blocks
             blk2 = g2 - s2 * n_blocks
             w2 = blk2 * b_rows
@@ -1226,8 +1264,8 @@ def build_transport3d_year_stream(
             dmas = {
                 "w": pltpu.make_async_copy(
                     stack_w_hbm.at[:, :, pl.ds(w2, w_rows), :],
-                    w_buf.at[slot],
-                    sems.at[SEM_W + slot],
+                    w_buf.at[slot_w],
+                    sems.at[SEM_W + slot_w],
                 ),
                 "y0": pltpu.make_async_copy(
                     y0_hbm.at[:, :, pl.ds(w2, w_rows), :],
@@ -1253,9 +1291,10 @@ def build_transport3d_year_stream(
                 )
             return s2, dmas
 
-        def start_inputs(g2, slot):
+        def start_inputs(g2, slot, include_w=True):
             s2, dmas = in_dmas(g2, slot)
-            dmas["w"].start()
+            if include_w:
+                dmas["w"].start()
             if "b" in dmas:
                 dmas["b"].start()
 
@@ -1268,9 +1307,10 @@ def build_transport3d_year_stream(
                 dmas["y"].start()
                 dmas["c"].start()
 
-        def wait_inputs(g2, slot):
+        def wait_inputs(g2, slot, include_w=True):
             s2, dmas = in_dmas(g2, slot)
-            dmas["w"].wait()
+            if include_w:
+                dmas["w"].wait()
             if "b" in dmas:
                 dmas["b"].wait()
 
@@ -1320,6 +1360,22 @@ def build_transport3d_year_stream(
                 start_inputs(g + 1, jnp.remainder(g + 1, n_slots))
 
             wait_inputs(g, p)
+        elif win_only:
+            # window-only prefetch: issue block g+1's coefficient-window
+            # DMA into the other slot before computing block g, so the
+            # dominant stream flies under the VPU work; everything else
+            # (state, compensation, bands, write-back) is serial
+            @pl.when(g == 0)
+            def _():
+                in_dmas(0, 0, 0)[1]["w"].start()
+
+            @pl.when(g + 1 < total)
+            def _():
+                in_dmas(g + 1, 0, jnp.remainder(g + 1, 2))[1]["w"].start()
+
+            in_dmas(g, 0, pw)[1]["w"].wait()
+            start_inputs(g, 0, include_w=False)
+            wait_inputs(g, 0, include_w=False)
         else:
             # serial schedule: still START every input DMA before waiting
             # any, so the streams at least overlap each other
@@ -1382,7 +1438,7 @@ def build_transport3d_year_stream(
         # write touches only the logical lanes (the pad lanes round-trip
         # the zeros they were initialized with)
         coef_w = {
-            name: w_buf[p, ind][..., :nlon]
+            name: w_buf[pw, ind][..., :nlon]
             for name, ind in name_ind.items()
         }
         if stencil:
@@ -1410,7 +1466,7 @@ def build_transport3d_year_stream(
             )
         src_w = (
             jnp.stack(
-                [w_buf[p, n_coef + t] for t in range(t_dim)]
+                [w_buf[pw, n_coef + t] for t in range(t_dim)]
             )[..., :nlon]
             if stream_src
             else None
@@ -1638,7 +1694,7 @@ def build_transport3d_year_stream(
     )
     w_dtype = jnp.bfloat16 if coef_bf16 else dtype
     scratch_shapes = [
-        pltpu.VMEM((n_slots, n_w, nz, w_rows, lanes), w_dtype),  # windows
+        pltpu.VMEM((n_slots_w, n_w, nz, w_rows, lanes), w_dtype),  # windows
     ]
     if stack_b is not None:
         scratch_shapes.append(
@@ -1726,6 +1782,7 @@ def build_transport3d_year_stream(
     year.pure = _year_op
     year.operands = stack_ops + (ra_j,)
     year.pipelined = pipeline
+    year.win_prefetch = win_only
     # which rate fields actually stream as dense windows (False when
     # absent, all-zero, or factored through the wet mask)
     year.stream_diag = stream_diag

@@ -893,3 +893,174 @@ def test_stream_hbm_bytes_per_step():
         60, 384, 320, 1, block_rows=16, steps_per_sweep=1
     )
     assert got1 == want1
+
+
+def test_stencil_coef_matches_transport_tend(problem):
+    """the collapsed 13-offset operator (transport_stencil_coef /
+    stencil_tend) reproduces transport_tend at float32 reassociation
+    roundoff, batched and unbatched"""
+    from newton_krylov_ooc_tpu.ops.transport3d import (
+        STENCIL_OFFSETS,
+        stencil_tend,
+        transport_stencil_coef,
+        transport_tend,
+    )
+
+    _circ, coef, _kv, _dz_r, _diag, _src, y0, _wet = problem
+    st = transport_stencil_coef(coef)
+    assert st.shape == (len(STENCIL_OFFSETS), NZ, NLAT, NLON)
+    rng = np.random.default_rng(29)
+    y = jnp.asarray(rng.uniform(-1.0, 1.0, (NZ, NLAT, NLON)), jnp.float32)
+    t_ref = transport_tend(
+        jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), coef
+        ),
+        y,
+    )
+    t_st = stencil_tend(jnp.asarray(st, jnp.float32), y)
+    scale = float(jnp.abs(t_ref).max())
+    assert float(jnp.abs(t_st - t_ref).max()) <= 1e-5 * scale
+    yb = jnp.asarray(y0, jnp.float32)
+    tb_ref = transport_tend(
+        jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), coef
+        ),
+        yb,
+    )
+    tb_st = stencil_tend(jnp.asarray(st, jnp.float32), yb)
+    assert float(jnp.abs(tb_st - tb_ref).max()) <= 1e-5 * scale
+
+
+def test_stream_kernel_stencil_matches_scan(problem):
+    """the stencil-form streaming mode (13 collapsed coefficient windows,
+    13 fused multiply-adds per cell) reproduces the scan year at the
+    float32 discretization level; block-size independent; coef_bf16
+    degrades gracefully to the documented ~1e-3 operator-rounding level
+    and refuses dense src windows"""
+    from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
+        VmemBudgetError,
+    )
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+    )
+
+    _circ, coef, kv, dz_r, diag, src, y0, wet = problem
+    expected = _scan_reference(coef, kv, dz_r, diag, src, y0)
+    scale = np.abs(expected).max()
+    by_k = {}
+    for block_rows, k in ((8, 1), (8, 2), (16, 2)):
+        fn = build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+            src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+            block_rows=block_rows, steps_per_sweep=k, stencil=True,
+        )
+        assert fn.stencil and not fn.coef_bf16
+        got = np.asarray(fn(jnp.asarray(y0), interpret=True))
+        # the collapsed operator reassociates the flux sums, so the
+        # tolerance is wider than the upwind3 stream's 1e-5 but still
+        # at the f32 discretization level
+        np.testing.assert_allclose(
+            got, expected, rtol=0.0, atol=5e-4 * scale
+        )
+        assert np.abs(got * (1.0 - wet)).max() == 0.0
+        if k in by_k:
+            np.testing.assert_array_equal(got, by_k[k])
+        by_k[k] = got
+
+    # bf16 coefficient streams: operator rounded to 8-bit mantissas.
+    # dense src fields would ride the rounded window stack, so bf16
+    # requires factorable rates
+    wet64 = wet.astype(np.float64)
+    diag_f = np.stack([-1.0e-8 * wet64] * T_DIM)
+    src_f = np.stack([1.0e-8 * wet64] * T_DIM)
+    exp_f = _scan_reference(coef, kv, dz_r, diag_f, src_f, y0)
+    scale_f = np.abs(exp_f).max()
+    fn16 = build_transport3d_year_stream(
+        coef, kv, dz_r, diag_f.reshape(T_DIM, NZ, -1),
+        src_f.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+        block_rows=8, steps_per_sweep=2, stencil=True, coef_bf16=True,
+    )
+    assert fn16.coef_bf16
+    got16 = np.asarray(fn16(jnp.asarray(y0), interpret=True))
+    err16 = np.abs(got16 - exp_f).max()
+    assert err16 <= 2e-2 * scale_f
+    assert np.abs(got16 * (1.0 - wet)).max() == 0.0
+
+    # guards: dense src + bf16, and non-stencil bf16, refuse loudly
+    with pytest.raises(ValueError, match="dense src"):
+        build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+            src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+            block_rows=8, steps_per_sweep=2, stencil=True, coef_bf16=True,
+        )
+    with pytest.raises(ValueError, match="bf16"):
+        build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+            src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+            coef_bf16=True,
+        )
+
+
+def test_stream_kernel_stencil_seasonal_refused(seasonal_problem):
+    """stencil mode collapses a STEADY operator; seasonal circulations
+    keep the upwind3 streaming path"""
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+    )
+
+    _circ, coef, kv, dz_r, diag, src, _y0, _wet = seasonal_problem
+    with pytest.raises(ValueError, match="STEADY"):
+        build_transport3d_year_stream(
+            coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+            src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+            stencil=True,
+        )
+
+
+def test_stream_hbm_bytes_builder_wiring(problem):
+    """year.hbm_bytes_per_step must reflect the BUILDER's actual shed
+    decisions, not just the helper formula: force dense diag/src streams
+    (unfactorable fields) and check the attached figure carries their
+    windows; the factored family sheds them"""
+    from newton_krylov_ooc_tpu.ops.transport3d_stream_pallas import (
+        build_transport3d_year_stream,
+        stream_hbm_bytes_per_step,
+    )
+
+    _circ, coef, kv, dz_r, diag, src, y0, wet = problem
+    # the fixture's diag/src are random fields -> dense streams
+    fn = build_transport3d_year_stream(
+        coef, kv, dz_r, diag.reshape(T_DIM, NZ, -1),
+        src.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+        block_rows=8, steps_per_sweep=2,
+    )
+    assert fn.stream_diag and fn.stream_src
+    assert fn.hbm_bytes_per_step == stream_hbm_bytes_per_step(
+        NZ, NLAT, NLON, T_DIM, block_rows=8, steps_per_sweep=2,
+        n_coef=7, stream_diag=True, stream_src=True,
+    )
+    # factored rates shed both dense streams -> strictly less traffic
+    wet64 = wet.astype(np.float64)
+    diag_f = np.stack([-1.0e-8 * wet64] * T_DIM)
+    src_f = np.stack([1.0e-8 * wet64] * T_DIM)
+    fn_f = build_transport3d_year_stream(
+        coef, kv, dz_r, diag_f.reshape(T_DIM, NZ, -1),
+        src_f.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+        block_rows=8, steps_per_sweep=2,
+    )
+    assert not fn_f.stream_diag and not fn_f.stream_src
+    assert fn_f.hbm_bytes_per_step == stream_hbm_bytes_per_step(
+        NZ, NLAT, NLON, T_DIM, block_rows=8, steps_per_sweep=2,
+        n_coef=7, stream_diag=False, stream_src=False,
+    )
+    assert fn_f.hbm_bytes_per_step < fn.hbm_bytes_per_step
+    # the stencil + bf16 build halves its 14 coefficient windows
+    fn_sb = build_transport3d_year_stream(
+        coef, kv, dz_r, diag_f.reshape(T_DIM, NZ, -1),
+        src_f.reshape(T_DIM, NZ, -1), (0.0, YEAR), N_STEPS,
+        block_rows=8, steps_per_sweep=2, stencil=True, coef_bf16=True,
+    )
+    assert fn_sb.hbm_bytes_per_step == stream_hbm_bytes_per_step(
+        NZ, NLAT, NLON, T_DIM, block_rows=8, steps_per_sweep=2,
+        n_coef=14, coef_bf16=True,
+    )

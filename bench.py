@@ -1271,7 +1271,10 @@ def main():
     # ncra-collapse monthly IRF output to an annual mean).  Timing +
     # finite check only -- accuracy vs the seasonal scan is pinned by
     # tests/test_transport3d_pallas.py (measured on chip rel 4.6e-7).
-    if extras_on and on_accel and x_y0 is not None and _gate("gx1_seasonal", 430):
+    # need tuned on data: 430 s was the cold-compile figure; the kernel
+    # has been cache-resident since round 4 and the warm section costs
+    # ~60 s (build + two runs)
+    if extras_on and on_accel and x_y0 is not None and _gate("gx1_seasonal", 180):
         try:
             from newton_krylov_ooc_tpu.models.irf_offline import synthetic
             from newton_krylov_ooc_tpu.ops.transport3d import (

@@ -824,216 +824,6 @@ def main():
             result["halving_bench_error"] = f"{type(exc).__name__}: {exc}"
     _mark("halving")
 
-    # ---- the BASELINE.md north star, end-to-end: the full py_driver_2d
-    # iage Newton-Krylov spin-up on one chip at the flagship grid --
-    # whole years as fused IMEX kernels, exact JVPs, jitted GMRES,
-    # implicit-Euler-product preconditioner.  The reference runs this
-    # workload as tens of scipy-Radau forward integrations (~2 min EACH
-    # on this host, the baseline_cpu_seconds above) driven by the
-    # file-based solver; iteration count and residual trajectory are
-    # recorded so the solve is comparable to the committed
-    # Newton_state.json convergence baselines (converged-at-iteration-3
-    # class, /root/reference/baselines/ci_long_iage).
-    if extras_on and _gate("full_solve_2d", 120):
-        try:
-            from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
-
-            solver_2d = NewtonKrylovInCore(
-                kernel,
-                newton_rel_tol=1.0e-5,
-                krylov_rel_tol=1.0e-2,
-                newton_max_iter=8,
-                jit_gmres=True,
-            )
-            start = time.time()
-            x2d, _f2d, info2d = solver_2d.solve(kernel.init_iterate())
-            jax.block_until_ready(x2d)
-            solve2d_s = time.time() - start
-            rel2d = np.asarray(info2d["fcn_norm"]) / np.asarray(
-                info2d["x_norm"]
-            )
-            assert np.isfinite(np.asarray(x2d)).all()
-            assert (rel2d < 1.0e-5).all()
-            result["py2d_full_solve_seconds"] = round(solve2d_s, 2)
-            result["py2d_full_solve_newton_iterations"] = int(
-                info2d["iterations"]
-            )
-            result["py2d_full_solve_rel_resid"] = float(rel2d.max())
-        except Exception as exc:  # noqa: BLE001
-            result["py2d_solve_bench_error"] = f"{type(exc).__name__}: {exc}"
-    _mark("full_solve_2d")
-
-    # ---- gx3-scale 3D offline IRF-transport year (irf_offline family):
-    # the cime_pop-class workload -- ~700k wet cells as one on-device IMEX
-    # scan, then the same year as ONE whole-year pallas megakernel (all
-    # coefficients, CN bands, state, and Kahan compensation VMEM-resident
-    # for every step; the scan re-streams ~50 MB of stencil coefficients
-    # from HBM each step).
-    g_nz = g_nlat = g_nlon = g_steps = None
-    circ = coef = g_kv = g_dzr = y0_3d = out3d = None
-    if extras_on and _gate("gx3_scan", 300):
-        try:
-            g_nz, g_nlat, g_nlon = 60, 116, 100  # POP gx3v7 extents
-            (
-                circ, coef, g_kv, g_dzr, g_steps, y0_3d, out3d, g_best
-            ) = _time_irf3d_year(g_nz, g_nlat, g_nlon, reps=2)
-            result["irf3d_gx3_year_seconds"] = round(g_best, 4)
-            result["irf3d_n_steps"] = g_steps
-            result["irf3d_cells"] = g_nz * g_nlat * g_nlon
-            result["irf3d_cell_steps_per_second"] = round(
-                g_nz * g_nlat * g_nlon * g_steps / g_best
-            )
-        except Exception as exc:  # noqa: BLE001
-            result["irf3d_bench_error"] = f"{type(exc).__name__}: {exc}"
-    _mark("gx3_scan")
-
-    # ---- FULL 3D spin-up: a two-module tracer family solved to its
-    # cyclostationary state at gx3 scale with the whole Newton-Krylov
-    # stack on device (exact linear JVPs, jitted GMRES, column-local PCR
-    # preconditioner).  The reference's equivalent is tens of
-    # batch-scheduler round trips of POP plus MPI SuperLU solves -- "hours
-    # of wall-clock on a supercomputer" (SURVEY.md section 6).  Skipped on
-    # a CPU backend (forced fallback or no accelerator): the full solve
-    # would dominate the budget without measuring the device.
-    if extras_on and _gate("full_solve", 180) and (
-        on_accel or os.environ.get("NK_BENCH_IRF3D_GRID")
-    ):
-        try:
-            from jax.sharding import Mesh
-
-            from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
-            from newton_krylov_ooc_tpu.models.irf_offline import synthetic
-            from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
-                ShardedTransport3dKernel,
-            )
-
-            grid_env = os.environ.get("NK_BENCH_IRF3D_GRID")
-            s_nz, s_nlat, s_nlon = (
-                tuple(int(v) for v in grid_env.split(","))
-                if grid_env
-                else (60, 116, 100)
-            )
-            # the gx3 section above already generated this circulation at
-            # the default extents -- reuse it
-            if g_steps is not None and (s_nz, s_nlat, s_nlon) == (
-                g_nz, g_nlat, g_nlon
-            ):
-                solve_circ, s_steps = circ, g_steps
-            else:
-                solve_circ = synthetic.gen_circulation(s_nz, s_nlat, s_nlon)
-                s_steps = max(
-                    2000, synthetic.stable_steps_per_year(solve_circ)
-                )
-            # volumetric first-order sinks keep (I - B) well conditioned
-            specs = [
-                [{"name": "DYE_A", "source_per_year": 0.1,
-                  "sink_rate_per_year": 0.5}],
-                [{"name": "DYE_B", "source_per_year": 0.1,
-                  "sink_rate_per_year": 1.0,
-                  "surf_restore_pv_cm_s": 5.0e-3}],
-            ]
-            mesh = Mesh(np.asarray(jax.devices()[:1]), ("space",))
-
-            def run_spinup(use_pallas):
-                kernel = ShardedTransport3dKernel(
-                    mesh, solve_circ, specs, n_steps=s_steps,
-                    dtype=jnp.float32, use_pallas=use_pallas,
-                )
-                solver = NewtonKrylovInCore(
-                    kernel,
-                    newton_rel_tol=1.0e-5,
-                    krylov_rel_tol=1.0e-2,
-                    newton_max_iter=6,
-                    krylov_max_dim=20,
-                    jit_gmres=True,
-                )
-                # one warm fcn eval first, so the per-module year-kernel
-                # compiles (cache hits when .jax_cache is warm) are
-                # recorded SEPARATELY from the measured solve
-                x0 = kernel.init_iterate()
-                start = time.time()
-                jax.block_until_ready(kernel.comp_fcn(x0))
-                compile_s = time.time() - start
-                start = time.time()
-                x_sol, _fcn, info = solver.solve(x0)
-                jax.block_until_ready(x_sol)
-                return x_sol, info, time.time() - start, compile_s
-
-            # prefer the whole-year pallas megakernel for the spin-up when
-            # it fits (cheap advisory estimate BEFORE building anything);
-            # fall back to the XLA scan on ANY pallas-path failure.
-            # Default ON since round 5: with the persistent .jax_cache
-            # warm the two per-module kernel compiles that once cost
-            # ~5 min are cache hits, and the compile/warmup seconds are
-            # now recorded separately from the measured solve either way.
-            from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
-                megakernel_fits_vmem,
-            )
-
-            solve_out = None
-            if (
-                os.environ.get("NK_BENCH_PALLAS_SOLVE", "1") == "1"
-                and on_accel
-                and megakernel_fits_vmem(
-                    s_nz, s_nlat, s_nlon, max(len(m) for m in specs)
-                )
-            ):
-                try:
-                    solve_out = run_spinup(True)
-                    result["irf3d_full_solve_path"] = "pallas"
-                except Exception as exc:  # noqa: BLE001
-                    result["irf3d_pallas_solve_fallback"] = (
-                        f"{type(exc).__name__}: {exc}"
-                    )
-            if solve_out is None:
-                solve_out = run_spinup(False)
-                result["irf3d_full_solve_path"] = "xla_scan"
-            x_sol, info, solve_s, compile_s = solve_out
-            rel = np.asarray(info["fcn_norm"]) / np.asarray(info["x_norm"])
-            assert np.isfinite(np.asarray(x_sol)).all()
-            assert (rel < 1.0e-5).all()
-            result["irf3d_full_solve_seconds"] = round(solve_s, 2)
-            result["irf3d_full_solve_compile_seconds"] = round(compile_s, 2)
-            result["irf3d_full_solve_modules"] = len(specs)
-            result["irf3d_full_solve_rel_resid"] = float(rel.max())
-        except Exception as exc:  # noqa: BLE001
-            result["irf3d_solve_bench_error"] = f"{type(exc).__name__}: {exc}"
-    _mark("full_solve")
-
-    if extras_on and on_accel and g_steps is not None and _gate("gx3_pallas", 240):
-        try:
-            from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
-                build_transport3d_year_pallas,
-            )
-
-            diag1 = np.zeros((1, g_nz, g_nlat * g_nlon), np.float32)
-            pallas_year = build_transport3d_year_pallas(
-                coef, g_kv, g_dzr, diag1, diag1, (0.0, year), g_steps,
-            )
-            y0_p = jnp.asarray(
-                np.asarray(y0_3d).reshape(1, g_nz, g_nlat, g_nlon)
-            )
-            out_p = pallas_year(y0_p)
-            out_p.block_until_ready()
-            out_p_np = np.asarray(out_p).reshape(g_nz, -1)
-            assert np.isfinite(out_p_np).all()
-            scan_np = np.asarray(out3d)
-            result["irf3d_pallas_vs_scan_rel"] = float(
-                np.abs(out_p_np - scan_np).max() / np.abs(scan_np).max()
-            )
-            times_p = []
-            for _ in range(2):
-                start = time.time()
-                pallas_year(y0_p).block_until_ready()
-                times_p.append(time.time() - start)
-            result["irf3d_gx3_year_pallas_seconds"] = round(min(times_p), 4)
-            result["irf3d_pallas_cell_steps_per_second"] = round(
-                g_nz * g_nlat * g_nlon * g_steps / min(times_p)
-            )
-        except Exception as exc:  # noqa: BLE001
-            result["irf3d_pallas_bench_error"] = f"{type(exc).__name__}: {exc}"
-    _mark("gx3_pallas")
-
     # ---- gx1-scale year throughput (POP gx1v7 extents 60x384x320, the
     # reference's PRODUCTION grid -- its preconditioner solve alone takes
     # 256 MPI ranks at 2.3 GB each): XLA-scan reference, HBM-streaming
@@ -1187,6 +977,225 @@ def main():
         except Exception as exc:  # noqa: BLE001
             result["irf3d_gx1_bench_error"] = f"{type(exc).__name__}: {exc}"
     _mark("gx1_stream")
+
+    # ---- the BASELINE.md north star, end-to-end: the full py_driver_2d
+    # iage Newton-Krylov spin-up on one chip at the flagship grid --
+    # whole years as fused IMEX kernels, exact JVPs, jitted GMRES,
+    # implicit-Euler-product preconditioner.  The reference runs this
+    # workload as tens of scipy-Radau forward integrations (~2 min EACH
+    # on this host, the baseline_cpu_seconds above) driven by the
+    # file-based solver; iteration count and residual trajectory are
+    # recorded so the solve is comparable to the committed
+    # Newton_state.json convergence baselines (converged-at-iteration-3
+    # class, /root/reference/baselines/ci_long_iage).
+    if extras_on and _gate("full_solve_2d", 120):
+        try:
+            from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+
+            solver_2d = NewtonKrylovInCore(
+                kernel,
+                newton_rel_tol=1.0e-5,
+                krylov_rel_tol=1.0e-2,
+                newton_max_iter=8,
+                jit_gmres=True,
+            )
+            start = time.time()
+            x2d, _f2d, info2d = solver_2d.solve(kernel.init_iterate())
+            jax.block_until_ready(x2d)
+            solve2d_s = time.time() - start
+            rel2d = np.asarray(info2d["fcn_norm"]) / np.asarray(
+                info2d["x_norm"]
+            )
+            assert np.isfinite(np.asarray(x2d)).all()
+            assert (rel2d < 1.0e-5).all()
+            result["py2d_full_solve_seconds"] = round(solve2d_s, 2)
+            result["py2d_full_solve_newton_iterations"] = int(
+                info2d["iterations"]
+            )
+            result["py2d_full_solve_rel_resid"] = float(rel2d.max())
+        except Exception as exc:  # noqa: BLE001
+            result["py2d_solve_bench_error"] = f"{type(exc).__name__}: {exc}"
+    _mark("full_solve_2d")
+
+    # ---- gx3-scale 3D offline IRF-transport year (irf_offline family):
+    # the cime_pop-class workload -- ~700k wet cells as one on-device IMEX
+    # scan, then the same year as ONE whole-year pallas megakernel (all
+    # coefficients, CN bands, state, and Kahan compensation VMEM-resident
+    # for every step; the scan re-streams ~50 MB of stencil coefficients
+    # from HBM each step).
+    g_nz = g_nlat = g_nlon = g_steps = None
+    circ = coef = g_kv = g_dzr = y0_3d = out3d = None
+    if extras_on and _gate("gx3_scan", 300):
+        try:
+            g_nz, g_nlat, g_nlon = 60, 116, 100  # POP gx3v7 extents
+            (
+                circ, coef, g_kv, g_dzr, g_steps, y0_3d, out3d, g_best
+            ) = _time_irf3d_year(g_nz, g_nlat, g_nlon, reps=2)
+            result["irf3d_gx3_year_seconds"] = round(g_best, 4)
+            result["irf3d_n_steps"] = g_steps
+            result["irf3d_cells"] = g_nz * g_nlat * g_nlon
+            result["irf3d_cell_steps_per_second"] = round(
+                g_nz * g_nlat * g_nlon * g_steps / g_best
+            )
+        except Exception as exc:  # noqa: BLE001
+            result["irf3d_bench_error"] = f"{type(exc).__name__}: {exc}"
+    _mark("gx3_scan")
+
+    # ---- FULL 3D spin-up: a two-module tracer family solved to its
+    # cyclostationary state at gx3 scale with the whole Newton-Krylov
+    # stack on device (exact linear JVPs, jitted GMRES, column-local PCR
+    # preconditioner).  The reference's equivalent is tens of
+    # batch-scheduler round trips of POP plus MPI SuperLU solves -- "hours
+    # of wall-clock on a supercomputer" (SURVEY.md section 6).  Skipped on
+    # a CPU backend (forced fallback or no accelerator): the full solve
+    # would dominate the budget without measuring the device.
+    if extras_on and _gate("full_solve", 180) and (
+        on_accel or os.environ.get("NK_BENCH_IRF3D_GRID")
+    ):
+        try:
+            from jax.sharding import Mesh
+
+            from newton_krylov_ooc_tpu.core.incore import NewtonKrylovInCore
+            from newton_krylov_ooc_tpu.models.irf_offline import synthetic
+            from newton_krylov_ooc_tpu.parallel.sharded_transport3d import (
+                ShardedTransport3dKernel,
+            )
+
+            grid_env = os.environ.get("NK_BENCH_IRF3D_GRID")
+            s_nz, s_nlat, s_nlon = (
+                tuple(int(v) for v in grid_env.split(","))
+                if grid_env
+                else (60, 116, 100)
+            )
+            # the gx3 section above already generated this circulation at
+            # the default extents -- reuse it
+            if g_steps is not None and (s_nz, s_nlat, s_nlon) == (
+                g_nz, g_nlat, g_nlon
+            ):
+                solve_circ, s_steps = circ, g_steps
+            else:
+                solve_circ = synthetic.gen_circulation(s_nz, s_nlat, s_nlon)
+                s_steps = max(
+                    2000, synthetic.stable_steps_per_year(solve_circ)
+                )
+            # volumetric first-order sinks keep (I - B) well conditioned
+            specs = [
+                [{"name": "DYE_A", "source_per_year": 0.1,
+                  "sink_rate_per_year": 0.5}],
+                [{"name": "DYE_B", "source_per_year": 0.1,
+                  "sink_rate_per_year": 1.0,
+                  "surf_restore_pv_cm_s": 5.0e-3}],
+            ]
+            mesh = Mesh(np.asarray(jax.devices()[:1]), ("space",))
+
+            def run_spinup(use_pallas):
+                kernel = ShardedTransport3dKernel(
+                    mesh, solve_circ, specs, n_steps=s_steps,
+                    dtype=jnp.float32, use_pallas=use_pallas,
+                )
+                solver = NewtonKrylovInCore(
+                    kernel,
+                    newton_rel_tol=1.0e-5,
+                    krylov_rel_tol=1.0e-2,
+                    newton_max_iter=6,
+                    krylov_max_dim=20,
+                    jit_gmres=True,
+                )
+                # one warm fcn eval first, so the per-module year-kernel
+                # compiles (cache hits when .jax_cache is warm) are
+                # recorded SEPARATELY from the measured solve
+                x0 = kernel.init_iterate()
+                start = time.time()
+                jax.block_until_ready(kernel.comp_fcn(x0))
+                compile_s = time.time() - start
+                start = time.time()
+                x_sol, _fcn, info = solver.solve(x0)
+                jax.block_until_ready(x_sol)
+                return x_sol, info, time.time() - start, compile_s
+
+            # prefer the whole-year pallas megakernel for the spin-up when
+            # it fits (cheap advisory estimate BEFORE building anything);
+            # fall back to the XLA scan on ANY pallas-path failure.
+            # Default ON since round 5: with the persistent .jax_cache
+            # warm the two per-module kernel compiles that once cost
+            # ~5 min are cache hits, and the compile/warmup seconds are
+            # now recorded separately from the measured solve either way.
+            from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
+                megakernel_fits_vmem,
+            )
+
+            solve_out = None
+            if (
+                os.environ.get("NK_BENCH_PALLAS_SOLVE", "1") == "1"
+                and on_accel
+                # the pallas attempt costs ~55 s warm but ~430 s when the
+                # persistent cache misses (observed: the big megakernel /
+                # solve programs sometimes re-key across sessions while
+                # smaller ones hit), so only attempt it when a COLD
+                # compile still leaves the precond reserve intact --
+                # otherwise fall through to the scan path, which is
+                # still a captured full-solve number
+                and _left() > 600
+                and megakernel_fits_vmem(
+                    s_nz, s_nlat, s_nlon, max(len(m) for m in specs)
+                )
+            ):
+                try:
+                    solve_out = run_spinup(True)
+                    result["irf3d_full_solve_path"] = "pallas"
+                except Exception as exc:  # noqa: BLE001
+                    result["irf3d_pallas_solve_fallback"] = (
+                        f"{type(exc).__name__}: {exc}"
+                    )
+            if solve_out is None:
+                solve_out = run_spinup(False)
+                result["irf3d_full_solve_path"] = "xla_scan"
+            x_sol, info, solve_s, compile_s = solve_out
+            rel = np.asarray(info["fcn_norm"]) / np.asarray(info["x_norm"])
+            assert np.isfinite(np.asarray(x_sol)).all()
+            assert (rel < 1.0e-5).all()
+            result["irf3d_full_solve_seconds"] = round(solve_s, 2)
+            result["irf3d_full_solve_compile_seconds"] = round(compile_s, 2)
+            result["irf3d_full_solve_modules"] = len(specs)
+            result["irf3d_full_solve_rel_resid"] = float(rel.max())
+        except Exception as exc:  # noqa: BLE001
+            result["irf3d_solve_bench_error"] = f"{type(exc).__name__}: {exc}"
+    _mark("full_solve")
+
+    if extras_on and on_accel and g_steps is not None and _gate("gx3_pallas", 240):
+        try:
+            from newton_krylov_ooc_tpu.ops.transport3d_pallas import (
+                build_transport3d_year_pallas,
+            )
+
+            diag1 = np.zeros((1, g_nz, g_nlat * g_nlon), np.float32)
+            pallas_year = build_transport3d_year_pallas(
+                coef, g_kv, g_dzr, diag1, diag1, (0.0, year), g_steps,
+            )
+            y0_p = jnp.asarray(
+                np.asarray(y0_3d).reshape(1, g_nz, g_nlat, g_nlon)
+            )
+            out_p = pallas_year(y0_p)
+            out_p.block_until_ready()
+            out_p_np = np.asarray(out_p).reshape(g_nz, -1)
+            assert np.isfinite(out_p_np).all()
+            scan_np = np.asarray(out3d)
+            result["irf3d_pallas_vs_scan_rel"] = float(
+                np.abs(out_p_np - scan_np).max() / np.abs(scan_np).max()
+            )
+            times_p = []
+            for _ in range(2):
+                start = time.time()
+                pallas_year(y0_p).block_until_ready()
+                times_p.append(time.time() - start)
+            result["irf3d_gx3_year_pallas_seconds"] = round(min(times_p), 4)
+            result["irf3d_pallas_cell_steps_per_second"] = round(
+                g_nz * g_nlat * g_nlon * g_steps / min(times_p)
+            )
+        except Exception as exc:  # noqa: BLE001
+            result["irf3d_pallas_bench_error"] = f"{type(exc).__name__}: {exc}"
+    _mark("gx3_pallas")
+
 
 
     # MULTI-MODULE gx1 family stream: N tracer modules ride ONE

@@ -52,7 +52,11 @@ REPS = 3
 # fits.  The default keeps accelerator child + a primary-only CPU fallback
 # comfortably inside a ~2000 s driver budget.
 PROC_T0 = time.time()
-DEADLINE_S = float(os.environ.get("NK_BENCH_DEADLINE_S", "1250"))
+# 1350 keeps the child inside the 1400 s watchdog kill and the ~2000 s
+# driver budget while fitting the family/seasonal re-measurements when
+# the big programs cache-hit; the compact-final-line contract keeps any
+# overrun kill harmless (the last stdout line is always parseable)
+DEADLINE_S = float(os.environ.get("NK_BENCH_DEADLINE_S", "1350"))
 
 
 def _left():

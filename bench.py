@@ -1284,10 +1284,13 @@ def main():
     # ncra-collapse monthly IRF output to an annual mean).  Timing +
     # finite check only -- accuracy vs the seasonal scan is pinned by
     # tests/test_transport3d_pallas.py (measured on chip rel 4.6e-7).
-    # need tuned on data: 430 s was the cold-compile figure; the kernel
-    # has been cache-resident since round 4 and the warm section costs
-    # ~60 s (build + two runs)
-    if extras_on and on_accel and x_y0 is not None and _gate("gx1_seasonal", 180):
+    # need tuned on data: ~60-80 s warm, ~330 s on a cache miss, and a
+    # DEGRADED tunnel inflates it further (one session measured >500 s
+    # and drew a watchdog kill that cost the precond sections) -- so the
+    # gate demands the bad-weather figure and defers to the reserved
+    # precond sections otherwise; the seasonal number is already pinned
+    # in BENCH_r04 and this round's rehearsal logs
+    if extras_on and on_accel and x_y0 is not None and _gate("gx1_seasonal", 350):
         try:
             from newton_krylov_ooc_tpu.models.irf_offline import synthetic
             from newton_krylov_ooc_tpu.ops.transport3d import (
